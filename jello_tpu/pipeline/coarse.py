@@ -1,0 +1,204 @@
+"""Binning + coarse command-list generation.
+
+(reference: shaders/cpu/cpu.go Binning/Coarse, binning.wgsl, coarse.wgsl)
+
+The reference bins draw objects into 256x256-px bins with atomic chunk
+lists, then a per-bin workgroup serializes each tile's PTCL command
+tape. Here the same result is produced by a flat expansion of
+(draw -> covered tiles) pairs, a vectorized include/exclude filter
+(coarse.wgsl:295-320 semantics) and one stable sort by tile id, which
+preserves draw order within each tile. Commands are a fixed-width SoA
+(no jump chaining, no bump allocation); the clip-zero suppression state
+machine (coarse.wgsl:406-462) moves into the fine stage, which walks
+each tile's commands sequentially anyway.
+
+Divergence from the reference (documented): the reference tests
+`blend != (Clip<<8 | 3)` to detect non-trivial blends, but jello swapped
+the Compose enum's zero value so a pure clip encodes as 0x8000 and the
+test is always true (every clip is treated as an isolated blend group —
+slower, same pixels). We use the corrected test
+`blend != 0x8000 || alpha != 1.0`, which matches upstream Vello's
+intent; pixels are identical, work is smaller. We also read the clip
+path's actual fill-rule flags where the reference reads an uninitialized
+info word for BeginClip (coarse.wgsl reads info[di] with di pointing
+past the clip's zero-size info slot).
+"""
+
+from __future__ import annotations
+
+from ..encoding.draw import (
+    DRAW_TAG_BEGIN_CLIP,
+    DRAW_TAG_COLOR,
+    DRAW_TAG_END_CLIP,
+    DRAW_TAG_IMAGE,
+    DRAW_TAG_LINEAR_GRADIENT,
+    DRAW_TAG_NOP,
+    DRAW_TAG_RADIAL_GRADIENT,
+    DRAW_TAG_SWEEP_GRADIENT,
+)
+from . import ops
+from .tiling import TILE_SCALE, _expand
+
+BIG = 1e9
+
+CMD_COLOR = 1
+CMD_LIN_GRAD = 2
+CMD_RAD_GRAD = 3
+CMD_SWEEP_GRAD = 4
+CMD_IMAGE = 5
+CMD_BEGIN_CLIP = 6
+CMD_END_CLIP = 7
+
+# Packed blend word of a pure (non-isolated) clip: (Mix.CLIP << 8) | SRC_OVER.
+BLEND_PURE_CLIP = 0x8000
+
+
+def binning_bboxes(xp, dm, path_bbox, clip_bboxes, layout):
+    """Intersected draw bboxes (reference: Binning, cpu.go:343-365)."""
+    f32 = xp.float32
+    clip_idx = dm["clip_idx"].astype(xp.int32)
+    has_clip = clip_idx > 0
+    cb = ops.gather_guarded(xp, clip_bboxes, xp.maximum(clip_idx - 1, 0))
+    inf = xp.asarray([-BIG, -BIG, BIG, BIG], dtype=f32)
+    cb = xp.where(has_clip[:, None], cb, inf[None, :])
+    pb = ops.gather_guarded(xp, path_bbox, dm["path_idx"].astype(xp.int32))
+    return xp.stack(
+        [
+            xp.maximum(cb[:, 0], pb[:, 0]),
+            xp.maximum(cb[:, 1], pb[:, 1]),
+            xp.minimum(cb[:, 2], pb[:, 2]),
+            xp.minimum(cb[:, 3], pb[:, 3]),
+        ],
+        axis=1,
+    )
+
+
+def build_commands(
+    xp, scene, layout, dm, tag, dd, di, draw_bbox, paths, counted, path_draw_flags, caps
+):
+    """Produce the per-tile command SoA, sorted by (tile, draw order)."""
+    D = caps["n_draws_cap"]
+    PC = caps["pair_cap"]
+    GRID = caps["tile_grid_cap"]
+    f32 = xp.float32
+    wit = layout["width_in_tiles"]
+    hit = layout["height_in_tiles"]
+
+    act = (xp.arange(D, dtype=xp.int32) < layout["n_draw_objects"]) & (
+        tag != DRAW_TAG_NOP
+    )
+    nonempty = (draw_bbox[:, 0] < draw_bbox[:, 2]) & (draw_bbox[:, 1] < draw_bbox[:, 3])
+    ok = act & nonempty
+    rx0 = xp.where(ok, xp.floor(draw_bbox[:, 0] * TILE_SCALE), 0.0).astype(xp.int32)
+    ry0 = xp.where(ok, xp.floor(draw_bbox[:, 1] * TILE_SCALE), 0.0).astype(xp.int32)
+    rx1 = xp.where(ok, xp.ceil(draw_bbox[:, 2] * TILE_SCALE), 0.0).astype(xp.int32)
+    ry1 = xp.where(ok, xp.ceil(draw_bbox[:, 3] * TILE_SCALE), 0.0).astype(xp.int32)
+    rx0 = xp.clip(rx0, 0, wit)
+    ry0 = xp.clip(ry0, 0, hit)
+    rx1 = xp.clip(rx1, 0, wit)
+    ry1 = xp.clip(ry1, 0, hit)
+    # Constrain to the owning path's allocated tile rect (equal for all
+    # reachable cases; see module doc of tiling.py).
+    pp = dm["path_idx"].astype(xp.int32)
+    prx0 = ops.gather_guarded(xp, paths["rect_x0"], pp)
+    pry0 = ops.gather_guarded(xp, paths["rect_y0"], pp)
+    prx1 = ops.gather_guarded(xp, paths["rect_x1"], pp)
+    pry1 = ops.gather_guarded(xp, paths["rect_y1"], pp)
+    rx0 = xp.maximum(rx0, prx0)
+    ry0 = xp.maximum(ry0, pry0)
+    rx1 = xp.minimum(rx1, prx1)
+    ry1 = xp.minimum(ry1, pry1)
+    w = xp.maximum(rx1 - rx0, 0)
+    h = xp.maximum(ry1 - ry0, 0)
+    n_pairs = w * h
+
+    rec, within, valid, _, pair_total = _expand(xp, n_pairs, PC)
+    g = lambda arr: ops.gather_guarded(xp, arr, rec)
+    stride = xp.maximum(g(w), 1)
+    tx = g(rx0) + within % stride
+    ty = g(ry0) + within // stride
+    tile_global = ty * wit + tx
+
+    # Tile slot within the owning path's rect.
+    cpp = g(pp)
+    p_x0 = g(prx0)
+    p_y0 = g(pry0)
+    pstride = xp.maximum(g(prx1) - p_x0, 1)
+    tile_slot = (
+        ops.gather_guarded(xp, paths["tile_offset"], cpp)
+        + (ty - p_y0) * pstride
+        + (tx - p_x0)
+    )
+    seg_count = ops.gather_guarded(xp, counted["seg_count"], tile_slot)
+    seg_start = ops.gather_guarded(xp, counted["seg_start"], tile_slot)
+    backdrop = ops.gather_guarded(xp, counted["backdrop"], tile_slot)
+
+    ctag = g(tag)
+    cdd = g(dd)
+    cdi = g(di)
+    is_begin = ctag == DRAW_TAG_BEGIN_CLIP
+    is_end = ctag == DRAW_TAG_END_CLIP
+    is_clip = is_begin | is_end
+    blend = ops.gather_guarded(xp, scene, cdd)
+    alpha = ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, cdd + 1))
+    is_blend = is_clip & ~((blend == BLEND_PURE_CLIP) & (alpha == 1.0))
+
+    flags = xp.where(
+        is_end, xp.uint32(0), ops.gather_guarded(xp, path_draw_flags, cpp)
+    )
+    even_odd = (flags & 1) != 0
+    backdrop_clear = xp.where(
+        even_odd, (xp.abs(backdrop) & 1) == 0, backdrop == 0
+    )
+    include = (seg_count != 0) | (backdrop_clear == is_clip) | is_blend
+    include = include & valid
+
+    kind = xp.where(
+        ctag == DRAW_TAG_COLOR,
+        CMD_COLOR,
+        xp.where(
+            ctag == DRAW_TAG_LINEAR_GRADIENT,
+            CMD_LIN_GRAD,
+            xp.where(
+                ctag == DRAW_TAG_RADIAL_GRADIENT,
+                CMD_RAD_GRAD,
+                xp.where(
+                    ctag == DRAW_TAG_SWEEP_GRADIENT,
+                    CMD_SWEEP_GRAD,
+                    xp.where(
+                        ctag == DRAW_TAG_IMAGE,
+                        CMD_IMAGE,
+                        xp.where(
+                            is_begin,
+                            CMD_BEGIN_CLIP,
+                            xp.where(is_end, CMD_END_CLIP, 0),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    ).astype(xp.int32)
+    begin_zero = is_begin & (seg_count == 0) & (backdrop == 0)
+
+    sort_key = xp.where(include, tile_global, GRID).astype(xp.int32)
+    order = ops.stable_argsort(xp, sort_key)
+    cmds = {
+        "tile": sort_key[order],
+        "kind": kind[order],
+        "seg_start": seg_start[order],
+        "seg_count": xp.where(begin_zero, -1, seg_count)[order],
+        "backdrop": backdrop[order],
+        "flags": flags[order].astype(xp.uint32),
+        "di": cdi[order],
+        "dd": cdd[order],
+    }
+    tile_ids = xp.arange(GRID, dtype=xp.int32)
+    cmds["tile_start"] = xp.searchsorted(cmds["tile"], tile_ids, side="left").astype(
+        xp.int32
+    )
+    cmds["tile_end"] = xp.searchsorted(cmds["tile"], tile_ids, side="right").astype(
+        xp.int32
+    )
+    cmds["n_cmds"] = xp.searchsorted(cmds["tile"], xp.int32(GRID - 1), side="left")
+    cmds["overflow"] = pair_total > PC
+    return cmds

@@ -1,0 +1,837 @@
+"""Flatten stage: paths -> line soup (reference: shaders/cpu/flatten.go).
+
+One "slot" per path tag byte. Fills are flattened in device space with
+zero offset; strokes are flattened in local space with +/- half
+line-width offsets via Euler-spiral parallel curves, plus caps, joins
+and round-join/cap arcs, then transformed per line.
+
+The reference's data-dependent adaptive subdivision loop
+(flatten.go:400-522) becomes a *lockstep* loop over all slots: every
+iteration advances each slot's (t0u, dt) interval walk, recording
+emitted Euler segments as (t0, t1, n_lines) triples. Line output is then
+produced by count -> exclusive scan -> searchsorted expansion, with each
+line slot independently recomputing its point — the TPU replacement for
+the reference's atomic bump allocation of the line buffer.
+
+Watertightness: the reference chains each line's start point from the
+previous line's end. We reproduce this exactly by computing all line
+*end* points independently and then shifting within each (slot, pass)
+group (the groups are contiguous in the expanded order).
+"""
+
+from __future__ import annotations
+
+import numpy as _np
+
+from .. import flatten_math as fm
+from ..encoding.path import (
+    FLAGS_END_CAP_MASK,
+    FLAGS_FILL_BIT,
+    FLAGS_JOIN_BITS_BEVEL,
+    FLAGS_JOIN_BITS_MITER,
+    FLAGS_JOIN_BITS_ROUND,
+    FLAGS_JOIN_MASK,
+    FLAGS_START_CAP_MASK,
+    FLAGS_STYLE_BIT,
+    FLAGS_CAP_BITS_ROUND,
+    FLAGS_CAP_BITS_SQUARE,
+    MITER_LIMIT_MASK,
+    PATH_TAG_F32_BIT,
+    PATH_TAG_PATH,
+    PATH_TAG_SEG_TYPE_MASK,
+    PATH_TAG_SUBPATH_END_BIT,
+)
+from . import ops
+from ..cpu.pathtag import tag_monoid_deltas
+
+DRAW_INFO_FLAGS_FILL_RULE_BIT = 1
+
+_SEG_LINE = 1
+_SEG_QUAD = 2
+_SEG_CUBIC = 3
+
+
+def f16_to_f32(xp, bits_u16):
+    """IEEE binary16 bits -> float32 (for the miter limit)."""
+    if ops.is_jax(xp):
+        import jax
+
+        return jax.lax.convert_element_type(
+            jax.lax.bitcast_convert_type(
+                bits_u16.astype(xp.uint16), xp.float16
+            ),
+            xp.float32,
+        )
+    return _np.asarray(bits_u16, dtype=_np.uint16).view(_np.float16).astype(_np.float32)
+
+
+def decode_tag_stream(xp, scene, path_tag_base, n_slots):
+    """Per-byte tag values for slots [0, n_slots)."""
+    word_idx = path_tag_base + (xp.arange(n_slots, dtype=xp.int32) >> 2)
+    words = ops.gather_guarded(xp, scene, word_idx)
+    shift = (xp.arange(n_slots, dtype=xp.uint32) & 3) << 3
+    return (words >> shift) & 0xFF
+
+
+def exclusive_monoids(xp, tags):
+    deltas = tag_monoid_deltas(tags)
+    out = {}
+    for k, v in deltas.items():
+        out[k] = ops.exclusive_cumsum(xp, v.astype(xp.uint32))
+    return out
+
+
+def _read_points(xp, scene, base_words, tag):
+    """Read and normalize a path segment to cubic control points.
+
+    Returns (p0x..p3y, seg_type) after cap-marker remapping and
+    degree-raising (reference: flatten.go readPathSegment).
+    `base_words` is path_data_base + path_seg_offset.
+    """
+    is_f32 = (tag & PATH_TAG_F32_BIT) != 0
+    seg_type = (tag & PATH_TAG_SEG_TYPE_MASK).astype(xp.int32)
+
+    def rdf(off):
+        w = ops.gather_guarded(xp, scene, base_words + off)
+        return ops.bitcast_u32_f32(xp, w)
+
+    def rdi16(off):
+        w = ops.gather_guarded(xp, scene, base_words + off)
+        x = ((w << 16).astype(xp.int32) >> 16).astype(xp.float32)
+        y = (w.astype(xp.int32) >> 16).astype(xp.float32)
+        return x, y
+
+    # f32 layout: 2 words per point; i16: 1 word per point.
+    i0x, i0y = rdi16(0)
+    i1x, i1y = rdi16(1)
+    i2x, i2y = rdi16(2)
+    i3x, i3y = rdi16(3)
+    p0x = xp.where(is_f32, rdf(0), i0x)
+    p0y = xp.where(is_f32, rdf(1), i0y)
+    p1x = xp.where(is_f32, rdf(2), i1x)
+    p1y = xp.where(is_f32, rdf(3), i1y)
+    p2x = xp.where(is_f32, rdf(4), i2x)
+    p2y = xp.where(is_f32, rdf(5), i2y)
+    p3x = xp.where(is_f32, rdf(6), i3x)
+    p3y = xp.where(is_f32, rdf(7), i3y)
+    return p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y, seg_type
+
+
+def _normalize_segment(xp, pts, seg_type, tag, is_stroke):
+    """Cap-marker remap + degree raise."""
+    p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y = pts
+    is_marker = is_stroke & ((tag & PATH_TAG_SUBPATH_END_BIT) != 0)
+    is_open = seg_type == _SEG_QUAD
+    remap = is_marker & is_open
+    # p0 <- p1, p1 <- p2, becomes a line.
+    p0x, p0y, p1x, p1y = (
+        xp.where(remap, p1x, p0x),
+        xp.where(remap, p1y, p0y),
+        xp.where(remap, p2x, p1x),
+        xp.where(remap, p2y, p1y),
+    )
+    seg_type = xp.where(remap, _SEG_LINE, seg_type)
+
+    # Degree raise.
+    is_line = seg_type == _SEG_LINE
+    is_quad = seg_type == _SEG_QUAD
+    # line: p3=p1; p2=mix(p3,p0,1/3); p1=mix(p0,p3,1/3)
+    l3x, l3y = p1x, p1y
+    l2x = l3x + (p0x - l3x) * (1.0 / 3.0)
+    l2y = l3y + (p0y - l3y) * (1.0 / 3.0)
+    l1x = p0x + (l3x - p0x) * (1.0 / 3.0)
+    l1y = p0y + (l3y - p0y) * (1.0 / 3.0)
+    # quad: p3=p2; p2=mix(p1,p2,1/3); p1=mix(p1,p0,1/3)
+    q3x, q3y = p2x, p2y
+    q2x = p1x + (p2x - p1x) * (1.0 / 3.0)
+    q2y = p1y + (p2y - p1y) * (1.0 / 3.0)
+    q1x = p1x + (p0x - p1x) * (1.0 / 3.0)
+    q1y = p1y + (p0y - p1y) * (1.0 / 3.0)
+
+    o1x = xp.where(is_line, l1x, xp.where(is_quad, q1x, p1x))
+    o1y = xp.where(is_line, l1y, xp.where(is_quad, q1y, p1y))
+    o2x = xp.where(is_line, l2x, xp.where(is_quad, q2x, p2x))
+    o2y = xp.where(is_line, l2y, xp.where(is_quad, q2y, p2y))
+    o3x = xp.where(is_line, l3x, xp.where(is_quad, q3x, p3x))
+    o3y = xp.where(is_line, l3y, xp.where(is_quad, q3y, p3y))
+    return (p0x, p0y, o1x, o1y, o2x, o2y, o3x, o3y), seg_type, is_marker, is_open
+
+
+def _transform_read(xp, scene, transform_base, trans_idx):
+    base = transform_base + trans_idx.astype(xp.int32) * 6
+    t = [
+        ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, base + i))
+        for i in range(6)
+    ]
+    return t
+
+
+def _apply_transform(t, x, y):
+    return t[0] * x + t[2] * y + t[4], t[1] * x + t[3] * y + t[5]
+
+
+def _pq_at(xp, P, t):
+    """Point/derivative at t with the near-zero-derivative resampling
+    rule of flatten.go:391-418 (uniform reformulation; see module doc)."""
+    p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y = P
+    px, py, qx, qy = fm.eval_cubic_and_deriv(p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y, t)
+    small = qx * qx + qy * qy < fm.DERIV_THRESH * fm.DERIV_THRESH
+    ts = xp.where(t == 0.0, xp.float32(fm.DERIV_EPS), t - fm.DERIV_EPS)
+    px2, py2, qx2, qy2 = fm.eval_cubic_and_deriv(
+        p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y, ts
+    )
+    qx = xp.where(small, qx2, qx)
+    qy = xp.where(small, qy2, qy)
+    interior = small & (t > 0.0) & (t < 1.0)
+    px = xp.where(interior, px2, px)
+    py = xp.where(interior, py2, py)
+    t_adj = xp.where(interior, t - fm.DERIV_EPS, t)
+    return px, py, qx, qy, t_adj
+
+
+def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
+    """Run the adaptive subdivision walk for all slots in lockstep.
+
+    P: 8 arrays of cubic control points (flatten space).
+    offset: per-slot signed stroke offset (0 for fills).
+    Returns (rec_t0, rec_t1, rec_n [N, max_emits] f32, overflowed bool).
+    """
+    N = P[0].shape[0]
+    f32 = xp.float32
+    degenerate = (
+        (P[0] == P[2]) & (P[1] == P[3]) & (P[0] == P[4]) & (P[1] == P[5])
+        & (P[0] == P[6]) & (P[1] == P[7])
+    )
+    act = active & ~degenerate
+
+    zero = xp.zeros(N, dtype=f32)
+    t0u = xp.zeros(N, dtype=xp.uint32)
+    dt = xp.ones(N, dtype=f32)
+    lpx, lpy = P[0], P[1]
+    lqx, lqy = P[2] - P[0], P[3] - P[1]
+    small = lqx * lqx + lqy * lqy < fm.DERIV_THRESH * fm.DERIV_THRESH
+    _, _, q2x, q2y = fm.eval_cubic_and_deriv(*P, xp.float32(fm.DERIV_EPS))
+    lqx = xp.where(small, q2x, lqx)
+    lqy = xp.where(small, q2y, lqy)
+    last_t = zero
+    done = ~act
+    ec = xp.zeros(N, dtype=xp.int32)
+    rec_t0 = xp.zeros((N, max_emits), dtype=f32)
+    rec_t1 = xp.zeros((N, max_emits), dtype=f32)
+    rec_n = xp.zeros((N, max_emits), dtype=f32)
+    rows = xp.arange(N, dtype=xp.int32)
+
+    state = (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, ec, rec_t0, rec_t1, rec_n)
+
+    def cond(state):
+        done = state[7]
+        return ~xp.all(done)
+
+    def body(state):
+        (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, ec, rec_t0, rec_t1, rec_n) = state
+        t0 = t0u.astype(f32) * dt
+        done = done | (t0 == 1.0)
+        t1 = t0 + dt
+        p1x, p1y, q1x, q1y, t1 = _pq_at(xp, P, t1)
+        actual_dt = t1 - last_t
+        th0, th1, chord_len, err = fm.cubic_params_from_points_derivs(
+            xp, lpx, lpy, p1x, p1y, lqx, lqy, q1x, q1y, actual_dt
+        )
+        emit = (err * scale <= fm.FLATTEN_TOL) | (dt <= fm.SUBDIV_LIMIT)
+        do_emit = emit & ~done
+
+        k0, k1, ch = fm.euler_params_from_angles(th0, th1)
+        n, _, _, _, _, _, _ = fm.espc_subdivision(
+            xp, k0, k1, ch, chord_len, offset, scale
+        )
+
+        slot_k = xp.minimum(ec, max_emits - 1)
+        old0 = rec_t0[rows, slot_k]
+        old1 = rec_t1[rows, slot_k]
+        oldn = rec_n[rows, slot_k]
+        if ops.is_jax(xp):
+            rec_t0 = rec_t0.at[rows, slot_k].set(xp.where(do_emit, last_t, old0))
+            rec_t1 = rec_t1.at[rows, slot_k].set(xp.where(do_emit, t1, old1))
+            rec_n = rec_n.at[rows, slot_k].set(xp.where(do_emit, n, oldn))
+        else:
+            rec_t0[rows, slot_k] = _np.where(do_emit, last_t, old0)
+            rec_t1[rows, slot_k] = _np.where(do_emit, t1, old1)
+            rec_n[rows, slot_k] = _np.where(do_emit, n, oldn)
+        ec = ec + do_emit.astype(xp.int32)
+
+        lpx = xp.where(do_emit, p1x, lpx)
+        lpy = xp.where(do_emit, p1y, lpy)
+        lqx = xp.where(do_emit, q1x, lqx)
+        lqy = xp.where(do_emit, q1y, lqy)
+        last_t = xp.where(do_emit, t1, last_t)
+
+        t0u_e = t0u + 1
+        shift = ops.trailing_zeros32(xp, t0u_e)
+        t0u_e = t0u_e >> shift.astype(xp.uint32)
+        dt_e = dt * xp.exp2(shift.astype(f32))
+        # Subdivide branch (clamped doubling).
+        t0u_s = xp.where(t0u > 0x7FFFFFFF, xp.uint32(0xFFFFFFFF), t0u * 2)
+        dt_s = dt * 0.5
+
+        advance = emit & ~done
+        subdiv = ~emit & ~done
+        t0u = xp.where(advance, t0u_e, xp.where(subdiv, t0u_s, t0u))
+        dt = xp.where(advance, dt_e, xp.where(subdiv, dt_s, dt))
+        return (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, ec, rec_t0, rec_t1, rec_n)
+
+    state = ops.while_bounded(xp, max_iters, cond, body, state)
+    (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, ec, rec_t0, rec_t1, rec_n) = state
+    overflow = xp.any(ec > max_emits) | ~xp.all(done)
+    return rec_t0, rec_t1, rec_n, overflow
+
+
+def expand_by_counts(xp, counts, out_cap, total=None):
+    """Expansion primitive: for counts[r] items per record, produce for
+    each output slot j < out_cap its (record index, index within record,
+    valid flag)."""
+    counts = counts.astype(xp.int32)
+    incl = xp.cumsum(counts)
+    excl = incl - counts
+    if total is None:
+        total = incl[-1] if incl.shape[0] > 0 else xp.int32(0)
+    j = xp.arange(out_cap, dtype=xp.int32)
+    rec = ops.searchsorted_right(xp, incl, j).astype(xp.int32)
+    rec_c = xp.minimum(rec, counts.shape[0] - 1)
+    within = j - excl[rec_c]
+    valid = j < total
+    return rec_c, within, valid, excl, total
+
+
+def _normalize_vec(xp, vx, vy):
+    ln = xp.sqrt(vx * vx + vy * vy)
+    return vx / ln, vy / ln
+
+
+def _fix_tangent(xp, tx, ty):
+    small = tx * tx + ty * ty < fm.TANGENT_THRESH * fm.TANGENT_THRESH
+    return (
+        xp.where(small, xp.float32(fm.TANGENT_THRESH), tx),
+        xp.where(small, xp.float32(0.0), ty),
+    )
+
+
+def flatten_stage(xp, scene, layout, caps):
+    """Run the full flatten stage.
+
+    scene: uint32 scene buffer.
+    layout: dict of (traced) scalars — path_tag_base, path_data_base,
+        draw_tag_base, style_base, transform_base, n_path_tags, n_paths.
+    caps: dict of *static* capacities — n_tag_slots, max_emits,
+        max_iters, euler_line_cap, simple_line_cap, arc_line_cap,
+        line_cap, n_paths_cap.
+
+    Returns a dict with the line soup, per-path bboxes/flags and
+    overflow indicators.
+    """
+    f32 = xp.float32
+    N = caps["n_tag_slots"]
+    ME = caps["max_emits"]
+
+    tags = decode_tag_stream(xp, scene, layout["path_tag_base"], N)
+    monoids = exclusive_monoids(xp, tags)
+    active = xp.arange(N, dtype=xp.int32) < layout["n_path_tags"]
+
+    trans_idx = (monoids["trans_idx"] - 1).astype(xp.uint32)
+    style_idx = (monoids["style_idx"] - 2).astype(xp.uint32)
+    path_idx = monoids["path_idx"].astype(xp.int32)
+    seg_off = monoids["path_seg_offset"].astype(xp.int32)
+
+    style_flags = ops.gather_guarded(
+        xp, scene, layout["style_base"] + style_idx.astype(xp.int32)
+    )
+    linewidth = ops.bitcast_u32_f32(
+        xp,
+        ops.gather_guarded(
+            xp, scene, layout["style_base"] + style_idx.astype(xp.int32) + 1
+        ),
+    )
+
+    # Per-path draw flags / transform index, written at path-marker slots
+    # (flatten.go:675-683).
+    n_paths_cap = caps["n_paths_cap"]
+    marker = active & ((tags & PATH_TAG_PATH) != 0)
+    df = xp.where(
+        (style_flags & FLAGS_FILL_BIT) == 0,
+        xp.uint32(0),
+        xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
+    )
+    tgt_idx = xp.where(marker, path_idx, n_paths_cap)
+    path_draw_flags = ops.scatter_set(
+        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, df
+    )
+    path_trans_idx = ops.scatter_set(
+        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, trans_idx
+    )
+
+    # Segment decode.
+    base_words = layout["path_data_base"] + seg_off
+    raw = _read_points(xp, scene, base_words, tags)
+    pts_raw, seg_type0 = raw[:8], raw[8]
+    is_stroke = (style_flags & FLAGS_STYLE_BIT) != 0
+    P, seg_type, is_marker, is_open = _normalize_segment(
+        xp, pts_raw, seg_type0, tags, is_stroke
+    )
+    seg_mask = active & (seg_type0 != 0)
+
+    T = _transform_read(xp, scene, layout["transform_base"], trans_idx)
+    offset = (0.5 * linewidth).astype(f32)
+
+    # Stroke scale factor (flatten.go:366).
+    v1x, v1y = T[0] + T[3], T[1] - T[2]
+    v2x, v2y = T[0] - T[3], T[1] + T[2]
+    stroke_scale = 0.5 * xp.sqrt(v1x * v1x + v1y * v1y) + xp.sqrt(
+        v2x * v2x + v2y * v2y
+    )
+    scale = xp.where(is_stroke, stroke_scale, f32(1.0)).astype(f32)
+
+    # Device-space points for fills.
+    PD = []
+    for k in range(4):
+        dx, dy = _apply_transform(T, P[2 * k], P[2 * k + 1])
+        PD.extend([dx, dy])
+
+    # Stroke tangent frame.
+    nxt = lambda a: xp.concatenate([a[1:], a[:1]])
+    tags_next = nxt(tags)
+    P_next = [nxt(a) for a in P]
+    tan_px, tan_py = cubic_end_tangent_arrays(xp, P)
+    tan_nx, tan_ny = cubic_start_tangent_arrays(xp, P_next)
+    tan_sx, tan_sy = cubic_start_tangent_arrays(xp, P)
+    tan_px, tan_py = _fix_tangent(xp, tan_px, tan_py)
+    tan_nx, tan_ny = _fix_tangent(xp, tan_nx, tan_ny)
+    tan_sx, tan_sy = _fix_tangent(xp, tan_sx, tan_sy)
+
+    nsx, nsy = _normalize_vec(xp, -tan_sy, tan_sx)
+    nsx, nsy = nsx * offset, nsy * offset  # nStart
+    otx, oty = _normalize_vec(xp, tan_px, tan_py)
+    otx, oty = otx * offset, oty * offset  # offsetTangent
+    npx, npy = -oty, otx  # nPrev
+    nnxn, nnyn = _normalize_vec(xp, tan_nx, tan_ny)
+    nnx, nny = -nnyn * offset, nnxn * offset  # nNext
+
+    next_is_marker = (tags_next & PATH_TAG_SUBPATH_END_BIT) != 0
+    next_is_closed = (tags_next & PATH_TAG_SEG_TYPE_MASK) == _SEG_LINE
+    do_join = (~next_is_marker) | next_is_closed
+
+    regular = seg_mask & is_stroke & ~is_marker
+    start_cap_slot = seg_mask & is_stroke & is_marker & is_open
+
+    # Euler pass A: fills (device space, offset 0) and stroke +offset.
+    PA = [xp.where(is_stroke, P[i], PD[i]) for i in range(8)]
+    off_a = xp.where(is_stroke, offset, f32(0.0)).astype(f32)
+    act_a = seg_mask & (~is_stroke | regular)
+    tstart_ax = xp.where(is_stroke, P[0] + nsx, PD[0])
+    tstart_ay = xp.where(is_stroke, P[1] + nsy, PD[1])
+    tend_ax = xp.where(is_stroke, P[6] + npx, PD[6])
+    tend_ay = xp.where(is_stroke, P[7] + npy, PD[7])
+
+    # Euler pass B: stroke -offset only.
+    off_b = (-offset).astype(f32)
+    act_b = regular
+    tstart_bx = P[0] - nsx
+    tstart_by = P[1] - nsy
+    tend_bx = P[6] - npx
+    tend_by = P[7] - npy
+
+    rec_a = lockstep_euler_pass(xp, PA, off_a, scale, act_a, ME, caps["max_iters"])
+    rec_b = lockstep_euler_pass(xp, P, off_b, scale, act_b, ME, caps["max_iters"])
+    overflow_euler = rec_a[3] | rec_b[3]
+
+    ident = [f32(1.0), f32(0.0), f32(0.0), f32(1.0), f32(0.0), f32(0.0)]
+    # Per-pass line transform: identity for fills (already device space).
+    TA = [xp.where(is_stroke, T[i], ident[i] * xp.ones(N, f32)) for i in range(6)]
+
+    # --- Cap / join geometry (simple line slots + arc records) ----------
+    p3x, p3y = P[6], P[7]
+    p0x, p0y = P[0], P[1]
+
+    join_kind = style_flags & FLAGS_JOIN_MASK
+    cr = tan_px * tan_ny - tan_py * tan_nx
+    dd = tan_px * tan_nx + tan_py * tan_ny
+
+    front0x, front0y = p3x + npx, p3y + npy
+    front1x, front1y = p3x + nnx, p3y + nny
+    back0x, back0y = p3x - nnx, p3y - nny
+    back1x, back1y = p3x - npx, p3y - npy
+
+    # Miter.
+    hyp = xp.sqrt(cr * cr + dd * dd)
+    miter_limit = f16_to_f32(xp, (style_flags & MITER_LIMIT_MASK).astype(xp.uint32))
+    miter_cond = (2.0 * hyp < (hyp + dd) * miter_limit * miter_limit) & (cr != 0.0)
+    is_backside = cr > 0.0
+    fp_last_x = xp.where(is_backside, back1x, front0x)
+    fp_last_y = xp.where(is_backside, back1y, front0y)
+    fp_this_x = xp.where(is_backside, back0x, front1x)
+    fp_this_y = xp.where(is_backside, back0y, front1y)
+    p_mx = xp.where(is_backside, back0x, front0x)
+    p_my = xp.where(is_backside, back0y, front0y)
+    vx_m = fp_this_x - fp_last_x
+    vy_m = fp_this_y - fp_last_y
+    safe_cr = xp.where(cr == 0.0, f32(1.0), cr)
+    h_m = (tan_px * vy_m - tan_py * vx_m) / safe_cr
+    miter_px = fp_this_x - tan_nx * h_m
+    miter_py = fp_this_y - tan_ny * h_m
+    is_miter = join_kind == FLAGS_JOIN_BITS_MITER
+    apply_miter = is_miter & miter_cond
+    front0x = xp.where(apply_miter & ~is_backside, miter_px, front0x)
+    front0y = xp.where(apply_miter & ~is_backside, miter_py, front0y)
+    back0x_j = xp.where(apply_miter & is_backside, miter_px, back0x)
+    back0y_j = xp.where(apply_miter & is_backside, miter_py, back0y)
+
+    is_bevel = join_kind == FLAGS_JOIN_BITS_BEVEL
+    is_round_join = join_kind == FLAGS_JOIN_BITS_ROUND
+    bevel_valid = ((front0x != front1x) | (front0y != front1y)) & (
+        (back0x_j != back1x) | (back0y_j != back1y)
+    )
+
+    # Round join arc side.
+    arcj_0x = xp.where(is_backside, back0x, front0x)
+    arcj_0y = xp.where(is_backside, back0y, front0y)
+    arcj_1x = xp.where(is_backside, back1x, front1x)
+    arcj_1y = xp.where(is_backside, back1y, front1y)
+    otherj_0x = xp.where(is_backside, front0x, back0x)
+    otherj_0y = xp.where(is_backside, front0y, back0y)
+    otherj_1x = xp.where(is_backside, front1x, back1x)
+    otherj_1y = xp.where(is_backside, front1y, back1y)
+
+    join_slot = regular & do_join
+    cap_end_slot = regular & ~do_join
+
+    # End cap geometry.
+    ec_style = style_flags & FLAGS_END_CAP_MASK
+    ec_c0x, ec_c0y = p3x + npx, p3y + npy
+    ec_c1x, ec_c1y = p3x - npx, p3y - npy
+    ec_vx, ec_vy = otx, oty
+
+    # Start cap geometry (marker slots; tangent from remapped points).
+    sc_style = (style_flags & FLAGS_START_CAP_MASK) >> 2
+    sc_otx, sc_oty = _normalize_vec(xp, tan_sx, tan_sy)
+    sc_otx, sc_oty = sc_otx * offset, sc_oty * offset
+    sc_nx, sc_ny = -sc_oty, sc_otx
+    sc_c0x, sc_c0y = p0x - sc_nx, p0y - sc_ny
+    sc_c1x, sc_c1y = p0x + sc_nx, p0y + sc_ny
+    sc_vx, sc_vy = -sc_otx, -sc_oty
+
+    # Unified cap fields.
+    cap_slot = cap_end_slot | start_cap_slot
+    cap_style = xp.where(start_cap_slot, sc_style, ec_style)
+    cap_px = xp.where(start_cap_slot, p0x, p3x)
+    cap_py = xp.where(start_cap_slot, p0y, p3y)
+    cap_0x = xp.where(start_cap_slot, sc_c0x, ec_c0x)
+    cap_0y = xp.where(start_cap_slot, sc_c0y, ec_c0y)
+    cap_1x = xp.where(start_cap_slot, sc_c1x, ec_c1x)
+    cap_1y = xp.where(start_cap_slot, sc_c1y, ec_c1y)
+    cap_vx = xp.where(start_cap_slot, sc_vx, ec_vx)
+    cap_vy = xp.where(start_cap_slot, sc_vy, ec_vy)
+    cap_round = cap_style == FLAGS_CAP_BITS_ROUND
+    cap_square = cap_style == FLAGS_CAP_BITS_SQUARE
+
+    # --- Three generic simple-line slots --------------------------------
+    zero = xp.zeros(N, dtype=f32)
+
+    def sel3(jc, cc, default=zero):
+        return xp.where(join_slot, jc, xp.where(cap_slot, cc, default))
+
+    # Slot 0: join front line / round-join "other" line / cap line 1.
+    s0_valid = (
+        (join_slot & ((is_bevel & bevel_valid) | is_miter | is_round_join))
+        | (cap_slot & ~cap_round)
+    )
+    j0x = xp.where(is_round_join, otherj_0x, front0x)
+    j0y = xp.where(is_round_join, otherj_0y, front0y)
+    j1x = xp.where(is_round_join, otherj_1x, front1x)
+    j1y = xp.where(is_round_join, otherj_1y, front1y)
+    c0x = cap_0x
+    c0y = cap_0y
+    c1x = xp.where(cap_square, cap_0x + cap_vx, cap_1x)
+    c1y = xp.where(cap_square, cap_0y + cap_vy, cap_1y)
+    s0 = (sel3(j0x, c0x), sel3(j0y, c0y), sel3(j1x, c1x), sel3(j1y, c1y))
+
+    # Slot 1: join back line / cap square line 2.
+    s1_valid = (join_slot & ((is_bevel & bevel_valid) | is_miter)) | (
+        cap_slot & cap_square
+    )
+    s1 = (
+        sel3(back0x_j, cap_1x + cap_vx),
+        sel3(back0y_j, cap_1y + cap_vy),
+        sel3(back1x, cap_1x),
+        sel3(back1y, cap_1y),
+    )
+
+    # Slot 2: miter spike line / cap square closing line.
+    s2_valid = (join_slot & apply_miter) | (cap_slot & cap_square)
+    s2 = (
+        sel3(p_mx, cap_0x + cap_vx),
+        sel3(p_my, cap_0y + cap_vy),
+        sel3(miter_px, cap_1x + cap_vx),
+        sel3(miter_py, cap_1y + cap_vy),
+    )
+
+    # --- Arc records ----------------------------------------------------
+    arc_valid = (join_slot & is_round_join) | (cap_slot & cap_round)
+    arc_bx = xp.where(join_slot, arcj_0x, cap_0x)
+    arc_by = xp.where(join_slot, arcj_0y, cap_0y)
+    arc_ex = xp.where(join_slot, arcj_1x, cap_1x)
+    arc_ey = xp.where(join_slot, arcj_1y, cap_1y)
+    arc_cx = xp.where(join_slot, p3x, cap_px)
+    arc_cy = xp.where(join_slot, p3y, cap_py)
+    arc_angle = xp.where(
+        join_slot, xp.abs(xp.arctan2(cr, dd)), f32(_np.pi) * xp.ones(N, f32)
+    )
+    # Line count (flatten.go:305-325).
+    tol = f32(fm.FLATTEN_TOL)
+    ab_tx, ab_ty = _apply_transform(T, arc_bx, arc_by)
+    ac_tx, ac_ty = _apply_transform(T, arc_cx, arc_cy)
+    radius = xp.maximum(
+        tol, xp.sqrt((ab_tx - ac_tx) ** 2 + (ab_ty - ac_ty) ** 2)
+    )
+    arc_theta = xp.maximum(
+        2.0 * xp.arccos(xp.clip(1.0 - tol / radius, -1.0, 1.0)), f32(0.0001)
+    )
+    arc_n = xp.maximum(xp.ceil(arc_angle / arc_theta), f32(1.0))
+    arc_n = xp.where(arc_valid, arc_n, zero)
+
+    # =====================================================================
+    # Expansions
+    # =====================================================================
+    lines = {}
+
+    # Euler lines.
+    EC = caps["euler_line_cap"]
+    recs_n = xp.concatenate([rec_a[2].reshape(-1), rec_b[2].reshape(-1)])
+    recs_t0 = xp.concatenate([rec_a[0].reshape(-1), rec_b[0].reshape(-1)])
+    recs_t1 = xp.concatenate([rec_a[1].reshape(-1), rec_b[1].reshape(-1)])
+    rec_idx, within, e_valid, excl, e_total = expand_by_counts(
+        xp, recs_n, EC
+    )
+    e_pass = rec_idx // (N * ME)
+    e_slot = (rec_idx // ME) % N
+    sel_idx = e_pass * N + e_slot
+
+    Pcat = [xp.concatenate([PA[i], P[i]]) for i in range(8)]
+    off_cat = xp.concatenate([off_a, off_b])
+    scale_cat = xp.concatenate([scale, scale])
+    tsx_cat = xp.concatenate([tstart_ax, tstart_bx])
+    tsy_cat = xp.concatenate([tstart_ay, tstart_by])
+    tex_cat = xp.concatenate([tend_ax, tend_bx])
+    tey_cat = xp.concatenate([tend_ay, tend_by])
+    Tcat = [xp.concatenate([TA[i], T[i]]) for i in range(6)]
+
+    P8l = tuple(ops.gather_guarded(xp, Pcat[i], sel_idx) for i in range(8))
+    t0_l = recs_t0[rec_idx]
+    t1_l = recs_t1[rec_idx]
+    n_l = recs_n[rec_idx]
+    off_l = ops.gather_guarded(xp, off_cat, sel_idx)
+    scale_l = ops.gather_guarded(xp, scale_cat, sel_idx)
+    tex_l = ops.gather_guarded(xp, tex_cat, sel_idx)
+    tey_l = ops.gather_guarded(xp, tey_cat, sel_idx)
+
+    lp1x, lp1y = euler_line_points(
+        xp, P8l, t0_l, t1_l, within, n_l, off_l, scale_l, tex_l, tey_l
+    )
+    # lp0 chaining: previous line's end within the same (pass, slot) group.
+    group = sel_idx
+    group_first_rec = group * ME
+    group_start_line = excl[group_first_rec]
+    j = xp.arange(EC, dtype=xp.int32)
+    is_first = j == group_start_line
+    prev1x = xp.concatenate([lp1x[:1] * 0, lp1x[:-1]])
+    prev1y = xp.concatenate([lp1y[:1] * 0, lp1y[:-1]])
+    tsx_l = ops.gather_guarded(xp, tsx_cat, sel_idx)
+    tsy_l = ops.gather_guarded(xp, tsy_cat, sel_idx)
+    lp0x = xp.where(is_first, tsx_l, prev1x)
+    lp0y = xp.where(is_first, tsy_l, prev1y)
+    # Negative-offset passes swap line direction (flatten.go:488-498).
+    swap = off_l < 0.0
+    e_x0 = xp.where(swap, lp1x, lp0x)
+    e_y0 = xp.where(swap, lp1y, lp0y)
+    e_x1 = xp.where(swap, lp0x, lp1x)
+    e_y1 = xp.where(swap, lp0y, lp1y)
+    Tl = [ops.gather_guarded(xp, Tcat[i], sel_idx) for i in range(6)]
+    e_x0, e_y0 = _apply_transform(Tl, e_x0, e_y0)
+    e_x1, e_y1 = _apply_transform(Tl, e_x1, e_y1)
+    e_path = ops.gather_guarded(xp, path_idx, e_slot)
+
+    # Simple lines.
+    SC = caps["simple_line_cap"]
+    s_counts = xp.concatenate(
+        [
+            s0_valid.astype(xp.int32),
+            s1_valid.astype(xp.int32),
+            s2_valid.astype(xp.int32),
+        ]
+    )
+    s_x0 = xp.concatenate([s0[0], s1[0], s2[0]])
+    s_y0 = xp.concatenate([s0[1], s1[1], s2[1]])
+    s_x1 = xp.concatenate([s0[2], s1[2], s2[2]])
+    s_y1 = xp.concatenate([s0[3], s1[3], s2[3]])
+    s_rec, _, s_valid, _, s_total = expand_by_counts(xp, s_counts, SC)
+    s_slot = s_rec % N
+    Ts = [ops.gather_guarded(xp, T[i], s_slot) for i in range(6)]
+    sl_x0, sl_y0 = _apply_transform(
+        Ts, ops.gather_guarded(xp, s_x0, s_rec), ops.gather_guarded(xp, s_y0, s_rec)
+    )
+    sl_x1, sl_y1 = _apply_transform(
+        Ts, ops.gather_guarded(xp, s_x1, s_rec), ops.gather_guarded(xp, s_y1, s_rec)
+    )
+    s_path = ops.gather_guarded(xp, path_idx, s_slot)
+
+    # Arc lines.
+    AC = caps["arc_line_cap"]
+    a_rec, a_i, a_valid, a_excl, a_total = expand_by_counts(xp, arc_n, AC)
+    a_slot = a_rec
+    Ta = [ops.gather_guarded(xp, T[i], a_slot) for i in range(6)]
+    a_n = ops.gather_guarded(xp, arc_n, a_slot)
+    a_theta = ops.gather_guarded(xp, arc_theta, a_slot)
+    a_cx = ops.gather_guarded(xp, arc_cx, a_slot)
+    a_cy = ops.gather_guarded(xp, arc_cy, a_slot)
+    a_bx = ops.gather_guarded(xp, arc_bx, a_slot)
+    a_by = ops.gather_guarded(xp, arc_by, a_slot)
+    a_ex = ops.gather_guarded(xp, arc_ex, a_slot)
+    a_ey = ops.gather_guarded(xp, arc_ey, a_slot)
+    r0x = a_bx - a_cx
+    r0y = a_by - a_cy
+
+    def arc_pt(i_f):
+        ang = i_f * a_theta
+        c = xp.cos(ang)
+        s = xp.sin(ang)
+        rx = c * r0x + s * r0y
+        ry = -s * r0x + c * r0y
+        return _apply_transform(Ta, a_cx + rx, a_cy + ry)
+
+    a_if = a_i.astype(f32)
+    al1x, al1y = arc_pt(a_if + 1.0)
+    endx, endy = _apply_transform(Ta, a_ex, a_ey)
+    last = a_if == a_n - 1.0
+    al1x = xp.where(last, endx, al1x)
+    al1y = xp.where(last, endy, al1y)
+    al0x, al0y = arc_pt(a_if)
+    beginx, beginy = _apply_transform(Ta, a_bx, a_by)
+    al0x = xp.where(a_if == 0.0, beginx, al0x)
+    al0y = xp.where(a_if == 0.0, beginy, al0y)
+    a_path = ops.gather_guarded(xp, path_idx, a_slot)
+
+    # --- Combine into the line soup -------------------------------------
+    LC = caps["line_cap"]
+    lx0 = xp.zeros(LC, dtype=f32)
+    ly0 = xp.zeros(LC, dtype=f32)
+    lx1 = xp.zeros(LC, dtype=f32)
+    ly1 = xp.zeros(LC, dtype=f32)
+    lpath = xp.full(LC, n_paths_cap, dtype=xp.int32)
+
+    def place(tgt, idx, vals, valid):
+        return ops.scatter_set(xp, tgt, xp.where(valid, idx, LC), vals)
+
+    je = xp.arange(EC, dtype=xp.int32)
+    lx0 = place(lx0, je, e_x0, e_valid)
+    ly0 = place(ly0, je, e_y0, e_valid)
+    lx1 = place(lx1, je, e_x1, e_valid)
+    ly1 = place(ly1, je, e_y1, e_valid)
+    lpath = place(lpath, je, e_path, e_valid)
+
+    js = xp.arange(SC, dtype=xp.int32) + e_total
+    lx0 = place(lx0, js, sl_x0, s_valid)
+    ly0 = place(ly0, js, sl_y0, s_valid)
+    lx1 = place(lx1, js, sl_x1, s_valid)
+    ly1 = place(ly1, js, sl_y1, s_valid)
+    lpath = place(lpath, js, s_path, s_valid)
+
+    ja = xp.arange(AC, dtype=xp.int32) + (e_total + s_total)
+    lx0 = place(lx0, ja, al0x, a_valid)
+    ly0 = place(ly0, ja, al0y, a_valid)
+    lx1 = place(lx1, ja, al1x, a_valid)
+    ly1 = place(ly1, ja, al1y, a_valid)
+    lpath = place(lpath, ja, a_path, a_valid)
+
+    n_lines = e_total + s_total + a_total
+    line_valid = lpath < n_paths_cap
+
+    # --- Path bboxes ----------------------------------------------------
+    big = xp.float32(1e30)
+    bb_x0 = xp.full(n_paths_cap, big, dtype=f32)
+    bb_y0 = xp.full(n_paths_cap, big, dtype=f32)
+    bb_x1 = xp.full(n_paths_cap, -big, dtype=f32)
+    bb_y1 = xp.full(n_paths_cap, -big, dtype=f32)
+    pidx = xp.where(line_valid, lpath, n_paths_cap)
+    bb_x0 = ops.scatter_min(xp, bb_x0, pidx, xp.minimum(lx0, lx1))
+    bb_y0 = ops.scatter_min(xp, bb_y0, pidx, xp.minimum(ly0, ly1))
+    bb_x1 = ops.scatter_max(xp, bb_x1, pidx, xp.maximum(lx0, lx1))
+    bb_y1 = ops.scatter_max(xp, bb_y1, pidx, xp.maximum(ly0, ly1))
+    empty = bb_x0 > bb_x1
+    # Sentinel bbox for line-less paths (reference: bbox_clear).
+    path_bbox = xp.stack(
+        [
+            xp.where(empty, f32(2147483647.0), xp.floor(bb_x0)),
+            xp.where(empty, f32(2147483647.0), xp.floor(bb_y0)),
+            xp.where(empty, f32(-2147483648.0), xp.ceil(bb_x1)),
+            xp.where(empty, f32(-2147483648.0), xp.ceil(bb_y1)),
+        ],
+        axis=1,
+    )
+
+    overflow = (
+        overflow_euler
+        | (e_total > EC)
+        | (s_total > SC)
+        | (a_total > AC)
+        | ((e_total + s_total + a_total) > LC)
+    )
+
+    return {
+        "line_x0": lx0,
+        "line_y0": ly0,
+        "line_x1": lx1,
+        "line_y1": ly1,
+        "line_path": lpath,
+        "line_valid": line_valid,
+        "n_lines": n_lines,
+        "path_bbox": path_bbox,
+        "path_draw_flags": path_draw_flags,
+        "path_trans_idx": path_trans_idx,
+        "overflow": overflow,
+    }
+
+
+def cubic_start_tangent_arrays(xp, P):
+    return fm.cubic_start_tangent(
+        xp, P[0], P[1], P[2], P[3], P[4], P[5], P[6], P[7]
+    )
+
+
+def cubic_end_tangent_arrays(xp, P):
+    return fm.cubic_end_tangent(
+        xp, P[0], P[1], P[2], P[3], P[4], P[5], P[6], P[7]
+    )
+
+
+def euler_line_points(xp, P8, t0, t1, i, n, offset, scale, tend_x, tend_y):
+    """End point of line i (of n) of the Euler segment over [t0, t1].
+
+    All inputs are per-line gathered arrays. Recomputes the Euler fit
+    exactly as the lockstep pass did (same formulas => same f32 values).
+    """
+    p0x, p0y, q0x, q0y, _ = _pq_at(xp, P8, t0)
+    p1x, p1y, q1x, q1y, t1a = _pq_at(xp, P8, t1)
+    actual_dt = t1 - t0
+    th0, th1, chord_len, _ = fm.cubic_params_from_points_derivs(
+        xp, p0x, p0y, p1x, p1y, q0x, q0y, q1x, q1y, actual_dt
+    )
+    k0, k1, ch = fm.euler_params_from_angles(th0, th1)
+    n2, robust, a, b, int0, integral, norm_off = fm.espc_subdivision(
+        xp, k0, k1, ch, chord_len, offset, scale
+    )
+    t = (i.astype(xp.float32) + 1.0) / n
+    s = fm.espc_s_of_t(xp, t, robust, a, b, int0, integral)
+    lx, ly = fm.euler_seg_eval_with_offset(
+        xp, p0x, p0y, p1x, p1y, k0, k1, ch, th0, s, norm_off
+    )
+    is_last = (i.astype(xp.float32) == n - 1.0) & (t1 == 1.0)
+    lx = xp.where(is_last, tend_x, lx)
+    ly = xp.where(is_last, tend_y, ly)
+    return lx, ly

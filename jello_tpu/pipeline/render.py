@@ -1,0 +1,127 @@
+"""Full-frame pipeline orchestration (xp-generic).
+
+The analog of the reference's dispatch graph (renderer/render.go
+RenderEncodingCoarse + RecordFine): a single function from the packed
+scene buffer to the rendered image. Under jax.numpy the whole thing
+traces into one XLA program; buffer lifetimes become XLA's problem
+(SURVEY §7.1). Capacities (`caps`) are static per size class; every
+data-dependent allocation reports overflow instead of failing, and the
+host re-renders with a larger class (the reference's bump-failure
+protocol, renderer/render.go:458-461, made into an actual retry loop).
+"""
+
+from __future__ import annotations
+
+from . import clips as clips_mod
+from . import coarse as coarse_mod
+from . import drawobjs
+from . import fine_ref
+from . import flatten as flatten_mod
+from . import tiling
+
+
+DEFAULT_CAPS = dict(
+    n_tag_slots=1024,
+    max_emits=16,
+    max_iters=52,
+    euler_line_cap=1 << 14,
+    simple_line_cap=1 << 12,
+    arc_line_cap=1 << 12,
+    line_cap=1 << 15,
+    n_paths_cap=256,
+    n_draws_cap=256,
+    n_clips_cap=64,
+    info_cap=1 << 12,
+    tiles_cap=1 << 14,
+    seg_cap=1 << 16,
+    row_cap=1 << 14,
+    pair_cap=1 << 14,
+    tile_grid_cap=1 << 12,
+    blend_depth=8,
+    fine_seg_chunk=8,
+)
+
+
+def render_frame(xp, scene, layout, ramps, images, caps):
+    """Render one frame.
+
+    scene:  uint32[*] packed scene buffer (padded to the size class).
+    layout: dict of scalars (may be traced): path_tag_base,
+        path_data_base, draw_tag_base, draw_data_base, transform_base,
+        style_base, n_path_tags, n_paths, n_draw_objects, n_clips,
+        width_in_tiles, height_in_tiles, target_width, target_height,
+        base_color (f32[4] premultiplied).
+    ramps:  f32[NR, 512, 4] gradient ramps (premultiplied linear).
+    images: f32[NI, IH, IW, 4] image atlas (non-premultiplied linear)
+        or None.
+    caps:   static capacity dict (see DEFAULT_CAPS).
+
+    Returns (fine_out [4, GRID, 256], flags dict of overflow booleans).
+    """
+    fl = flatten_mod.flatten_stage(xp, scene, layout, caps)
+
+    D = caps["n_draws_cap"]
+    draw_tags_arr = _draw_tags(xp, scene, layout, D)
+    dm = drawobjs.draw_monoid_scan(xp, draw_tags_arr)
+    info, clip_idx_arr, clip_path_arr, tag, dd, di = drawobjs.draw_leaf(
+        xp,
+        scene,
+        layout,
+        dm,
+        fl["path_trans_idx"],
+        fl["path_draw_flags"],
+        caps,
+    )
+    clip_bboxes, dm_path, dm_scene = clips_mod.clip_leaf(
+        xp,
+        clip_idx_arr,
+        clip_path_arr,
+        fl["path_bbox"],
+        dm["path_idx"].astype(xp.int32),
+        dm["scene_offset"].astype(xp.int32),
+        layout,
+        caps,
+    )
+    dm = dict(dm)
+    dm["path_idx"] = dm_path
+    dm["scene_offset"] = dm_scene
+    dd = (layout["draw_data_base"] + dm_scene).astype(xp.int32)
+
+    draw_bbox = coarse_mod.binning_bboxes(xp, dm, fl["path_bbox"], clip_bboxes, layout)
+    paths = tiling.tile_alloc(xp, draw_bbox, tag, layout, caps)
+    counted = tiling.path_count(xp, fl, paths, caps)
+    segs = tiling.path_tiling(xp, fl, counted, caps)
+    cmds = coarse_mod.build_commands(
+        xp,
+        scene,
+        layout,
+        dm,
+        tag,
+        dd,
+        di,
+        draw_bbox,
+        paths,
+        counted,
+        fl["path_draw_flags"],
+        caps,
+    )
+    fine_out, depth_overflow = fine_ref.fine(
+        xp, scene, cmds, segs, info, ramps, images, layout, caps
+    )
+    flags = {
+        "flatten_overflow": fl["overflow"],
+        "tiles_overflow": paths["overflow"],
+        "segs_overflow": counted["overflow"],
+        "pairs_overflow": cmds["overflow"],
+        "blend_depth_overflow": depth_overflow,
+    }
+    return fine_out, flags
+
+
+def _draw_tags(xp, scene, layout, D):
+    from . import ops
+    from ..encoding.draw import DRAW_TAG_NOP
+
+    i = xp.arange(D, dtype=xp.int32)
+    t = ops.gather_guarded(xp, scene, layout["draw_tag_base"] + i)
+    return xp.where(i < layout["n_draw_objects"], t, xp.uint32(DRAW_TAG_NOP))

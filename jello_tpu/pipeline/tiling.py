@@ -1,0 +1,416 @@
+"""Tile stages: tile allocation, per-tile segment counting/clipping and
+backdrop propagation.
+
+(reference: shaders/cpu/cpu.go TileAlloc/PathCount/Backdrop/PathTiling)
+
+The reference rasterizes each line across tiles with a DDA, bumping
+per-tile atomic counters and appending SegmentCount records, then runs
+an indirect dispatch to scatter clipped segments into per-tile slices.
+Here the same DDA math runs as two closed-form expansions:
+
+  lines -> crossings  (count = imax - imin per line, exact)
+  lines -> rows       (backdrop column-0 deltas)
+
+followed by a stable sort of crossings by tile slot, which replaces the
+atomic slice allocation; segment order within a tile differs from the
+reference's nondeterministic atomic order, but fill coverage is a sum
+over segments and is order-independent.
+
+Tile slots: each draw object owns a dense rect of tiles (exclusive scan
+of rect areas, replacing the `tile` bump counter). Backdrop prefix sums
+along tile rows use a global-cumsum-minus-row-start trick.
+"""
+
+from __future__ import annotations
+
+import numpy as _np
+
+from . import ops
+
+TILE_WIDTH = 16
+TILE_HEIGHT = 16
+TILE_SCALE = 1.0 / 16.0
+ONE_MINUS_ULP = 0.99999994
+ROBUST_EPSILON = 2e-7
+
+
+def _span(xp, a, b):
+    return xp.maximum(
+        xp.ceil(xp.maximum(a, b)) - xp.floor(xp.minimum(a, b)), 1.0
+    ).astype(xp.int32)
+
+
+def tile_alloc(xp, draw_bbox, tag, layout, caps):
+    """Per-draw tile rect + exclusive tile-slot offsets.
+
+    draw_bbox: [D, 4] f32 intersected draw bboxes.
+    Returns dict with rect (i32 x0,y0,x1,y1 per draw), tile_offset,
+    total tiles, and per-tile metadata arrays.
+    """
+    from ..encoding.draw import DRAW_TAG_END_CLIP, DRAW_TAG_NOP
+
+    D = caps["n_draws_cap"]
+    T = caps["tiles_cap"]
+    wit = layout["width_in_tiles"]
+    hit = layout["height_in_tiles"]
+
+    has_rect = (tag != DRAW_TAG_NOP) & (tag != DRAW_TAG_END_CLIP)
+    nonempty = (draw_bbox[:, 0] < draw_bbox[:, 2]) & (draw_bbox[:, 1] < draw_bbox[:, 3])
+    ok = has_rect & nonempty
+    x0 = xp.where(ok, xp.floor(draw_bbox[:, 0] * TILE_SCALE), 0.0).astype(xp.int32)
+    y0 = xp.where(ok, xp.floor(draw_bbox[:, 1] * TILE_SCALE), 0.0).astype(xp.int32)
+    x1 = xp.where(ok, xp.ceil(draw_bbox[:, 2] * TILE_SCALE), 0.0).astype(xp.int32)
+    y1 = xp.where(ok, xp.ceil(draw_bbox[:, 3] * TILE_SCALE), 0.0).astype(xp.int32)
+    x0 = xp.clip(x0, 0, wit)
+    y0 = xp.clip(y0, 0, hit)
+    x1 = xp.clip(x1, 0, wit)
+    y1 = xp.clip(y1, 0, hit)
+    w = x1 - x0
+    h = y1 - y0
+    counts = (w * h).astype(xp.int32)
+    tile_offset = ops.exclusive_cumsum(xp, counts)
+    total = tile_offset[-1] + counts[-1] if counts.shape[0] else xp.int32(0)
+
+    # Per-tile metadata via expansion.
+    rec, within, valid, _, _ = _expand(xp, counts, T, total)
+    stride = xp.maximum(ops.gather_guarded(xp, w, rec), 1)
+    ly = within // stride
+    lx = within % stride
+    tile_draw = rec
+    tile_tx = ops.gather_guarded(xp, x0, rec) + lx
+    tile_ty = ops.gather_guarded(xp, y0, rec) + ly
+    row_start = ops.gather_guarded(xp, tile_offset, rec) + ly * stride
+    return {
+        "rect_x0": x0,
+        "rect_y0": y0,
+        "rect_x1": x1,
+        "rect_y1": y1,
+        "tile_offset": tile_offset,
+        "n_tiles": total,
+        "tile_draw": tile_draw,
+        "tile_tx": tile_tx,
+        "tile_ty": tile_ty,
+        "tile_row_start": row_start,
+        "tile_valid": valid,
+        "overflow": total > T,
+    }
+
+
+def _expand(xp, counts, cap, total=None):
+    counts = counts.astype(xp.int32)
+    incl = xp.cumsum(counts)
+    excl = incl - counts
+    if total is None:
+        total = incl[-1]
+    j = xp.arange(cap, dtype=xp.int32)
+    rec = ops.searchsorted_right(xp, incl, j).astype(xp.int32)
+    rec = xp.minimum(rec, counts.shape[0] - 1)
+    within = j - excl[rec]
+    valid = j < total
+    return rec, within, valid, excl, total
+
+
+def _line_setup(xp, x0, y0, x1, y1):
+    """Common DDA parameters for one line (cpu.go:770-821)."""
+    is_down = y1 >= y0
+    ax0 = xp.where(is_down, x0, x1)
+    ay0 = xp.where(is_down, y0, y1)
+    ax1 = xp.where(is_down, x1, x0)
+    ay1 = xp.where(is_down, y1, y0)
+    s0x = ax0 * TILE_SCALE
+    s0y = ay0 * TILE_SCALE
+    s1x = ax1 * TILE_SCALE
+    s1y = ay1 * TILE_SCALE
+    count_x = _span(xp, s0x, s1x) - 1
+    count = count_x + _span(xp, s0y, s1y)
+    dx = xp.abs(s1x - s0x)
+    dy = s1y - s0y
+    skip = (dx + dy == 0.0) | ((dy == 0.0) & (xp.floor(s0y) == s0y))
+    safe = xp.where(skip, xp.float32(1.0), dx + dy)
+    idxdy = 1.0 / safe
+    a = dx * idxdy
+    is_positive = s1x >= s0x
+    sign = xp.where(is_positive, xp.float32(1.0), xp.float32(-1.0))
+    xt0 = xp.floor(s0x * sign)
+    c = s0x * sign - xt0
+    y0i = xp.floor(s0y)
+    ytop = xp.where(s0y == s1y, xp.ceil(s0y), y0i + 1.0)
+    b = xp.minimum((dy * c + dx * (ytop - s0y)) * idxdy, xp.float32(ONE_MINUS_ULP))
+    robust_err = xp.floor(a * (count.astype(xp.float32) - 1.0) + b) - count_x.astype(
+        xp.float32
+    )
+    a = xp.where(
+        robust_err != 0.0, a - xp.where(robust_err > 0, 1.0, -1.0) * ROBUST_EPSILON, a
+    )
+    x0f = xt0 * sign + xp.where(is_positive, xp.float32(0.0), xp.float32(-1.0))
+    return {
+        "is_down": is_down,
+        "xy0x": ax0,
+        "xy0y": ay0,
+        "xy1x": ax1,
+        "xy1y": ay1,
+        "s0x": s0x,
+        "s0y": s0y,
+        "s1x": s1x,
+        "s1y": s1y,
+        "count_x": count_x,
+        "count": count,
+        "skip": skip,
+        "a": a,
+        "b": b,
+        "sign": sign,
+        "is_positive": is_positive,
+        "y0i": y0i,
+        "x0f": x0f,
+    }
+
+
+def path_count(xp, lines, paths, caps):
+    """Per-line crossing/backdrop computation (cpu.go PathCount).
+
+    lines: dict from flatten_stage.
+    paths: dict from tile_alloc (+ patched draw path mapping applied by
+        the caller: the `line_path` indices address paths[] directly).
+    Returns crossing records (sorted by tile slot), per-tile segment
+    counts/starts, and the backdrop array (post prefix-sum).
+    """
+    L = lines["line_x0"].shape[0]
+    T = caps["tiles_cap"]
+    SC = caps["seg_cap"]
+    f32 = xp.float32
+
+    ls = _line_setup(
+        xp, lines["line_x0"], lines["line_y0"], lines["line_x1"], lines["line_y1"]
+    )
+    valid = lines["line_valid"] & ~ls["skip"]
+
+    pidx = xp.minimum(lines["line_path"], paths["rect_x0"].shape[0] - 1)
+    bb0 = ops.gather_guarded(xp, paths["rect_x0"], pidx).astype(f32)
+    bb1 = ops.gather_guarded(xp, paths["rect_y0"], pidx).astype(f32)
+    bb2 = ops.gather_guarded(xp, paths["rect_x1"], pidx).astype(f32)
+    bb3 = ops.gather_guarded(xp, paths["rect_y1"], pidx).astype(f32)
+    stride = (bb2 - bb0).astype(xp.int32)
+    tiles_base = ops.gather_guarded(xp, paths["tile_offset"], pidx)
+
+    s0x, s0y, s1x, s1y = ls["s0x"], ls["s0y"], ls["s1x"], ls["s1y"]
+    a, b, sign = ls["a"], ls["b"], ls["sign"]
+    y0i, x0f = ls["y0i"], ls["x0f"]
+    count = ls["count"].astype(f32)
+    is_positive = ls["is_positive"]
+    xmin = xp.minimum(s0x, s1x)
+
+    line_dead = (
+        (s0y >= bb3) | (s1y < bb1) | (xmin >= bb2) | (stride == 0) | ~valid
+    )
+
+    # Clip i-range to the path bbox (cpu.go:838-907).
+    one_minus_a = 1.0 - a
+    safe_oma = xp.where(one_minus_a == 0.0, f32(1e-12), one_minus_a)
+    iminf = xp.round((bb1 - y0i + b - a) / safe_oma) - 1.0
+    iminf = xp.where(y0i + iminf - xp.floor(a * iminf + b) < bb1, iminf + 1.0, iminf)
+    imin = xp.where(s0y < bb1, iminf, f32(0.0))
+    imaxf = xp.round((bb3 - y0i + b - a) / safe_oma) - 1.0
+    imaxf = xp.where(y0i + imaxf - xp.floor(a * imaxf + b) < bb3, imaxf + 1.0, imaxf)
+    imax = xp.where(s1y > bb3, imaxf, count)
+
+    delta = xp.where(ls["is_down"], xp.int32(-1), xp.int32(1))
+    ymin = xp.zeros(L, dtype=f32)
+    ymax = xp.zeros(L, dtype=f32)
+
+    all_left = xp.maximum(s0x, s1x) < bb0
+    # Entirely to the left: every crossed row gets a backdrop delta.
+    ymin = xp.where(all_left, xp.ceil(s0y), ymin)
+    ymax = xp.where(all_left, xp.ceil(s1y), ymax)
+    imax = xp.where(all_left, imin, imax)
+
+    fudge = xp.where(is_positive, f32(0.0), f32(1.0))
+    safe_a = xp.where(a == 0.0, f32(1e-12), a)
+    # Left clip.
+    left_case = ~all_left & (xmin < bb0)
+    fl = xp.round((sign * (bb0 - x0f) - b + fudge) / safe_a)
+    fl = xp.where(
+        (x0f + sign * xp.floor(safe_a * fl + b) < bb0) == is_positive, fl + 1.0, fl
+    )
+    ynext = y0i + fl - xp.floor(safe_a * fl + b) + 1.0
+    pos_upd = left_case & is_positive & (fl > imin)
+    ymin = xp.where(pos_upd, y0i + xp.where(y0i == s0y, f32(0.0), f32(1.0)), ymin)
+    ymax = xp.where(pos_upd, ynext, ymax)
+    imin = xp.where(pos_upd, fl, imin)
+    neg_upd = left_case & ~is_positive & (fl < imax)
+    ymin = xp.where(neg_upd, ynext, ymin)
+    ymax = xp.where(neg_upd, xp.ceil(s1y), ymax)
+    imax = xp.where(neg_upd, fl, imax)
+    # Right clip.
+    right_case = ~all_left & (xp.maximum(s0x, s1x) > bb2)
+    fr = xp.round((sign * (bb2 - x0f) - b + fudge) / safe_a)
+    fr = xp.where(
+        (x0f + sign * xp.floor(safe_a * fr + b) < bb2) == is_positive, fr + 1.0, fr
+    )
+    imax = xp.where(right_case & is_positive, xp.minimum(imax, fr), imax)
+    imin = xp.where(right_case & ~is_positive, xp.maximum(imin, fr), imin)
+
+    imax = xp.maximum(imin, imax)
+    ymin = xp.maximum(ymin, bb1)
+    ymax = xp.minimum(ymax, bb3)
+    imin = xp.where(line_dead, f32(0.0), imin)
+    imax = xp.where(line_dead, f32(0.0), imax)
+    ymin = xp.where(line_dead, f32(0.0), ymin)
+    ymax = xp.where(line_dead, f32(0.0), ymax)
+
+    # ---- Backdrop row deltas (column 0 of each path row) ---------------
+    n_rows = xp.maximum((ymax - ymin).astype(xp.int32), 0)
+    RC = caps["row_cap"]
+    backdrop = xp.zeros(T + 1, dtype=xp.int32)
+    r_rec, r_within, r_valid, _, r_total = _expand(xp, n_rows, RC)
+    r_y = ops.gather_guarded(xp, ymin, r_rec).astype(xp.int32) + r_within
+    r_slot = ops.gather_guarded(xp, tiles_base, r_rec) + (
+        r_y - ops.gather_guarded(xp, bb1, r_rec).astype(xp.int32)
+    ) * ops.gather_guarded(xp, stride, r_rec)
+    r_slot = xp.where(r_valid, r_slot, T)
+    backdrop = ops.scatter_add(
+        xp, backdrop, r_slot, ops.gather_guarded(xp, delta, r_rec)
+    )
+
+    # ---- Crossings -----------------------------------------------------
+    n_cross = xp.maximum((imax - imin).astype(xp.int32), 0)
+    c_rec, c_within, c_valid, _, c_total = _expand(xp, n_cross, SC)
+    g = lambda arr: ops.gather_guarded(xp, arr, c_rec)
+    ci = g(imin) + c_within.astype(f32)
+    ca, cb, csign = g(a), g(b), g(sign)
+    cy0, cx0 = g(y0i), g(x0f)
+    zf = ca * ci + cb
+    z = xp.floor(zf)
+    cy = (cy0 + ci - z).astype(xp.int32)
+    cx = (cx0 + csign * z).astype(xp.int32)
+    cbb0 = g(bb0).astype(xp.int32)
+    cbb1 = g(bb1).astype(xp.int32)
+    cbb2 = g(bb2).astype(xp.int32)
+    cstride = g(stride.astype(f32)).astype(xp.int32)
+    cbase = g(tiles_base) + (cy - cbb1) * cstride - cbb0
+    last_z = xp.floor(ca * (ci - 1.0) + cb)
+    top_edge = xp.where(ci == 0.0, cy0 == g(s0y), last_z == z)
+    # Top-edge backdrop bumps.
+    bump_ok = top_edge & (cx + 1 < cbb2) & c_valid
+    x_bump = xp.maximum(cx + 1, cbb0)
+    bump_slot = xp.where(bump_ok, cbase + x_bump, T)
+    backdrop = ops.scatter_add(xp, backdrop, bump_slot, g(delta))
+
+    tile_slot = cbase + cx
+    tile_slot = xp.where(c_valid, tile_slot, T)
+
+    # Sort crossings by tile slot (stable), replacing atomic slice alloc.
+    order = ops.stable_argsort(xp, tile_slot)
+    sorted_slot = tile_slot[order]
+    sorted_line = c_rec[order]
+    sorted_i = ci[order]
+
+    # Per-tile start/count.
+    tile_ids = xp.arange(T, dtype=xp.int32)
+    seg_start = xp.searchsorted(sorted_slot, tile_ids, side="left").astype(xp.int32)
+    seg_end = xp.searchsorted(sorted_slot, tile_ids, side="right").astype(xp.int32)
+    seg_count = (seg_end - seg_start).astype(xp.int32)
+
+    # ---- Backdrop prefix along rows ------------------------------------
+    bd = backdrop[:T]
+    cume = ops.exclusive_cumsum(xp, bd)
+    row_start = paths["tile_row_start"]
+    bd_prefix = cume - ops.gather_guarded(xp, cume, row_start) + bd
+
+    overflow = (c_total > SC) | (r_total > RC)
+    return {
+        "sorted_slot": sorted_slot,
+        "sorted_line": sorted_line,
+        "sorted_i": sorted_i,
+        "seg_start": seg_start,
+        "seg_count": seg_count,
+        "backdrop": bd_prefix,
+        "n_segs": c_total,
+        "overflow": overflow,
+    }
+
+
+def path_tiling(xp, lines, counted, caps):
+    """Clip each crossing's line to its tile -> tile-relative segments
+    (cpu.go PathTiling). Operates on the sorted crossing records so the
+    output is already grouped by tile slot."""
+    SC = caps["seg_cap"]
+    f32 = xp.float32
+    line_idx = counted["sorted_line"]
+    i = counted["sorted_i"]
+    g = lambda arr: ops.gather_guarded(xp, arr, line_idx)
+    ls = _line_setup(xp, g(lines["line_x0"]), g(lines["line_y0"]), g(lines["line_x1"]), g(lines["line_y1"]))
+    a, b, sign = ls["a"], ls["b"], ls["sign"]
+    y0i, x0f = ls["y0i"], ls["x0f"]
+    z = xp.floor(a * i + b)
+    x = (x0f + sign * z).astype(xp.int32)
+    y = (y0i + i - z).astype(xp.int32)
+
+    xy0x, xy0y = ls["xy0x"], ls["xy0y"]
+    xy1x, xy1y = ls["xy1x"], ls["xy1y"]
+    tile_x = x.astype(f32) * TILE_WIDTH
+    tile_y = y.astype(f32) * TILE_HEIGHT
+    tile_x1 = tile_x + TILE_WIDTH
+    tile_y1 = tile_y + TILE_HEIGHT
+
+    # Clip the top (i > 0).
+    z_prev = xp.floor(a * (i - 1.0) + b)
+    top_clipped = z == z_prev
+    safe_dy = xp.where(xy1y == xy0y, f32(1e-12), xy1y - xy0y)
+    xt = xy0x + (xy1x - xy0x) * (tile_y - xy0y) / safe_dy
+    xt = xp.clip(xt, tile_x + 1e-3, tile_x1)
+    safe_dx = xp.where(xy1x == xy0x, f32(1e-12), xy1x - xy0x)
+    x_clip_t = xp.where(ls["is_positive"], tile_x, tile_x1)
+    yt = xy0y + (xy1y - xy0y) * (x_clip_t - xy0x) / safe_dx
+    yt = xp.clip(yt, tile_y + 1e-3, tile_y1)
+    has_top = i > 0.0
+    nx0 = xp.where(has_top, xp.where(top_clipped, xt, x_clip_t), xy0x)
+    ny0 = xp.where(has_top, xp.where(top_clipped, tile_y, yt), xy0y)
+
+    # Clip the bottom (i < count - 1).
+    count_f = ls["count"].astype(f32)
+    z_next = xp.floor(a * (i + 1.0) + b)
+    bot_clipped = z == z_next
+    xtb = xy0x + (xy1x - xy0x) * (tile_y1 - xy0y) / safe_dy
+    xtb = xp.clip(xtb, tile_x + 1e-3, tile_x1)
+    x_clip_b = xp.where(ls["is_positive"], tile_x1, tile_x)
+    ytb = xy0y + (xy1y - xy0y) * (x_clip_b - xy0x) / safe_dx
+    ytb = xp.clip(ytb, tile_y + 1e-3, tile_y1)
+    has_bot = i < count_f - 1.0
+    nx1 = xp.where(has_bot, xp.where(bot_clipped, xtb, x_clip_b), xy1x)
+    ny1 = xp.where(has_bot, xp.where(bot_clipped, tile_y1, ytb), xy1y)
+
+    # Numerical robustness nudges (cpu.go:712-746), tile-relative coords.
+    p0x = nx0 - tile_x
+    p0y = ny0 - tile_y
+    p1x = nx1 - tile_x
+    p1y = ny1 - tile_y
+    EPS = f32(1e-6)
+    y_edge = xp.full(p0x.shape, f32(1e9))
+
+    both_zero = (p0x == 0.0) & (p1x == 0.0)
+    whole_tile = both_zero & (p0y == 0.0)
+    vanish = both_zero & (p0y != 0.0)
+    y_edge = xp.where((p0x == 0.0) & (p1x != 0.0) & (p0y != 0.0), p0y, y_edge)
+    y_edge = xp.where((p0x != 0.0) & (p1x == 0.0) & (p1y != 0.0), p1y, y_edge)
+    p0x = xp.where((p0x == 0.0) & ((p1x == 0.0) | (p0y == 0.0)), EPS, p0x)
+    p1x = xp.where((p1x == 0.0) & (p1y == 0.0) & ~both_zero, EPS, p1x)
+    p1x = xp.where(whole_tile, EPS, p1x)
+    p1y = xp.where(whole_tile, f32(TILE_HEIGHT), p1y)
+    p1x = xp.where(vanish, 2.0 * EPS, p1x)
+    p1y = xp.where(vanish, p0y, p1y)
+    p0x = xp.where((p0x == xp.floor(p0x)) & (p0x != 0.0), p0x - EPS, p0x)
+    p1x = xp.where((p1x == xp.floor(p1x)) & (p1x != 0.0), p1x - EPS, p1x)
+
+    # Undo the top-down ordering.
+    is_down = ls["is_down"]
+    sx0 = xp.where(is_down, p0x, p1x)
+    sy0 = xp.where(is_down, p0y, p1y)
+    sx1 = xp.where(is_down, p1x, p0x)
+    sy1 = xp.where(is_down, p1y, p0y)
+    return {
+        "seg_x0": sx0,
+        "seg_y0": sy0,
+        "seg_x1": sx1,
+        "seg_y1": sy1,
+        "seg_y_edge": y_edge,
+    }

@@ -1,0 +1,236 @@
+"""Scene resolution: late-bound resources + packed scene buffer.
+
+(reference: renderer/resolve.go, renderer/ramp_cache.go)
+
+`Resolver.resolve` turns an `Encoding` plus its resources into:
+  - a `Layout` of word-indexed stream base offsets,
+  - the gradient ramp texture (N x 512 premultiplied linear f16 RGBA),
+  - the list of images referenced this frame,
+  - the single packed little-endian scene buffer consumed by the device
+    pipeline (viewed as u32 words).
+
+Draw data is patched in place: gradient payload word 0 becomes
+(ramp_id << 2) | extend, image payload word 0 becomes the image index.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..encoding import Encoding, ImagePatch, RampPatch
+from ..encoding.path import PATH_TAG_PATH
+from ..encoding.draw import DRAW_TAG_END_CLIP, info_size
+from ..gfx import ColorStop, ColorSpace, premul32
+
+PATH_REDUCE_WG = 256
+NUM_RAMP_SAMPLES = 512
+RETAINED_RAMP_COUNT = 64
+
+
+@dataclass
+class Layout:
+    """Word-indexed offsets into the packed scene buffer
+    (reference: renderer/config.go:57-80)."""
+
+    n_draw_objects: int = 0
+    n_paths: int = 0
+    n_clips: int = 0
+    bin_data_start: int = 0
+    path_tag_base: int = 0
+    path_data_base: int = 0
+    draw_tag_base: int = 0
+    draw_data_base: int = 0
+    transform_base: int = 0
+    style_base: int = 0
+
+    # Extra bookkeeping (not part of the reference layout struct, but
+    # host-known): number of real path tag bytes before padding.
+    n_path_tags: int = 0
+
+
+@dataclass
+class Ramps:
+    data: np.ndarray = field(default_factory=lambda: np.zeros((0, NUM_RAMP_SAMPLES, 4), np.float16))
+    width: int = NUM_RAMP_SAMPLES
+    height: int = 0
+
+
+def make_ramp(stops: list[ColorStop]) -> np.ndarray:
+    """Bake color stops into a 512-texel premultiplied linear f16 ramp.
+
+    Interpolation happens in sRGB (what users expect) and samples are
+    converted to premultiplied linear sRGB, mirroring
+    renderer/ramp_cache.go:139-150.
+    """
+    assert len(stops) >= 2
+    if stops[0].offset != 0.0:
+        stops = [ColorStop(0.0, stops[0].color)] + list(stops)
+    out = np.zeros((NUM_RAMP_SAMPLES, 4), dtype=np.float32)
+    pos = 0
+    remaining = NUM_RAMP_SAMPLES
+    for i in range(1, len(stops)):
+        prev, stop = stops[i - 1], stops[i]
+        if i == len(stops) - 1:
+            n = remaining
+        else:
+            frac = stop.offset - prev.offset
+            n = int(np.round(np.float32(NUM_RAMP_SAMPLES) * np.float32(frac)))
+            n = min(remaining, n)
+        remaining -= n
+        if n == 0:
+            continue
+        if n == 1:
+            out[pos] = premul32(stop.color)
+            pos += 1
+            continue
+        # n evenly spaced samples from prev to stop inclusive, blended in
+        # sRGB component space.
+        c0 = np.array(prev.color.convert(ColorSpace.SRGB).values, dtype=np.float64)
+        c1 = np.array(stop.color.convert(ColorSpace.SRGB).values, dtype=np.float64)
+        ts = np.linspace(0.0, 1.0, n)[:, None]
+        cs = c0[None, :] * (1 - ts) + c1[None, :] * ts
+        # convert srgb->linear, premultiply
+        from ..gfx import _srgb_eotf
+
+        rgb = _srgb_eotf(cs[:, :3])
+        a = cs[:, 3:4]
+        out[pos : pos + n, :3] = rgb * a
+        out[pos : pos + n, 3:4] = a
+        pos += n
+    assert pos == NUM_RAMP_SAMPLES
+    return out.astype(np.float16)
+
+
+class _RampCache:
+    """Keyed ramp cache with epoch-based retention
+    (reference: renderer/ramp_cache.go:30-104)."""
+
+    def __init__(self):
+        self.epoch = 0
+        self.mapping: dict = {}  # key -> [id, epoch]
+        self.data: list[np.ndarray] = []  # one (512,4) f16 row per ramp
+
+    def maintain(self):
+        self.epoch += 1
+        if len(self.mapping) > RETAINED_RAMP_COUNT:
+            self.mapping = {
+                k: v for k, v in self.mapping.items() if v[0] < RETAINED_RAMP_COUNT
+            }
+            del self.data[RETAINED_RAMP_COUNT:]
+
+    @staticmethod
+    def _key(stops) -> bytes:
+        parts = [struct.pack("<Q", len(stops))]
+        for s in stops:
+            parts.append(struct.pack("<f", np.float32(s.offset)))
+            parts.append(struct.pack("<dddd", *s.color.values))
+            parts.append(s.color.space.value.encode())
+        return b"".join(parts)
+
+    def add(self, stops: list[ColorStop]) -> int:
+        key = self._key(stops)
+        entry = self.mapping.get(key)
+        if entry is not None:
+            entry[1] = self.epoch
+            return entry[0]
+        if len(self.mapping) < RETAINED_RAMP_COUNT:
+            ramp_id = len(self.data)
+            self.data.append(make_ramp(stops))
+            self.mapping[key] = [ramp_id, self.epoch]
+            return ramp_id
+        # Reuse a stale slot if possible, else append unretained.
+        for k, v in self.mapping.items():
+            if v[1] + 2 < self.epoch:
+                reuse_id = v[0]
+                del self.mapping[k]
+                self.data[reuse_id] = make_ramp(stops)
+                self.mapping[key] = [reuse_id, self.epoch]
+                return reuse_id
+        ramp_id = len(self.data)
+        self.data.append(make_ramp(stops))
+        return ramp_id
+
+    def ramps(self) -> Ramps:
+        if not self.data:
+            return Ramps()
+        arr = np.stack(self.data)
+        return Ramps(data=arr, width=NUM_RAMP_SAMPLES, height=len(self.data))
+
+
+class Resolver:
+    def __init__(self):
+        self._ramp_cache = _RampCache()
+
+    def resolve(self, enc: Encoding):
+        """Returns (layout, ramps, images, packed_scene_u32)."""
+        self._ramp_cache.maintain()
+
+        # Resolve patches: assign ramp ids and image indices.
+        ramp_patches = []  # (draw_data_offset, packed_word)
+        image_patches = []
+        images = []
+        image_ids: dict[int, int] = {}
+        for patch in enc.resources.patches:
+            if isinstance(patch, RampPatch):
+                stops = enc.resources.color_stops[patch.stops[0] : patch.stops[1]]
+                ramp_id = self._ramp_cache.add(stops)
+                word = (ramp_id << 2) | int(patch.extend)
+                ramp_patches.append((patch.draw_data_offset, word))
+            elif isinstance(patch, ImagePatch):
+                pid = id(patch.image.pixels)
+                if pid in image_ids:
+                    idx = image_ids[pid]
+                else:
+                    idx = len(images)
+                    image_ids[pid] = idx
+                    images.append(patch.image)
+                image_patches.append((patch.draw_data_offset, idx))
+            else:
+                raise TypeError(patch)
+
+        # Patch the draw data stream.
+        draw_data = bytearray(enc.draw_data)
+        for off, word in ramp_patches + image_patches:
+            draw_data[off : off + 4] = struct.pack("<I", word)
+
+        layout = Layout(n_paths=enc.n_paths, n_clips=enc.n_clips)
+
+        data = bytearray()
+        # Path tag stream, padded to 4*256 bytes (resolve.go:290-306).
+        layout.path_tag_base = len(data) // 4
+        data += bytes(enc.path_tags)
+        data += bytes([PATH_TAG_PATH]) * enc.n_open_clips
+        layout.n_path_tags = len(enc.path_tags) + enc.n_open_clips
+        pad = -len(data) % (4 * PATH_REDUCE_WG)
+        if len(data) + pad == 0:
+            pad = 4 * PATH_REDUCE_WG  # keep the buffer non-empty for empty scenes
+        data += bytes(pad)
+        # Path data stream.
+        layout.path_data_base = len(data) // 4
+        data += enc.path_data
+        # Draw tag stream; bin data (info) offset precedes it.
+        layout.draw_tag_base = len(data) // 4
+        layout.bin_data_start = sum(info_size(t) for t in enc.draw_tags)
+        for tag in enc.draw_tags:
+            data += struct.pack("<I", tag)
+        for _ in range(enc.n_open_clips):
+            data += struct.pack("<I", DRAW_TAG_END_CLIP)
+        # Draw data stream.
+        layout.draw_data_base = len(data) // 4
+        data += draw_data
+        # Transform stream.
+        layout.transform_base = len(data) // 4
+        for t in enc.transforms:
+            data += struct.pack("<ffffff", *[np.float32(v) for v in t])
+        # Style stream.
+        layout.style_base = len(data) // 4
+        for flags, lw in enc.styles:
+            data += struct.pack("<If", flags & 0xFFFFFFFF, np.float32(lw))
+
+        layout.n_draw_objects = layout.n_paths
+
+        scene = np.frombuffer(bytes(data), dtype=np.uint32).copy()
+        return layout, self._ramp_cache.ramps(), images, scene

@@ -1,0 +1,98 @@
+"""Retained scene builder (reference: scene.go).
+
+`Scene` records fills, strokes, clip/blend layers and nested scenes into
+an `encoding.Encoding`. Unlike the reference, bump estimation is not
+tallied during scene construction; the TPU renderer derives its capacity
+classes at resolve time directly from the encoded streams (see
+renderer/estimate.py), which is both simpler and accounts for host-side
+dashing — the reference itself notes estimation should move to resolve
+time (scene.go:163-168).
+"""
+
+from __future__ import annotations
+
+from . import gfx
+from .curve import Affine, BezPath, LineTo, MoveTo, Pt, Rect, Stroke, dash
+from .encoding import Encoding, transform_from_affine
+from .gfx import BlendMode, Brush, Fill
+
+
+class Scene:
+    def __init__(self):
+        self._encoding = Encoding()
+
+    def reset(self):
+        self._encoding.reset()
+
+    @property
+    def encoding(self) -> Encoding:
+        return self._encoding
+
+    def push_layer(
+        self,
+        blend: BlendMode,
+        alpha: float,
+        clip_transform: Affine,
+        clip: BezPath,
+    ):
+        t = transform_from_affine(clip_transform)
+        self._encoding.encode_transform(t)
+        self._encoding.encode_fill_style(Fill.NON_ZERO)
+        if not self._encoding.encode_path(clip, True):
+            # Invalid clip shape: encode a valid empty path so drawing is
+            # suppressed until the layer is popped (scene.go:64-76).
+            self._encoding.encode_path(Rect().path_elements(0.1), True)
+            self._encoding.encode_empty_shape()
+        self._encoding.encode_begin_clip(blend, min(max(alpha, 0.0), 1.0))
+
+    def pop_layer(self):
+        self._encoding.encode_end_clip()
+
+    def fill(
+        self,
+        style: Fill,
+        transform: Affine,
+        brush: Brush,
+        brush_transform: Affine | None,
+        path: BezPath,
+    ):
+        t = transform_from_affine(transform)
+        self._encoding.encode_transform(t)
+        self._encoding.encode_fill_style(style)
+        if self._encoding.encode_path(path, True):
+            if brush_transform is not None and brush_transform != Affine.identity():
+                if self._encoding.encode_transform(
+                    transform_from_affine(transform @ brush_transform)
+                ):
+                    self._encoding.swap_last_path_tags()
+            self._encoding.encode_brush(brush, 1.0)
+
+    def stroke(
+        self,
+        style: Stroke,
+        transform: Affine,
+        brush: Brush,
+        brush_transform: Affine | None,
+        shape: BezPath,
+    ):
+        # GPU-side stroke expansion (scene.go:150-186); dashing is always
+        # expanded on the host.
+        t = transform_from_affine(transform)
+        self._encoding.encode_transform(t)
+        self._encoding.encode_stroke_style(style)
+        if style.dash_pattern:
+            shape = dash(shape, style.dash_offset, style.dash_pattern)
+        if self._encoding.encode_path(shape, False):
+            if brush_transform is not None and brush_transform != Affine.identity():
+                if self._encoding.encode_transform(
+                    transform_from_affine(transform @ brush_transform)
+                ):
+                    self._encoding.swap_last_path_tags()
+            self._encoding.encode_brush(brush, 1.0)
+
+    def append(self, other: "Scene", transform: Affine):
+        self._encoding.append(other._encoding, transform_from_affine(transform))
+
+    def apply_transform(self, transform: Affine):
+        """Transform everything already drawn (e.g. HiDPI scaling)."""
+        self._encoding.apply_transform(transform_from_affine(transform))
