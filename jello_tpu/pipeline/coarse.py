@@ -132,6 +132,7 @@ def build_commands(
     seg_count = ops.gather_guarded(xp, counted["seg_count"], tile_slot)
     seg_start = ops.gather_guarded(xp, counted["seg_start"], tile_slot)
     backdrop = ops.gather_guarded(xp, counted["backdrop"], tile_slot)
+    area_row = ops.gather_guarded(xp, counted["row_of_slot"], tile_slot)
 
     ctag = g(tag)
     cdd = g(dd)
@@ -188,6 +189,7 @@ def build_commands(
         "seg_start": seg_start[order],
         "seg_count": xp.where(begin_zero, -1, seg_count)[order],
         "backdrop": backdrop[order],
+        "area_row": area_row[order],
         "flags": flags[order].astype(xp.uint32),
         "di": cdi[order],
         "dd": cdd[order],

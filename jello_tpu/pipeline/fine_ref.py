@@ -130,21 +130,25 @@ def _sample_ramp(xp, ramps, ramp_idx, t):
     return xp.transpose(samp, (2, 0, 1))  # [4, G, 256]
 
 
-def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps):
+def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):
     """Interpret per-tile command tapes into the final image.
+
+    `tile_base` offsets the global tile ids — nonzero when the tile grid
+    is sharded across devices and this call renders one stripe (the
+    cmds["tile_start"]/["tile_end"] arrays are then the local shard).
 
     Returns (rgba image [H, W, 4] float32 non-premultiplied, overflow).
     """
-    GRID = caps["tile_grid_cap"]
     BD = caps["blend_depth"]
     f32 = xp.float32
     wit = layout["width_in_tiles"]
     base = layout["base_color"]  # [4] premultiplied linear f32
+    GRID = cmds["tile_start"].shape[0]
 
     p = xp.arange(256, dtype=xp.int32)
     lx = (p % 16).astype(f32)
     ly = (p // 16).astype(f32)
-    t_ids = xp.arange(GRID, dtype=xp.int32)
+    t_ids = xp.arange(GRID, dtype=xp.int32) + tile_base
     tile_x0 = ((t_ids % wit) * 16).astype(f32)
     tile_y0 = ((t_ids // wit) * 16).astype(f32)
     gx = tile_x0[:, None] + lx[None, :]  # [G, 256] global pixel x

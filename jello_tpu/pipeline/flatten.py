@@ -372,7 +372,7 @@ def flatten_stage(xp, scene, layout, caps):
     base_words = layout["path_data_base"] + seg_off
     raw = _read_points(xp, scene, base_words, tags)
     pts_raw, seg_type0 = raw[:8], raw[8]
-    is_stroke = (style_flags & FLAGS_STYLE_BIT) != 0
+    is_stroke = (style_flags & xp.uint32(FLAGS_STYLE_BIT)) != 0
     P, seg_type, is_marker, is_open = _normalize_segment(
         xp, pts_raw, seg_type0, tags, is_stroke
     )

@@ -42,7 +42,7 @@ DEFAULT_CAPS = dict(
 )
 
 
-def render_frame(xp, scene, layout, ramps, images, caps):
+def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None):
     """Render one frame.
 
     scene:  uint32[*] packed scene buffer (padded to the size class).
@@ -105,16 +105,22 @@ def render_frame(xp, scene, layout, ramps, images, caps):
         fl["path_draw_flags"],
         caps,
     )
-    fine_out, depth_overflow = fine_ref.fine(
-        xp, scene, cmds, segs, info, ramps, images, layout, caps
-    )
     flags = {
         "flatten_overflow": fl["overflow"],
         "tiles_overflow": paths["overflow"],
         "segs_overflow": counted["overflow"],
         "pairs_overflow": cmds["overflow"],
-        "blend_depth_overflow": depth_overflow,
     }
+    if fine_impl is None:
+        fine_out, depth_overflow = fine_ref.fine(
+            xp, scene, cmds, segs, info, ramps, images, layout, caps
+        )
+        flags["blend_depth_overflow"] = depth_overflow
+    else:
+        fine_out, fine_flags = fine_impl(
+            scene, cmds, segs, counted, info, ramps, images, layout, caps
+        )
+        flags.update(fine_flags)
     return fine_out, flags
 
 

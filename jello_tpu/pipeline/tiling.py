@@ -316,6 +316,12 @@ def path_count(xp, lines, paths, caps):
     row_start = paths["tile_row_start"]
     bd_prefix = cume - ops.gather_guarded(xp, cume, row_start) + bd
 
+    # Compact "area row" ids for slots that have segments (consumed by
+    # the batched coverage pass + the fine kernel).
+    has = (seg_count > 0).astype(xp.int32)
+    row_of_slot = ops.exclusive_cumsum(xp, has)
+    n_rows = row_of_slot[-1] + has[-1]
+
     overflow = (c_total > SC) | (r_total > RC)
     return {
         "sorted_slot": sorted_slot,
@@ -324,6 +330,8 @@ def path_count(xp, lines, paths, caps):
         "seg_start": seg_start,
         "seg_count": seg_count,
         "backdrop": bd_prefix,
+        "row_of_slot": row_of_slot,
+        "n_rows": n_rows,
         "n_segs": c_total,
         "overflow": overflow,
     }

@@ -44,6 +44,7 @@ def estimate_caps(layout, width: int, height: int, base=None) -> dict:
     caps.setdefault("max_iters", 52)
     caps.setdefault("blend_depth", 8)
     caps.setdefault("fine_seg_chunk", 8)
+    caps.setdefault("cmds_per_tile", 64)
     caps.update(
         n_tag_slots=max(n_slots, caps.get("n_tag_slots", 0)),
         euler_line_cap=max(euler, caps.get("euler_line_cap", 0)),
@@ -58,6 +59,9 @@ def estimate_caps(layout, width: int, height: int, base=None) -> dict:
         row_cap=max(_pow2(n_tags * 16, 1 << 12), caps.get("row_cap", 0)),
         pair_cap=max(_pow2(4 * grid + 8 * n_draws, 1 << 12), caps.get("pair_cap", 0)),
         tile_grid_cap=max(_pow2(grid, 256), caps.get("tile_grid_cap", 0)),
+        area_rows_cap=max(
+            _pow2(2 * grid + 8 * n_draws, 1 << 12), caps.get("area_rows_cap", 0)
+        ),
     )
     caps["line_cap"] = max(
         _pow2(caps["euler_line_cap"] + caps["simple_line_cap"] + caps["arc_line_cap"], 1),
@@ -73,6 +77,8 @@ GROW_ON_FLAG = {
     "segs_overflow": ("seg_cap", "row_cap"),
     "pairs_overflow": ("pair_cap",),
     "blend_depth_overflow": ("blend_depth",),
+    "cmd_slab_overflow": ("cmds_per_tile",),
+    "area_rows_overflow": ("area_rows_cap",),
 }
 
 

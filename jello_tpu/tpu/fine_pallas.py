@@ -1,0 +1,505 @@
+"""Pallas TPU fine-rasterization kernel.
+
+The reference's fine stage (fine.wgsl) is one workgroup per 16x16 tile
+interpreting a per-tile command tape, including a per-segment coverage
+loop. The TPU build splits that differently:
+
+  - Fill *coverage* is computed ahead of the kernel by the batched
+    XLA coverage pass (pipeline/coverage.py): one dense sweep over the
+    tile-sorted segment stream producing a compact [AR, 256] table of
+    raw winding "area rows". The kernel fetches rows by index — the
+    irregular per-tile segment loop never enters the kernel.
+  - Commands are re-packed by XLA into a dense slab [GRID, MC, 16] of
+    u32 records with paint parameters baked in (build_cmd_slab does the
+    scene/info gathers densely at build time), streamed through VMEM
+    via BlockSpec double buffering, one program per tile.
+  - Pixel state is channel-planar (4, 256) f32 VMEM scratch; the blend
+    stack is (BD, 4, 256) scratch (fine.wgsl's register stack + spill
+    buffer, unified).
+  - Gradient ramps are sampled with a one-hot matmul on the MXU (the
+    TPU-native replacement for the texture unit); small image brushes
+    sample the same way against the resident atlas.
+
+Record layout (u32 words):
+  0 kind  1 area_row  2 seg_count(<0 => begin-clip zero)  3 backdrop
+  4 flags(bit0 even-odd)
+  color:  5..8 rgba f32 bits
+  lin:    5 extend, 6..8 line_x/y/c, 15 ramp_row (ramp_idx*512)
+  rad:    5 extend, 6..11 xform, 12 focal_x, 13 radius, 14 kind_flags,
+          15 ramp_row
+  sweep:  5 extend, 6..11 xform, 12 t0, 13 t1, 15 ramp_row
+  image:  6..11 xform, 12 img_base (idx*IH*IW), 13 wh_packed
+  end_clip: 5 blend_word, 6 alpha f32 bits
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import blend_math as bm
+from ..pipeline.coarse import (
+    CMD_BEGIN_CLIP,
+    CMD_COLOR,
+    CMD_END_CLIP,
+    CMD_IMAGE,
+    CMD_LIN_GRAD,
+    CMD_RAD_GRAD,
+    CMD_SWEEP_GRAD,
+)
+from ..pipeline.coverage import compute_area_rows
+from ..pipeline.drawobjs import (
+    RAD_GRAD_KIND_CIRCULAR,
+    RAD_GRAD_KIND_FOCAL_ON_CIRCLE,
+    RAD_GRAD_KIND_STRIP,
+    RAD_GRAD_SWAPPED,
+)
+
+
+def build_cmd_slab(xp, cmds, scene, info, caps):
+    """Pack sorted commands into the [GRID, MC, 16] u32 slab + counts."""
+    GRID = caps["tile_grid_cap"]
+    MC = caps["cmds_per_tile"]
+    PC = cmds["tile"].shape[0]
+
+    j = xp.arange(PC, dtype=xp.int32)
+    tile = cmds["tile"]
+    in_grid = tile < GRID
+    start_of_tile = cmds["tile_start"][xp.clip(tile, 0, GRID - 1)]
+    within = j - start_of_tile
+    ok = in_grid & (within < MC)
+    slot = xp.where(ok, xp.clip(tile, 0, GRID - 1) * MC + within, GRID * MC)
+
+    kind = cmds["kind"]
+    dd = cmds["dd"].astype(xp.int32)
+    di = cmds["di"].astype(xp.int32)
+
+    def sc_u(off):
+        return scene[xp.clip(dd + off, 0, scene.shape[0] - 1)].astype(xp.uint32)
+
+    def info_u(off):
+        return info[xp.clip(di + off, 0, info.shape[0] - 1)].astype(xp.uint32)
+
+    z = xp.zeros(PC, dtype=xp.uint32)
+    is_color = kind == CMD_COLOR
+    is_lin = kind == CMD_LIN_GRAD
+    is_rad = kind == CMD_RAD_GRAD
+    is_sweep = kind == CMD_SWEEP_GRAD
+    is_img = kind == CMD_IMAGE
+    is_end = kind == CMD_END_CLIP
+    is_grad = is_lin | is_rad | is_sweep
+    is_xf = is_rad | is_sweep | is_img
+
+    index_mode = sc_u(0)
+    ramp_row = xp.where(is_grad, (index_mode >> 2) * 8, z)
+    extend = xp.where(is_grad, index_mode & 3, z)
+
+    w = [None] * 16
+    w[0] = kind.astype(xp.uint32)
+    w[1] = cmds["area_row"].astype(xp.uint32)
+    w[2] = cmds["seg_count"].astype(xp.uint32)
+    w[3] = cmds["backdrop"].astype(xp.uint32)
+    w[4] = cmds["flags"].astype(xp.uint32)
+    w[5] = xp.where(is_color | is_end, sc_u(0), xp.where(is_grad, extend, z))
+    x6 = xp.where(is_color, sc_u(1), z)
+    x6 = xp.where(is_lin | is_xf, info_u(1), x6)
+    x6 = xp.where(is_end, sc_u(1), x6)
+    w[6] = x6
+    w[7] = xp.where(is_color, sc_u(2), xp.where(is_lin | is_xf, info_u(2), z))
+    w[8] = xp.where(is_color, sc_u(3), xp.where(is_lin | is_xf, info_u(3), z))
+    w[9] = xp.where(is_xf, info_u(4), z)
+    w[10] = xp.where(is_xf, info_u(5), z)
+    w[11] = xp.where(is_xf, info_u(6), z)
+    x12 = xp.where(is_rad | is_sweep, info_u(7), z)
+    x12 = xp.where(is_img, info_u(7) * 8, x12)
+    w[12] = x12
+    w[13] = xp.where(is_rad | is_sweep | is_img, info_u(8), z)
+    w[14] = xp.where(is_rad, info_u(9), z)
+    w[15] = ramp_row
+
+    rec = xp.stack(w, axis=1)  # [PC, 16] u32
+    slab = xp.zeros((GRID * MC + 1, 16), dtype=xp.uint32)
+    slab = slab.at[slot].set(rec, mode="drop")
+    slab = slab[: GRID * MC].reshape(GRID, MC, 16)
+
+    counts = xp.clip(cmds["tile_end"] - cmds["tile_start"], 0, MC).astype(xp.int32)
+    overflow = xp.any((cmds["tile_end"] - cmds["tile_start"]) > MC)
+    return slab, counts, overflow
+
+
+def _extend(t, mode):
+    pad = jnp.clip(t, 0.0, 1.0)
+    rep = t - jnp.floor(t)
+    refl = jnp.abs(t - 2.0 * jnp.round(0.5 * t))
+    return jnp.where(mode == 0, pad, jnp.where(mode == 1, rep, refl))
+
+
+def make_fine_kernel(caps, img_shape=None):
+    GRID = caps["tile_grid_cap"]
+    MC = caps["cmds_per_tile"]
+    BD = caps["blend_depth"]
+
+    def kernel(counts_smem, scalars_smem, cmd_ref, rows_hbm, ramps_ref, img_ref,
+               out_ref, ovf_ref, rgba, stack, area, area_dma, sem):
+        t = pl.program_id(0)
+        wit = counts_smem[counts_smem.shape[0] - 1]
+        base_r = scalars_smem[0]
+        base_g = scalars_smem[1]
+        base_b = scalars_smem[2]
+        base_a = scalars_smem[3]
+
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+        lx = jnp.astype(p % 16, jnp.float32)
+        ly = jnp.astype(p // 16, jnp.float32)
+        tx = (t % wit) * 16
+        ty = (t // wit) * 16
+        gx = lx + jnp.astype(tx, jnp.float32)
+        gy = ly + jnp.astype(ty, jnp.float32)
+
+        rgba[0:1, :] = jnp.full((1, 256), base_r)
+        rgba[1:2, :] = jnp.full((1, 256), base_g)
+        rgba[2:3, :] = jnp.full((1, 256), base_b)
+        rgba[3:4, :] = jnp.full((1, 256), base_a)
+
+        n_cmds = counts_smem[t]
+
+        def sample_ramp(ramp_row8, tpos):
+            """tpos (1,256) in [0,1] -> (4, 256) premultiplied color.
+
+            Ramps are stored channel-planar as (NR*8, 512): rows
+            8*i .. 8*i+3 are the RGBA planes of ramp i (sublane-aligned
+            for VMEM slicing). Sampling = one-hot matmul on the MXU."""
+            xi = jnp.round(tpos * 511.0).astype(jnp.int32)
+            xi = jnp.clip(xi, 0, 511)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (512, 256), 0)
+            onehot = jnp.astype(rows == xi, jnp.float32)
+            ramp = ramps_ref[pl.ds(pl.multiple_of(ramp_row8, 8), 8), :][0:4, :]  # (4, 512)
+            return jax.lax.dot_general(
+                ramp, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (4, 256)
+
+        def blend_over_px(fg, a_cov):
+            fa = fg[3:4, :] * a_cov
+            rgba[...] = rgba[...] * (1.0 - fa) + fg * a_cov
+
+        def body(ci, carry):
+            clip_depth, blend_depth, zero_depth, ovf = carry
+            rec_u = cmd_ref[0, pl.ds(ci, 1), :]  # (1, 16) u32
+            rec_f = pltpu.bitcast(rec_u, jnp.float32)
+
+            def ru(k):
+                return rec_u[0, k]
+
+            def rf(k):
+                return rec_f[0, k]
+
+            kind = ru(0).astype(jnp.int32)
+            area_row = ru(1).astype(jnp.int32)
+            seg_count_raw = ru(2).astype(jnp.int32)
+            seg_count = jnp.maximum(seg_count_raw, 0)
+            even_odd = (ru(4) & 1) != 0
+
+            suppressed = zero_depth > 0
+            is_fillish = (
+                (kind == CMD_COLOR) | (kind == CMD_LIN_GRAD) | (kind == CMD_RAD_GRAD)
+                | (kind == CMD_SWEEP_GRAD) | (kind == CMD_IMAGE) | (kind == CMD_END_CLIP)
+            )
+
+            @pl.when(~suppressed & is_fillish & (seg_count > 0))
+            def _():
+                dma = pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(area_row, 1), :, :], area_dma, sem
+                )
+                dma.start()
+                dma.wait()
+                a = jnp.concatenate(
+                    [area_dma[0, 0:1, :], area_dma[0, 1:2, :]], axis=1
+                )
+                eo = jnp.abs(a - 2.0 * jnp.round(0.5 * a))
+                nz = jnp.minimum(jnp.abs(a), 1.0)
+                use_eo = even_odd & (kind != CMD_END_CLIP)
+                area[...] = jnp.where(use_eo, eo, nz)
+
+
+            @pl.when(~suppressed & is_fillish & (seg_count == 0))
+            def _():
+                area[...] = jnp.ones((1, 256), jnp.float32)
+
+            # ---- paints ----
+            @pl.when(~suppressed & (kind == CMD_COLOR))
+            def _():
+                fg = jnp.concatenate([
+                    jnp.full((1, 256), rf(5)), jnp.full((1, 256), rf(6)),
+                    jnp.full((1, 256), rf(7)), jnp.full((1, 256), rf(8))], axis=0)
+                blend_over_px(fg, area[...])
+
+            @pl.when(~suppressed & (kind == CMD_LIN_GRAD))
+            def _():
+                ext = ru(5).astype(jnp.int32)
+                dpos = rf(6) * gx + rf(7) * gy + rf(8)
+                tpos = _extend(dpos, ext)
+                fg = sample_ramp(ru(15).astype(jnp.int32), tpos)
+                blend_over_px(fg, area[...])
+
+            @pl.when(~suppressed & (kind == CMD_RAD_GRAD))
+            def _():
+                ext = ru(5).astype(jnp.int32)
+                m0, m1, m2, m3 = rf(6), rf(7), rf(8), rf(9)
+                xl, yl = rf(10), rf(11)
+                focal_x = rf(12)
+                radius = rf(13)
+                kf = ru(14)
+                rkind = (kf & 0x7).astype(jnp.int32)
+                rflags = (kf >> 3).astype(jnp.int32)
+                lxr = m0 * gx + m2 * gy + xl
+                lyr = m1 * gx + m3 * gy + yl
+                xx = lxr * lxr
+                yy = lyr * lyr
+                is_strip = rkind == RAD_GRAD_KIND_STRIP
+                is_circ = rkind == RAD_GRAD_KIND_CIRCULAR
+                is_foc = rkind == RAD_GRAD_KIND_FOCAL_ON_CIRCLE
+                is_swapped = (rflags & RAD_GRAD_SWAPPED) != 0
+                r1r = jnp.where(is_circ, 0.0, 1.0 / jnp.where(radius == 0, 1.0, radius))
+                less_scale = jnp.where(is_swapped | ((1.0 - focal_x) < 0.0), -1.0, 1.0)
+                t_sign = jnp.sign(1.0 - focal_x)
+                a_s = radius - yy
+                t_strip = jnp.sqrt(jnp.maximum(a_s, 0.0)) + lxr
+                v_strip = a_s >= 0.0
+                safe_x = jnp.where(lxr == 0.0, 1.0, lxr)
+                t_foc = (xx + yy) / safe_x
+                v_foc = (t_foc >= 0.0) & (lxr != 0.0)
+                t_big = jnp.sqrt(xx + yy) - lxr * r1r
+                a_c = xx - yy
+                t_cone = less_scale * jnp.sqrt(jnp.maximum(a_c, 0.0)) - lxr * r1r
+                v_cone = (a_c >= 0.0) & (t_cone >= 0.0)
+                tr = jnp.where(is_strip, t_strip,
+                               jnp.where(is_foc, t_foc,
+                                         jnp.where(radius > 1.0, t_big, t_cone)))
+                # boolean selects aren't legal on TPU vectors; use f32 masks
+                vrf = jnp.where(
+                    is_strip,
+                    jnp.astype(v_strip, jnp.float32),
+                    jnp.where(
+                        is_foc,
+                        jnp.astype(v_foc, jnp.float32),
+                        jnp.where(radius > 1.0, 1.0, jnp.astype(v_cone, jnp.float32)),
+                    ),
+                )
+                tr = _extend(focal_x + t_sign * tr, ext)
+                tr = jnp.where(is_swapped, 1.0 - tr, tr)
+                fg = sample_ramp(ru(15).astype(jnp.int32), tr)
+                blend_over_px(fg * vrf, area[...] * vrf)
+
+            @pl.when(~suppressed & (kind == CMD_SWEEP_GRAD))
+            def _():
+                ext = ru(5).astype(jnp.int32)
+                m0, m1, m2, m3 = rf(6), rf(7), rf(8), rf(9)
+                xl, yl = rf(10), rf(11)
+                t0s, t1s = rf(12), rf(13)
+                lxs = m0 * gx + m2 * gy + xl
+                lys = m1 * gx + m3 * gy + yl
+                xabs = jnp.abs(lxs)
+                yabs = jnp.abs(lys)
+                mx = jnp.maximum(xabs, yabs)
+                slope = jnp.minimum(xabs, yabs) / jnp.where(mx == 0, 1.0, mx)
+                s2 = slope * slope
+                phi = slope * (
+                    0.15912117063999176025390625
+                    + s2 * (-5.185396969318389892578125e-2
+                            + s2 * (2.476101927459239959716796875e-2
+                                    + s2 * (-7.0547382347285747528076171875e-3))))
+                phi = jnp.where(xabs < yabs, 0.25 - phi, phi)
+                phi = jnp.where(lxs < 0.0, 0.5 - phi, phi)
+                phi = jnp.where(lys < 0.0, 1.0 - phi, phi)
+                phi = jnp.where(phi != phi, 0.0, phi)
+                safe_dt = jnp.where(t1s == t0s, 1.0, t1s - t0s)
+                phi = (phi - t0s) / safe_dt
+                tpos = _extend(phi, ext)
+                fg = sample_ramp(ru(15).astype(jnp.int32), tpos)
+                blend_over_px(fg, area[...])
+
+            if img_shape is not None:
+                @pl.when(~suppressed & (kind == CMD_IMAGE))
+                def _():
+                    m0, m1, m2, m3 = rf(6), rf(7), rf(8), rf(9)
+                    xl, yl = rf(10), rf(11)
+                    img_base = ru(12).astype(jnp.int32)
+                    wh = ru(13)
+                    iw = jnp.astype(wh >> 16, jnp.float32)
+                    ih = jnp.astype(wh & 0xFFFF, jnp.float32)
+                    IH, IW = img_shape
+                    ux = m0 * gx + m2 * gy + xl
+                    uy = m1 * gx + m3 * gy + yl
+                    inb = (ux < iw) & (uy < ih) & (ux >= 0.0) & (uy >= 0.0)
+                    x0i = jnp.floor(ux)
+                    y0i = jnp.floor(uy)
+                    fx = ux - x0i
+                    fy = uy - y0i
+
+                    IHWP = -(-(IH * IW) // 128) * 128
+
+                    def tap(yi, xi):
+                        yi = jnp.clip(yi.astype(jnp.int32), 0, IH - 1)
+                        xi = jnp.clip(xi.astype(jnp.int32), 0, IW - 1)
+                        flat = yi * IW + xi  # (1,256)
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (IHWP, 256), 0
+                        )
+                        onehot = jnp.astype(rows == flat, jnp.float32)
+                        img_rows = img_ref[pl.ds(pl.multiple_of(img_base, 8), 8), :][0:4, :]
+                        return jax.lax.dot_general(
+                            img_rows, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    aq = tap(y0i, x0i)
+                    bq = tap(jnp.ceil(uy), x0i)
+                    cq = tap(y0i, jnp.ceil(ux))
+                    dq = tap(jnp.ceil(uy), jnp.ceil(ux))
+                    fg = (aq + (bq - aq) * fy) * (1 - fx) + (cq + (dq - cq) * fy) * fx
+                    fg = jnp.concatenate(
+                        [fg[0:1] * fg[3:4], fg[1:2] * fg[3:4], fg[2:3] * fg[3:4],
+                         fg[3:4]], axis=0)
+                    inbf = jnp.astype(inb, jnp.float32)
+                    blend_over_px(fg * inbf, area[...] * inbf)
+
+            # ---- clips ----
+            is_begin = kind == CMD_BEGIN_CLIP
+            is_end = kind == CMD_END_CLIP
+            begin_zero = is_begin & (seg_count_raw < 0)
+
+            clip_depth_new = clip_depth + jnp.where(is_begin, 1, jnp.where(is_end, -1, 0))
+            unsuppress = suppressed & is_end & (clip_depth == zero_depth)
+            zero_depth = jnp.where(unsuppress, 0, zero_depth)
+            start_sup = ~suppressed & begin_zero
+            zero_depth = jnp.where(start_sup, clip_depth + 1, zero_depth)
+
+            do_push = ~suppressed & is_begin & ~begin_zero
+            ovf = ovf | (do_push & (blend_depth >= BD))
+            bd_idx = jnp.clip(blend_depth, 0, BD - 1)
+
+            @pl.when(do_push)
+            def _():
+                stack[pl.ds(bd_idx, 1), :, :] = rgba[...][None]
+                rgba[...] = jnp.zeros((4, 256), jnp.float32)
+
+            blend_depth = blend_depth + jnp.where(do_push, 1, 0)
+
+            do_pop = ~suppressed & is_end
+            blend_depth = blend_depth - jnp.where(do_pop, 1, 0)
+            bd_idx2 = jnp.clip(blend_depth, 0, BD - 1)
+
+            @pl.when(do_pop)
+            def _():
+                bg = stack[pl.ds(bd_idx2, 1), :, :][0]
+                blend_word = ru(5).astype(jnp.int32)
+                alpha = rf(6)
+                a_cov = area[...] * alpha
+                cur = rgba[...]
+                fr, fgc, fb, fa = (cur[0:1] * a_cov, cur[1:2] * a_cov,
+                                   cur[2:3] * a_cov, cur[3:4] * a_cov)
+                rr, rg, rb, ra = bm.blend_mix_compose(
+                    jnp,
+                    (bg[0:1], bg[1:2], bg[2:3], bg[3:4]),
+                    (fr, fgc, fb, fa),
+                    blend_word,
+                )
+                rgba[...] = jnp.concatenate([rr, rg, rb, ra], axis=0)
+
+            return (clip_depth_new, blend_depth, zero_depth, ovf)
+
+        carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+        carry = jax.lax.fori_loop(0, n_cmds, body, carry)
+        ovf_ref[0] = jnp.full((1, 128), jnp.astype(carry[3], jnp.int32))
+
+        cur = rgba[...]
+        a_inv = 1.0 / jnp.maximum(cur[3:4, :], 1e-6)
+        out_ref[0] = jnp.concatenate(
+            [cur[0:1] * a_inv, cur[1:2] * a_inv, cur[2:3] * a_inv, cur[3:4]], axis=0
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # counts(+wit), base_color
+        grid=(GRID,),
+        in_specs=[
+            pl.BlockSpec((1, MC, 16), lambda t, c, s: (t, 0, 0)),  # cmd slab
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # area rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ramps (resident)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # images (resident)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 4, 256), lambda t, c, s: (t, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda t, c, s: (t, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, 256), jnp.float32),      # rgba
+            pltpu.VMEM((BD, 4, 256), jnp.float32),  # blend stack
+            pltpu.VMEM((1, 256), jnp.float32),      # area
+            pltpu.VMEM((1, 8, 128), jnp.float32),   # area row DMA target
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((GRID, 4, 256), jnp.float32),
+            jax.ShapeDtypeStruct((GRID, 1, 128), jnp.int32),
+        ),
+    )
+
+
+def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps):
+    """Drop-in replacement for fine_ref.fine (jnp), Pallas-accelerated.
+
+    Returns (fine_out [4, GRID, 256], flags dict)."""
+    caps = dict(caps)
+    caps.setdefault("cmds_per_tile", 64)
+    caps.setdefault("area_rows_cap", 1 << 14)
+    img_shape = None
+    if images is not None:
+        img_shape = (int(images.shape[1]), int(images.shape[2]))
+        caps["img_hw"] = img_shape
+
+    slab, counts, slab_overflow = build_cmd_slab(jnp, cmds, scene, info, caps)
+    area_rows, rows_overflow = compute_area_rows(jnp, counted, segs, caps)
+    AR = caps["area_rows_cap"]
+    area_blk = jnp.zeros((AR, 8, 128), dtype=jnp.float32)
+    area_blk = area_blk.at[:, 0:2, :].set(area_rows[:AR].reshape(AR, 2, 128))
+
+    # Ramps channel-planar, sublane-aligned: (NR*8, 512).
+    NR = ramps.shape[0]
+    ramps_cp = jnp.zeros((NR * 8, 512), dtype=jnp.float32)
+    ramps_cp = ramps_cp.at[
+        (jnp.arange(NR * 4) // 4) * 8 + jnp.arange(NR * 4) % 4
+    ].set(jnp.transpose(ramps, (0, 2, 1)).reshape(NR * 4, 512))
+    if images is None:
+        img_flat = jnp.zeros((8, 128), dtype=jnp.float32)
+    else:
+        NI, IH, IW = images.shape[0], images.shape[1], images.shape[2]
+        IHWP = -(-(IH * IW) // 128) * 128
+        img_flat = jnp.zeros((NI * 8, IHWP), dtype=jnp.float32)
+        planar = jnp.transpose(images.reshape(NI, IH * IW, 4), (0, 2, 1))
+        img_flat = img_flat.at[
+            (jnp.arange(NI * 4) // 4) * 8 + jnp.arange(NI * 4) % 4, : IH * IW
+        ].set(planar.reshape(NI * 4, IH * IW))
+
+    counts = jnp.concatenate(
+        [counts, jnp.asarray(layout["width_in_tiles"], dtype=jnp.int32).reshape(1)]
+    )
+    scalars = jnp.asarray(layout["base_color"], dtype=jnp.float32)
+
+    call = make_fine_kernel(caps, img_shape)
+    out, ovf = call(counts, scalars, slab, area_blk, ramps_cp, img_flat)
+    fine_out = jnp.transpose(out, (1, 0, 2))  # [4, GRID, 256]
+    flags = {
+        "cmd_slab_overflow": slab_overflow,
+        "area_rows_overflow": rows_overflow,
+        "blend_depth_overflow": jnp.any(ovf > 0),
+    }
+    return fine_out, flags

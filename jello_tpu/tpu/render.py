@@ -1,0 +1,140 @@
+"""Device renderer: one jit-compiled XLA program per frame.
+
+The analog of the reference's engine layer (engine/wgpu_engine): where
+the reference records 17 dispatches and submits them to a wgpu queue,
+here the whole pipeline (pipeline/render.py under jax.numpy) traces
+into a single XLA executable per capacity class. Uploads are
+`device_put`s of the packed scene buffer, ramp texture and image atlas;
+buffer lifetimes inside the frame are XLA's concern.
+
+Size classes: the scene buffer length and every capacity are static;
+both are bucketed to powers of two so recompiles are rare. Overflow
+flags trigger a host-side retry with doubled capacities (the
+bump-failure protocol of renderer/render.go:458-461 as an actual loop).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..cpu.pipeline import build_image_atlas, build_layout_dict
+from ..pipeline import render as render_mod
+from ..pipeline.fine_ref import assemble_image
+from ..renderer.estimate import estimate_caps, grow_caps
+from ..renderer.params import RenderParams
+from ..renderer.resolve import Resolver
+
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+class Renderer:
+    """Renders scenes on the JAX default backend (TPU when available).
+
+    Keeps the resolver (ramp cache, image dedup) and the compiled
+    executable cache across frames, mirroring the reference Engine's
+    persistent resources (wgpu.go:108-117).
+    """
+
+    def __init__(self, profile: bool = False, use_pallas: bool | None = None):
+        import jax
+
+        self._jax = jax
+        self._resolver = Resolver()
+        self._caps: dict | None = None
+        self._compiled = {}
+        self.profile = profile
+        self.last_flags: dict = {}
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+    def _fine_impl(self, caps):
+        if not self.use_pallas:
+            return None
+        from .fine_pallas import fine_pallas
+
+        return fine_pallas
+
+    def _get_compiled(self, caps_key, caps):
+        import jax
+        import jax.numpy as jnp
+
+        fn = self._compiled.get(caps_key)
+        if fn is None:
+            fine_impl = self._fine_impl(caps)
+
+            @jax.jit
+            def run(scene, layout, ramps, images):
+                return render_mod.render_frame(
+                    jnp, scene, layout, ramps, images, caps, fine_impl
+                )
+
+            @jax.jit
+            def run_no_images(scene, layout, ramps):
+                return render_mod.render_frame(
+                    jnp, scene, layout, ramps, None, caps, fine_impl
+                )
+
+            fn = (run, run_no_images)
+            self._compiled[caps_key] = fn
+        return fn
+
+    def render(self, scene, params: RenderParams, max_retries: int = 4):
+        """Render to a host numpy [H, W, 4] float32 image."""
+        fine_out, ld = self.render_device(scene, params, max_retries)
+        img = assemble_image(np, np.asarray(fine_out), ld)
+        return np.asarray(img)
+
+    def render_device(self, scene, params: RenderParams, max_retries: int = 4):
+        """Render and return the device-resident fine output
+        ([4, GRID, 256]) plus the layout dict."""
+        import jax.numpy as jnp
+
+        enc = scene.encoding if hasattr(scene, "encoding") else scene
+        layout, ramps, images, scene_u32 = self._resolver.resolve(enc)
+        ld_np = build_layout_dict(layout, params)
+        if self._caps is None:
+            self._caps = estimate_caps(layout, params.width, params.height)
+        else:
+            self._caps = estimate_caps(layout, params.width, params.height, self._caps)
+        caps = self._caps
+
+        # Pad the scene buffer to its size class.
+        n = _pow2(max(len(scene_u32), 1024))
+        scene_padded = np.zeros(n, dtype=np.uint32)
+        scene_padded[: len(scene_u32)] = scene_u32
+        ramps_arr = (
+            np.asarray(ramps.data, dtype=np.float32)
+            if ramps.height > 0
+            else np.zeros((1, 512, 4), dtype=np.float32)
+        )
+        atlas = build_image_atlas(images)
+
+        ld = {k: jnp.asarray(v) for k, v in ld_np.items()}
+        scene_dev = jnp.asarray(scene_padded)
+        ramps_dev = jnp.asarray(ramps_arr)
+        atlas_dev = jnp.asarray(atlas) if atlas is not None else None
+
+        for _ in range(max_retries):
+            caps_key = (n, ramps_arr.shape[0] if ramps.height else 0,
+                        None if atlas is None else atlas.shape,
+                        tuple(sorted(caps.items())))
+            run, run_no_images = self._get_compiled(caps_key, dict(caps))
+            if atlas_dev is None:
+                fine_out, flags = run_no_images(scene_dev, ld, ramps_dev)
+            else:
+                fine_out, flags = run(scene_dev, ld, ramps_dev, atlas_dev)
+            flags = {k: bool(v) for k, v in flags.items()}
+            self.last_flags = flags
+            if not any(flags.values()):
+                break
+            caps = grow_caps(caps, flags)
+            self._caps = caps
+        return fine_out, ld_np
