@@ -91,6 +91,9 @@ def clip_leaf(xp, clip_idx_arr, clip_path_idx_arr, path_bbox, dm_path, dm_scene,
         ).astype(xp.int32)
         return (clip_bboxes, dm_path, dm_scene, st_par, st_path, st_bbox, sp)
 
-    state = ops.fori(xp, NC, body, init)
+    # Trip count: the actual clip count (clamped to the cap). With no
+    # clips the loop body never runs.
+    trip = n_clips if not ops.is_jax(xp) else xp.minimum(n_clips, NC)
+    state = ops.fori(xp, trip, body, init)
     clip_bboxes, dm_path, dm_scene = state[0], state[1], state[2]
     return clip_bboxes, dm_path, dm_scene

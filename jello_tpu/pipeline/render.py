@@ -100,69 +100,81 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None):
 
     Returns (fine_out [4, GRID, 256], flags dict of overflow booleans).
     """
-    fl = flatten_mod.flatten_stage(xp, scene, layout, caps)
+    from ..profiler import named_scope
+
+    with named_scope("flatten"):
+        fl = flatten_mod.flatten_stage(xp, scene, layout, caps)
 
     D = caps["n_draws_cap"]
-    draw_tags_arr = _draw_tags(xp, scene, layout, D)
-    dm = drawobjs.draw_monoid_scan(xp, draw_tags_arr)
-    info, clip_idx_arr, clip_path_arr, tag, dd, di = drawobjs.draw_leaf(
-        xp,
-        scene,
-        layout,
-        dm,
-        fl["path_trans_idx"],
-        fl["path_draw_flags"],
-        caps,
-    )
-    clip_bboxes, dm_path, dm_scene = clips_mod.clip_leaf(
-        xp,
-        clip_idx_arr,
-        clip_path_arr,
-        fl["path_bbox"],
-        dm["path_idx"].astype(xp.int32),
-        dm["scene_offset"].astype(xp.int32),
-        layout,
-        caps,
-    )
+    with named_scope("draw_leaf"):
+        draw_tags_arr = _draw_tags(xp, scene, layout, D)
+        dm = drawobjs.draw_monoid_scan(xp, draw_tags_arr)
+        info, clip_idx_arr, clip_path_arr, tag, dd, di = drawobjs.draw_leaf(
+            xp,
+            scene,
+            layout,
+            dm,
+            fl["path_trans_idx"],
+            fl["path_draw_flags"],
+            caps,
+        )
+    with named_scope("clip_leaf"):
+        clip_bboxes, dm_path, dm_scene = clips_mod.clip_leaf(
+            xp,
+            clip_idx_arr,
+            clip_path_arr,
+            fl["path_bbox"],
+            dm["path_idx"].astype(xp.int32),
+            dm["scene_offset"].astype(xp.int32),
+            layout,
+            caps,
+        )
     dm = dict(dm)
     dm["path_idx"] = dm_path
     dm["scene_offset"] = dm_scene
     dd = (layout["draw_data_base"] + dm_scene).astype(xp.int32)
 
-    draw_bbox = coarse_mod.binning_bboxes(xp, dm, fl["path_bbox"], clip_bboxes, layout)
-    paths = tiling.tile_alloc(xp, draw_bbox, tag, layout, caps)
-    counted = tiling.path_count(xp, fl, paths, caps)
-    segs = tiling.path_tiling(xp, fl, counted, caps)
-    cmds = coarse_mod.build_commands(
-        xp,
-        scene,
-        layout,
-        dm,
-        tag,
-        dd,
-        di,
-        draw_bbox,
-        paths,
-        counted,
-        fl["path_draw_flags"],
-        caps,
-    )
+    with named_scope("tile_alloc"):
+        draw_bbox = coarse_mod.binning_bboxes(xp, dm, fl["path_bbox"], clip_bboxes, layout)
+        paths = tiling.tile_alloc(xp, draw_bbox, tag, layout, caps)
+    with named_scope("path_count"):
+        counted = tiling.path_count(xp, fl, paths, caps)
+    with named_scope("path_tiling"):
+        segs = tiling.path_tiling(xp, fl, counted, caps)
+    with named_scope("coarse"):
+        cmds = coarse_mod.build_commands(
+            xp,
+            scene,
+            layout,
+            dm,
+            tag,
+            dd,
+            di,
+            draw_bbox,
+            paths,
+            counted,
+            fl["path_draw_flags"],
+            caps,
+        )
     flags = {
         "flatten_overflow": fl["overflow"],
         "tiles_overflow": paths["overflow"],
         "segs_overflow": counted["overflow"],
         "pairs_overflow": cmds["overflow"],
     }
-    if fine_impl is None:
-        fine_out, depth_overflow = fine_ref.fine(
-            xp, scene, cmds, segs, info, ramps, images, layout, caps
-        )
-        flags["blend_depth_overflow"] = depth_overflow
-    else:
-        fine_out, fine_flags = fine_impl(
-            scene, cmds, segs, counted, info, ramps, images, layout, caps
-        )
-        flags.update(fine_flags)
+    from ..profiler import named_scope as _ns
+
+    with _ns("fine"):
+        if fine_impl is None:
+            fine_out, depth_overflow = fine_ref.fine(
+                xp, scene, cmds, segs, info, ramps, images, layout, caps
+            )
+            flags["blend_depth_overflow"] = depth_overflow
+        else:
+            fine_out, fine_flags = fine_impl(
+                scene, cmds, segs, counted, info, ramps, images, layout, caps
+            )
+            flags.update(fine_flags)
     return fine_out, flags
 
 

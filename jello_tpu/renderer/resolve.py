@@ -27,7 +27,11 @@ from ..gfx import ColorStop, ColorSpace, premul32
 
 PATH_REDUCE_WG = 256
 NUM_RAMP_SAMPLES = 512
-RETAINED_RAMP_COUNT = 64
+# The reference retains 64 ramps (a wgpu-texture-era choice,
+# ramp_cache.go:41). Ramps live in HBM here, so the default retention is
+# much larger; gradient-heavy scenes then resolve to cache hits after
+# the first frame.
+RETAINED_RAMP_COUNT = 4096
 
 
 @dataclass
@@ -122,13 +126,11 @@ class _RampCache:
             del self.data[RETAINED_RAMP_COUNT:]
 
     @staticmethod
-    def _key(stops) -> bytes:
-        parts = [struct.pack("<Q", len(stops))]
-        for s in stops:
-            parts.append(struct.pack("<f", np.float32(s.offset)))
-            parts.append(struct.pack("<dddd", *s.color.values))
-            parts.append(s.color.space.value.encode())
-        return b"".join(parts)
+    def _key(stops):
+        # ColorStop is a frozen dataclass; the stop sequence itself is a
+        # hashable, collision-free key (the reference serializes to bytes
+        # because Go map keys must be strings; ramp_cache.go:56-68).
+        return tuple(stops)
 
     def add(self, stops: list[ColorStop]) -> int:
         key = self._key(stops)
@@ -191,46 +193,68 @@ class Resolver:
             else:
                 raise TypeError(patch)
 
-        # Patch the draw data stream.
-        draw_data = bytearray(enc.draw_data)
-        for off, word in ramp_patches + image_patches:
-            draw_data[off : off + 4] = struct.pack("<I", word)
+        # Patch the draw data stream (vectorized word scatter).
+        draw_data = np.frombuffer(bytes(enc.draw_data), dtype=np.uint32).copy()
+        if ramp_patches or image_patches:
+            offs = np.array(
+                [p[0] for p in ramp_patches + image_patches], dtype=np.int64
+            )
+            words = np.array(
+                [p[1] for p in ramp_patches + image_patches], dtype=np.uint32
+            )
+            assert (offs % 4 == 0).all()
+            draw_data[offs // 4] = words
 
         layout = Layout(n_paths=enc.n_paths, n_clips=enc.n_clips)
 
-        data = bytearray()
+        parts = []
+        pos = 0
+
+        def put(b: bytes):
+            nonlocal pos
+            parts.append(b)
+            pos += len(b)
+
         # Path tag stream, padded to 4*256 bytes (resolve.go:290-306).
-        layout.path_tag_base = len(data) // 4
-        data += bytes(enc.path_tags)
-        data += bytes([PATH_TAG_PATH]) * enc.n_open_clips
+        layout.path_tag_base = pos // 4
+        put(bytes(enc.path_tags))
+        put(bytes([PATH_TAG_PATH]) * enc.n_open_clips)
         layout.n_path_tags = len(enc.path_tags) + enc.n_open_clips
-        pad = -len(data) % (4 * PATH_REDUCE_WG)
-        if len(data) + pad == 0:
+        pad = -pos % (4 * PATH_REDUCE_WG)
+        if pos + pad == 0:
             pad = 4 * PATH_REDUCE_WG  # keep the buffer non-empty for empty scenes
-        data += bytes(pad)
+        put(bytes(pad))
         # Path data stream.
-        layout.path_data_base = len(data) // 4
-        data += enc.path_data
+        layout.path_data_base = pos // 4
+        put(bytes(enc.path_data))
         # Draw tag stream; bin data (info) offset precedes it.
-        layout.draw_tag_base = len(data) // 4
-        layout.bin_data_start = sum(info_size(t) for t in enc.draw_tags)
-        for tag in enc.draw_tags:
-            data += struct.pack("<I", tag)
-        for _ in range(enc.n_open_clips):
-            data += struct.pack("<I", DRAW_TAG_END_CLIP)
+        layout.draw_tag_base = pos // 4
+        tags_arr = np.array(enc.draw_tags, dtype=np.uint32)
+        layout.bin_data_start = int(((tags_arr >> 6) & 0xF).sum())
+        put(tags_arr.tobytes())
+        put(
+            np.full(enc.n_open_clips, DRAW_TAG_END_CLIP, dtype=np.uint32).tobytes()
+        )
         # Draw data stream.
-        layout.draw_data_base = len(data) // 4
-        data += draw_data
+        layout.draw_data_base = pos // 4
+        put(draw_data.tobytes())
         # Transform stream.
-        layout.transform_base = len(data) // 4
-        for t in enc.transforms:
-            data += struct.pack("<ffffff", *[np.float32(v) for v in t])
+        layout.transform_base = pos // 4
+        put(np.array(enc.transforms, dtype=np.float32).tobytes())
         # Style stream.
-        layout.style_base = len(data) // 4
-        for flags, lw in enc.styles:
-            data += struct.pack("<If", flags & 0xFFFFFFFF, np.float32(lw))
+        layout.style_base = pos // 4
+        if enc.styles:
+            styles = np.zeros((len(enc.styles), 2), dtype=np.uint32)
+            styles[:, 0] = np.array([s[0] for s in enc.styles], dtype=np.uint64).astype(
+                np.uint32
+            )
+            styles[:, 1] = (
+                np.array([s[1] for s in enc.styles], dtype=np.float32)
+                .view(np.uint32)
+            )
+            put(styles.tobytes())
 
         layout.n_draw_objects = layout.n_paths
 
-        scene = np.frombuffer(bytes(data), dtype=np.uint32).copy()
+        scene = np.frombuffer(b"".join(parts), dtype=np.uint32).copy()
         return layout, self._ramp_cache.ramps(), images, scene

@@ -18,11 +18,28 @@ from .gfx import BlendMode, Brush, Fill
 
 
 class Scene:
-    def __init__(self):
+    """Scene builder.
+
+    `debug_trace=True` records a reconstructible Python statement for
+    every draw call (the reference's `debugTrace` const, scene.go:18,51-59)
+    — retrieve with `trace_log()` to capture a repro.
+    """
+
+    def __init__(self, debug_trace: bool = False):
         self._encoding = Encoding()
+        self._debug_trace = debug_trace
+        self._trace: list[str] = []
 
     def reset(self):
         self._encoding.reset()
+        self._trace.clear()
+
+    def trace_log(self) -> str:
+        return "\n".join(self._trace)
+
+    def _log(self, call: str, *args):
+        if self._debug_trace:
+            self._trace.append(f"scene.{call}({', '.join(repr(a) for a in args)})")
 
     @property
     def encoding(self) -> Encoding:
@@ -35,6 +52,7 @@ class Scene:
         clip_transform: Affine,
         clip: BezPath,
     ):
+        self._log("push_layer", blend, alpha, clip_transform, clip.elements)
         t = transform_from_affine(clip_transform)
         self._encoding.encode_transform(t)
         self._encoding.encode_fill_style(Fill.NON_ZERO)
@@ -46,6 +64,7 @@ class Scene:
         self._encoding.encode_begin_clip(blend, min(max(alpha, 0.0), 1.0))
 
     def pop_layer(self):
+        self._log("pop_layer")
         self._encoding.encode_end_clip()
 
     def fill(
@@ -56,6 +75,7 @@ class Scene:
         brush_transform: Affine | None,
         path: BezPath,
     ):
+        self._log("fill", style, transform, brush, brush_transform, path.elements)
         t = transform_from_affine(transform)
         self._encoding.encode_transform(t)
         self._encoding.encode_fill_style(style)
@@ -77,6 +97,7 @@ class Scene:
     ):
         # GPU-side stroke expansion (scene.go:150-186); dashing is always
         # expanded on the host.
+        self._log("stroke", style, transform, brush, brush_transform, shape.elements)
         t = transform_from_affine(transform)
         self._encoding.encode_transform(t)
         self._encoding.encode_stroke_style(style)

@@ -141,9 +141,13 @@ def make_fine_kernel(caps, img_shape=None):
     GRID = caps["tile_grid_cap"]
     MC = caps["cmds_per_tile"]
     BD = caps["blend_depth"]
+    if img_shape is not None:
+        IHWP_STATIC = -(-(img_shape[0] * img_shape[1]) // 128) * 128
+    else:
+        IHWP_STATIC = 128
 
     def kernel(counts_smem, scalars_smem, cmd_ref, rows_hbm, ramps_ref, img_ref,
-               out_ref, ovf_ref, rgba, stack, area, area_dma, sem):
+               out_ref, ovf_ref, rgba, stack, area, area_dma, ramp_buf, img_buf, sem):
         t = pl.program_id(0)
         wit = counts_smem[counts_smem.shape[0] - 1]
         base_r = scalars_smem[0]
@@ -176,7 +180,13 @@ def make_fine_kernel(caps, img_shape=None):
             xi = jnp.clip(xi, 0, 511)
             rows = jax.lax.broadcasted_iota(jnp.int32, (512, 256), 0)
             onehot = jnp.astype(rows == xi, jnp.float32)
-            ramp = ramps_ref[pl.ds(pl.multiple_of(ramp_row8, 8), 8), :][0:4, :]  # (4, 512)
+            dma = pltpu.make_async_copy(
+                ramps_ref.at[pl.ds(pl.multiple_of(ramp_row8, 8), 8), :],
+                ramp_buf, sem,
+            )
+            dma.start()
+            dma.wait()
+            ramp = ramp_buf[0:4, :]  # (4, 512)
             return jax.lax.dot_general(
                 ramp, onehot, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -341,6 +351,12 @@ def make_fine_kernel(caps, img_shape=None):
                     fy = uy - y0i
 
                     IHWP = -(-(IH * IW) // 128) * 128
+                    dma = pltpu.make_async_copy(
+                        img_ref.at[pl.ds(pl.multiple_of(img_base, 8), 8), :],
+                        img_buf, sem,
+                    )
+                    dma.start()
+                    dma.wait()
 
                     def tap(yi, xi):
                         yi = jnp.clip(yi.astype(jnp.int32), 0, IH - 1)
@@ -350,7 +366,7 @@ def make_fine_kernel(caps, img_shape=None):
                             jnp.int32, (IHWP, 256), 0
                         )
                         onehot = jnp.astype(rows == flat, jnp.float32)
-                        img_rows = img_ref[pl.ds(pl.multiple_of(img_base, 8), 8), :][0:4, :]
+                        img_rows = img_buf[0:4, :]
                         return jax.lax.dot_general(
                             img_rows, onehot, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
@@ -428,8 +444,8 @@ def make_fine_kernel(caps, img_shape=None):
         in_specs=[
             pl.BlockSpec((1, MC, 16), lambda t, c, s: (t, 0, 0)),  # cmd slab
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # area rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ramps (resident)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # images (resident)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # ramps
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # images
         ],
         out_specs=(
             pl.BlockSpec((1, 4, 256), lambda t, c, s: (t, 0, 0)),
@@ -440,6 +456,8 @@ def make_fine_kernel(caps, img_shape=None):
             pltpu.VMEM((BD, 4, 256), jnp.float32),  # blend stack
             pltpu.VMEM((1, 256), jnp.float32),      # area
             pltpu.VMEM((1, 8, 128), jnp.float32),   # area row DMA target
+            pltpu.VMEM((8, 512), jnp.float32),      # ramp row group
+            pltpu.VMEM((8, IHWP_STATIC), jnp.float32),  # image planes
             pltpu.SemaphoreType.DMA,
         ],
     )
