@@ -52,6 +52,20 @@ _FORCE_NEXT_TRANSFORM = 1
 _FORCE_NEXT_STYLE = 2
 
 
+def _native_encode(path, is_fill):
+    """Native path-encoder fast path; None if the library is absent or
+    disabled (JELLO_TPU_NO_NATIVE=1)."""
+    import os
+
+    if os.environ.get("JELLO_TPU_NO_NATIVE"):
+        return None
+    try:
+        from ..native import encode_path_native
+    except Exception:
+        return None
+    return encode_path_native(path, is_fill)
+
+
 @dataclass(frozen=True)
 class RampPatch:
     draw_data_offset: int
@@ -213,6 +227,17 @@ class Encoding:
     # -- paths -----------------------------------------------------------
 
     def encode_path(self, path: BezPath, is_fill: bool) -> bool:
+        res = _native_encode(path, is_fill)
+        if res is not None:
+            tags, data, nsegs = res
+            if nsegs == 0:
+                return False
+            self.path_tags.extend(tags.tolist())
+            self.path_data += data.tobytes()
+            self.n_path_segments += nsegs
+            self.path_tags.append(PATH_TAG_PATH)
+            self.n_paths += 1
+            return True
         pe = PathEncoder(self, is_fill)
         pe.path(path)
         return pe.finish(True) != 0

@@ -339,8 +339,9 @@ def make_fine_kernel(caps, img_shape=None):
                     xl, yl = rf(10), rf(11)
                     img_base = ru(12).astype(jnp.int32)
                     wh = ru(13)
-                    iw = jnp.astype(wh >> 16, jnp.float32)
-                    ih = jnp.astype(wh & 0xFFFF, jnp.float32)
+                    # u32 -> f32 is not directly lowerable; go via i32.
+                    iw = jnp.astype((wh >> 16).astype(jnp.int32), jnp.float32)
+                    ih = jnp.astype((wh & 0xFFFF).astype(jnp.int32), jnp.float32)
                     IH, IW = img_shape
                     ux = m0 * gx + m2 * gy + xl
                     uy = m1 * gx + m3 * gy + yl
