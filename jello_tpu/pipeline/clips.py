@@ -97,3 +97,82 @@ def clip_leaf(xp, clip_idx_arr, clip_path_idx_arr, path_bbox, dm_path, dm_scene,
     state = ops.fori(xp, trip, body, init)
     clip_bboxes, dm_path, dm_scene = state[0], state[1], state[2]
     return clip_bboxes, dm_path, dm_scene
+
+
+def clip_leaf_vectorized(
+    xp, clip_idx_arr, clip_path_idx_arr, path_bbox, dm_path, dm_scene, layout, caps
+):
+    """Vectorized clip resolution (same outputs as clip_leaf).
+
+    The nesting structure makes the stack walk expressible per depth
+    level: the active begin of level L at any stream position is the
+    most recent begin with that level (a cummax), and the stack-top
+    bbox is the running intersection of the active begins' path bboxes
+    over levels 0..L. One bounded loop over depth levels (vectorized
+    over all clip elements) replaces the sequential element walk — the
+    TPU-friendly replacement for the reference's two-stage stack monoid
+    (clip_reduce/clip_leaf).
+    """
+    NC = caps["n_clips_cap"]
+    D = caps.get("clip_depth_cap", MAX_CLIP_DEPTH)
+    f32 = xp.float32
+    n_clips = layout["n_clips"]
+
+    i_idx = xp.arange(NC, dtype=xp.int32)
+    active = i_idx < n_clips
+    is_begin = active & (clip_path_idx_arr >= 0)
+    is_end = active & ~is_begin
+    delta = xp.where(is_begin, 1, xp.where(is_end, -1, 0))
+    depth_before = ops.exclusive_cumsum(xp, delta)
+    # begins occupy level depth_before; ends close level depth_before-1.
+    level = xp.where(is_begin, depth_before, depth_before - 1).astype(xp.int32)
+
+    inf = xp.asarray([-BIG, -BIG, BIG, BIG], dtype=f32)
+    running = xp.broadcast_to(inf[None, :], (NC, 4)) * xp.ones((NC, 1), f32)
+    out_bbox = xp.broadcast_to(inf[None, :], (NC, 4)) * xp.ones((NC, 1), f32)
+    match_begin = xp.full(NC, -1, dtype=xp.int32)
+
+    # Output for ends at level 0 is the infinite bbox (already init).
+    def body(l, state):
+        running, out_bbox, match_begin = state
+        at_l = is_begin & (level == l)
+        marker = xp.where(at_l, i_idx, -1)
+        last_begin = ops.cummax(xp, marker)
+        lb_path = ops.gather_guarded(
+            xp, clip_path_idx_arr, xp.maximum(last_begin, 0)
+        )
+        pb = ops.gather_guarded(xp, path_bbox, xp.maximum(lb_path, 0))
+        has = (last_begin >= 0)[:, None]
+        inter = xp.stack(
+            [
+                xp.maximum(running[:, 0], pb[:, 0]),
+                xp.maximum(running[:, 1], pb[:, 1]),
+                xp.minimum(running[:, 2], pb[:, 2]),
+                xp.minimum(running[:, 3], pb[:, 3]),
+            ],
+            axis=1,
+        )
+        new_running = xp.where(has, inter, running)
+        # begins at level l read the running intersection incl. themselves;
+        # ends at level l+1 read the same value (the stack below them).
+        sel_begin = (is_begin & (level == l))[:, None]
+        sel_end_above = (is_end & (level == l + 1))[:, None]
+        out_bbox = xp.where(sel_begin | sel_end_above, new_running, out_bbox)
+        match_begin = xp.where(is_end & (level == l), last_begin, match_begin)
+        return new_running, out_bbox, match_begin
+
+    running, out_bbox, match_begin = ops.fori(
+        xp, D, body, (running, out_bbox, match_begin)
+    )
+
+    # Patch end-clip draw monoids with the matching begin's path/scene.
+    mb = xp.maximum(match_begin, 0)
+    mb_path = clip_path_idx_arr[mb]
+    begin_draw = clip_idx_arr[mb]
+    end_draw = clip_idx_arr
+    Dn = dm_path.shape[0]
+    tgt = xp.where(is_end & (match_begin >= 0), end_draw, Dn)
+    dm_path = ops.scatter_set(xp, dm_path, tgt, mb_path.astype(dm_path.dtype))
+    parent_scene = ops.gather_guarded(xp, dm_scene, begin_draw)
+    dm_scene = ops.scatter_set(xp, dm_scene, tgt, parent_scene)
+    return out_bbox, dm_path, dm_scene

@@ -103,6 +103,14 @@ def gather_guarded(xp, arr, idx):
     return arr[idx]
 
 
+def cummax(xp, v):
+    if is_jax(xp):
+        import jax
+
+        return jax.lax.cummax(v)
+    return np.maximum.accumulate(v)
+
+
 def fori(xp, n, body, state):
     """Bounded loop: Python loop under numpy, lax.fori_loop under jax."""
     if is_jax(xp):

@@ -119,7 +119,12 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None):
             caps,
         )
     with named_scope("clip_leaf"):
-        clip_bboxes, dm_path, dm_scene = clips_mod.clip_leaf(
+        from . import ops as _ops
+
+        clip_impl = (
+            clips_mod.clip_leaf_vectorized if _ops.is_jax(xp) else clips_mod.clip_leaf
+        )
+        clip_bboxes, dm_path, dm_scene = clip_impl(
             xp,
             clip_idx_arr,
             clip_path_arr,
