@@ -41,7 +41,10 @@ def compute_area_rows(xp, counted, segs, caps):
     lx = (p % 16).astype(f32)[None, :]
     ly = (p // 16).astype(f32)[None, :]
 
-    area = xp.zeros((AR + 1, 256), dtype=f32)
+    # Table rows: AR real rows, 1 drop row, CH unique dump rows for the
+    # MXU-segmented accumulation (see body()).
+    area = xp.zeros((AR + 1 + CH, 256), dtype=f32)
+    ar_ids = xp.arange(CH, dtype=xp.int32)
 
     n_chunks = (SC + CH - 1) // CH
 
@@ -75,7 +78,33 @@ def compute_area_rows(xp, counted, segs, caps):
         a = (b + 0.5 * (d * d - cc * cc) - xmin) / (xmax0 - xmin)
         contrib = xp.where(dyc != 0.0, a * dyc, 0.0)
         contrib = contrib + xp.sign(dx) * xp.clip(ly - sye + 1.0, 0.0, 1.0)
-        return ops.scatter_add(xp, area, rows, contrib)
+
+        # Segmented accumulation without duplicate-index scatter: rows
+        # within a chunk are sorted, so group segments by their rank
+        # (first-occurrence position) with a one-hot matmul on the MXU,
+        # then scatter the per-rank sums to *unique* target rows (ranks
+        # that are not first occurrences carry all-zero sums and go to
+        # per-chunk dump rows).
+        ranks = xp.searchsorted(rows, rows, side="left").astype(xp.int32)
+        onehot = (ranks[None, :] == ar_ids[:, None]).astype(f32)  # (CH, CH)
+        if ops.is_jax(xp):
+            import jax
+
+            per_rank = jax.lax.dot_general(
+                onehot, contrib, (((1,), (0,)), ((), ())),
+                preferred_element_type=xp.float32,
+            )
+        else:
+            per_rank = onehot @ contrib
+        is_first = ranks == ar_ids
+        tgt = xp.where(is_first, rows, AR + 1 + ar_ids)
+        if ops.is_jax(xp):
+            return area.at[tgt].add(per_rank, mode="drop", unique_indices=True)
+        out = area.copy()
+        import numpy as _np
+
+        _np.add.at(out, tgt, per_rank)
+        return out
 
     area = ops.fori(xp, n_chunks, body, area)
 
