@@ -12,7 +12,7 @@ import numpy as np
 from ..gfx import premul32
 from ..pipeline import render as render_mod
 from ..pipeline.fine_ref import assemble_image
-from ..renderer.estimate import estimate_caps, grow_caps
+from ..renderer.estimate import estimate_caps_from_scene, grow_caps
 from ..renderer.params import RenderParams
 from ..renderer.resolve import Resolver
 
@@ -63,7 +63,7 @@ def render(scene, params: RenderParams, resolver: Resolver | None = None,
     resolver = resolver or Resolver()
     layout, ramps, images, scene_u32 = resolver.resolve(enc)
     ld = build_layout_dict(layout, params)
-    caps = caps or estimate_caps(layout, params.width, params.height)
+    caps = caps or estimate_caps_from_scene(scene_u32, layout, params.width, params.height)
 
     ramps_arr = (
         ramps.data.astype(np.float32)

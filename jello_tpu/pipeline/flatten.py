@@ -194,9 +194,20 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
 
     P: 8 arrays of cubic control points (flatten space).
     offset: per-slot signed stroke offset (0 for fills).
-    Returns (rec_t0, rec_t1, rec_n [N, max_emits] f32, overflowed bool).
+
+    Records are stored iteration-major: each loop iteration writes one
+    dense row (every slot emits at most one Euler segment per
+    iteration; non-emitting slots write n=0). This keeps the loop free
+    of scattered writes — dense row updates only — which is what the
+    TPU wants. Flattened slot-major ([N, IT]) the records of one slot
+    are contiguous and in emission order, which the expansion relies on
+    for watertight line chaining.
+
+    Returns (rec_t0, rec_t1, rec_n [IT, N] f32, overflowed bool) where
+    IT == max_iters.
     """
     N = P[0].shape[0]
+    IT = max_iters
     f32 = xp.float32
     degenerate = (
         (P[0] == P[2]) & (P[1] == P[3]) & (P[0] == P[4]) & (P[1] == P[5])
@@ -215,20 +226,19 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
     lqy = xp.where(small, q2y, lqy)
     last_t = zero
     done = ~act
-    ec = xp.zeros(N, dtype=xp.int32)
-    rec_t0 = xp.zeros((N, max_emits), dtype=f32)
-    rec_t1 = xp.zeros((N, max_emits), dtype=f32)
-    rec_n = xp.zeros((N, max_emits), dtype=f32)
-    rows = xp.arange(N, dtype=xp.int32)
+    it = xp.int32(0) if ops.is_jax(xp) else 0
+    rec_t0 = xp.zeros((IT, N), dtype=f32)
+    rec_t1 = xp.zeros((IT, N), dtype=f32)
+    rec_n = xp.zeros((IT, N), dtype=f32)
 
-    state = (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, ec, rec_t0, rec_t1, rec_n)
+    state = (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, it, rec_t0, rec_t1, rec_n)
 
     def cond(state):
         done = state[7]
         return ~xp.all(done)
 
     def body(state):
-        (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, ec, rec_t0, rec_t1, rec_n) = state
+        (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, it, rec_t0, rec_t1, rec_n) = state
         t0 = t0u.astype(f32) * dt
         done = done | (t0 == 1.0)
         t1 = t0 + dt
@@ -244,20 +254,18 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
         n, _, _, _, _, _, _ = fm.espc_subdivision(
             xp, k0, k1, ch, chord_len, offset, scale
         )
+        n = xp.where(xp.isnan(n), f32(1.0), n)
 
-        slot_k = xp.minimum(ec, max_emits - 1)
-        old0 = rec_t0[rows, slot_k]
-        old1 = rec_t1[rows, slot_k]
-        oldn = rec_n[rows, slot_k]
+        row = xp.minimum(it, IT - 1)
         if ops.is_jax(xp):
-            rec_t0 = rec_t0.at[rows, slot_k].set(xp.where(do_emit, last_t, old0))
-            rec_t1 = rec_t1.at[rows, slot_k].set(xp.where(do_emit, t1, old1))
-            rec_n = rec_n.at[rows, slot_k].set(xp.where(do_emit, n, oldn))
+            rec_t0 = rec_t0.at[row].set(xp.where(do_emit, last_t, 0.0))
+            rec_t1 = rec_t1.at[row].set(xp.where(do_emit, t1, 0.0))
+            rec_n = rec_n.at[row].set(xp.where(do_emit, n, 0.0))
         else:
-            rec_t0[rows, slot_k] = _np.where(do_emit, last_t, old0)
-            rec_t1[rows, slot_k] = _np.where(do_emit, t1, old1)
-            rec_n[rows, slot_k] = _np.where(do_emit, n, oldn)
-        ec = ec + do_emit.astype(xp.int32)
+            rec_t0[row] = _np.where(do_emit, last_t, 0.0)
+            rec_t1[row] = _np.where(do_emit, t1, 0.0)
+            rec_n[row] = _np.where(do_emit, n, 0.0)
+        it = it + 1
 
         lpx = xp.where(do_emit, p1x, lpx)
         lpy = xp.where(do_emit, p1y, lpy)
@@ -277,11 +285,12 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
         subdiv = ~emit & ~done
         t0u = xp.where(advance, t0u_e, xp.where(subdiv, t0u_s, t0u))
         dt = xp.where(advance, dt_e, xp.where(subdiv, dt_s, dt))
-        return (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, ec, rec_t0, rec_t1, rec_n)
+        return (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, it, rec_t0, rec_t1, rec_n)
 
     state = ops.while_bounded(xp, max_iters, cond, body, state)
-    (t0u, dt, lpx, lpy, lqx, lqy, last_t, done, ec, rec_t0, rec_t1, rec_n) = state
-    overflow = xp.any(ec > max_emits) | ~xp.all(done)
+    done = state[7]
+    rec_t0, rec_t1, rec_n = state[9], state[10], state[11]
+    overflow = ~xp.all(done)
     return rec_t0, rec_t1, rec_n, overflow
 
 
@@ -330,7 +339,7 @@ def flatten_stage(xp, scene, layout, caps):
     """
     f32 = xp.float32
     N = caps["n_tag_slots"]
-    ME = caps["max_emits"]
+    IT = caps["max_iters"]
 
     tags = decode_tag_stream(xp, scene, layout["path_tag_base"], N)
     monoids = exclusive_monoids(xp, tags)
@@ -438,8 +447,8 @@ def flatten_stage(xp, scene, layout, caps):
     tend_bx = P[6] - npx
     tend_by = P[7] - npy
 
-    rec_a = lockstep_euler_pass(xp, PA, off_a, scale, act_a, ME, caps["max_iters"])
-    rec_b = lockstep_euler_pass(xp, P, off_b, scale, act_b, ME, caps["max_iters"])
+    rec_a = lockstep_euler_pass(xp, PA, off_a, scale, act_a, IT, IT)
+    rec_b = lockstep_euler_pass(xp, P, off_b, scale, act_b, IT, IT)
     overflow_euler = rec_a[3] | rec_b[3]
 
     ident = [f32(1.0), f32(0.0), f32(0.0), f32(1.0), f32(0.0), f32(0.0)]
@@ -603,14 +612,17 @@ def flatten_stage(xp, scene, layout, caps):
 
     # Euler lines.
     EC = caps["euler_line_cap"]
-    recs_n = xp.concatenate([rec_a[2].reshape(-1), rec_b[2].reshape(-1)])
-    recs_t0 = xp.concatenate([rec_a[0].reshape(-1), rec_b[0].reshape(-1)])
-    recs_t1 = xp.concatenate([rec_a[1].reshape(-1), rec_b[1].reshape(-1)])
+    # Records come back iteration-major [IT, N]; flatten slot-major so a
+    # slot's records are contiguous in emission order.
+    slot_major = lambda r: xp.transpose(r).reshape(-1)
+    recs_n = xp.concatenate([slot_major(rec_a[2]), slot_major(rec_b[2])])
+    recs_t0 = xp.concatenate([slot_major(rec_a[0]), slot_major(rec_b[0])])
+    recs_t1 = xp.concatenate([slot_major(rec_a[1]), slot_major(rec_b[1])])
     rec_idx, within, e_valid, excl, e_total = expand_by_counts(
         xp, recs_n, EC
     )
-    e_pass = rec_idx // (N * ME)
-    e_slot = (rec_idx // ME) % N
+    e_pass = rec_idx // (N * IT)
+    e_slot = (rec_idx // IT) % N
     sel_idx = e_pass * N + e_slot
 
     Pcat = [xp.concatenate([PA[i], P[i]]) for i in range(8)]
@@ -636,7 +648,7 @@ def flatten_stage(xp, scene, layout, caps):
     )
     # lp0 chaining: previous line's end within the same (pass, slot) group.
     group = sel_idx
-    group_first_rec = group * ME
+    group_first_rec = group * IT
     group_start_line = excl[group_first_rec]
     j = xp.arange(EC, dtype=xp.int32)
     is_first = j == group_start_line

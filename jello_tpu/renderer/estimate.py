@@ -40,8 +40,7 @@ def estimate_caps(layout, width: int, height: int, base=None) -> dict:
     euler = _pow2(n_tags * 8, 1 << 12)
     simple = _pow2(n_tags, 1 << 10)
     arc = _pow2(n_tags * 4, 1 << 10)
-    caps.setdefault("max_emits", 16)
-    caps.setdefault("max_iters", 52)
+    caps.setdefault("max_iters", 32)
     caps.setdefault("blend_depth", 8)
     caps.setdefault("fine_seg_chunk", 8)
     caps.setdefault("cmds_per_tile", 64)
@@ -70,9 +69,178 @@ def estimate_caps(layout, width: int, height: int, base=None) -> dict:
     return caps
 
 
+def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=None):
+    """Wang-formula capacity estimation from the resolved scene
+    (reference: renderer/estimate.go — which the reference computes but
+    never wires into buffer sizing; here it actually sizes the class).
+
+    Vectorized numpy decode of the packed streams: per segment, Wang's
+    formula bounds the flattened line count (estimate.go:368-384), arc
+    counts bound round caps/joins, and approximate arclengths bound the
+    tile-crossing count (estimate.go:305-330). Results carry a safety
+    factor; underestimates are caught by device overflow flags + retry.
+    """
+    import numpy as np
+
+    from ..encoding.path import (
+        FLAGS_CAP_BITS_ROUND,
+        FLAGS_END_CAP_MASK,
+        FLAGS_JOIN_BITS_ROUND,
+        FLAGS_JOIN_MASK,
+        FLAGS_START_CAP_MASK,
+        FLAGS_STYLE_BIT,
+    )
+    from ..pipeline import flatten as fmod
+    from ..pipeline import ops as pops
+
+    caps = dict(base) if base else {}
+    n_tags = layout.n_path_tags
+    N = ((n_tags + 1023) // 1024) * 1024
+    ld = {
+        "path_tag_base": np.int32(layout.path_tag_base),
+        "path_data_base": np.int32(layout.path_data_base),
+        "style_base": np.int32(layout.style_base),
+        "transform_base": np.int32(layout.transform_base),
+        "n_path_tags": np.int32(layout.n_path_tags),
+    }
+    tags = fmod.decode_tag_stream(np, scene_u32, ld["path_tag_base"], N)
+    mono = fmod.exclusive_monoids(np, tags)
+    active = np.arange(N) < n_tags
+    style_idx = (mono["style_idx"] - 2).astype(np.uint32)
+    trans_idx = (mono["trans_idx"] - 1).astype(np.uint32)
+    style_flags = pops.gather_guarded(
+        np, scene_u32, ld["style_base"] + style_idx.astype(np.int64)
+    )
+    linewidth = pops.bitcast_u32_f32(
+        np,
+        pops.gather_guarded(
+            np, scene_u32, ld["style_base"] + style_idx.astype(np.int64) + 1
+        ),
+    )
+    base_words = ld["path_data_base"] + mono["path_seg_offset"].astype(np.int64)
+    raw = fmod._read_points(np, scene_u32, base_words, tags)
+    P, seg_type, is_marker, is_open = fmod._normalize_segment(
+        np, raw[:8], raw[8], tags, (style_flags & np.uint32(FLAGS_STYLE_BIT)) != 0
+    )
+    seg = active & (raw[8] != 0)
+    is_stroke = seg & ((style_flags & np.uint32(FLAGS_STYLE_BIT)) != 0)
+    T = fmod._transform_read(np, scene_u32, ld["transform_base"], trans_idx)
+
+    # Wang's formula for cubics under the transform.
+    v1x = P[2] * -2 + P[0] + P[4]
+    v1y = P[3] * -2 + P[1] + P[5]
+    v2x = P[4] * -2 + P[2] + P[6]
+    v2y = P[5] * -2 + P[3] + P[7]
+
+    def txv(x, y):  # transform a vector (no translation)
+        return T[0] * x + T[2] * y, T[1] * x + T[3] * y
+
+    w1x, w1y = txv(v1x, v1y)
+    w2x, w2y = txv(v2x, v2y)
+    m = np.maximum(np.hypot(w1x, w1y), np.hypot(w2x, w2y))
+    rsqrt_tol = 1.0 / np.sqrt(0.25)
+    wang = np.ceil(0.86602540378 * np.sqrt(m) * rsqrt_tol)
+    wang = np.maximum(np.where(seg, wang, 0.0), np.where(seg, 1.0, 0.0))
+
+    regular_stroke = is_stroke & ~is_marker
+    lines_per_seg = np.where(is_stroke, 2.0 * wang, wang)
+    euler_lines = float(np.sum(np.where(seg & ~(is_stroke & is_marker), lines_per_seg, 0.0)))
+
+    # Round join/cap arcs: n <= angle / (2 acos(1 - tol/r)).
+    offs = 0.5 * linewidth
+    sx = np.hypot(T[0], T[1])
+    sy = np.hypot(T[2], T[3])
+    r_dev = np.maximum(offs * np.maximum(sx, sy), 0.25)
+    theta = np.maximum(2.0 * np.arccos(np.clip(1.0 - 0.25 / r_dev, -1, 1)), 1e-4)
+    narc = np.ceil(np.pi / theta) + 1.0
+    has_round_join = regular_stroke & (
+        (style_flags & np.uint32(FLAGS_JOIN_MASK)) == FLAGS_JOIN_BITS_ROUND
+    )
+    has_round_cap = (
+        ((style_flags & np.uint32(FLAGS_START_CAP_MASK)) >> 2 == FLAGS_CAP_BITS_ROUND)
+        | ((style_flags & np.uint32(FLAGS_END_CAP_MASK)) == FLAGS_CAP_BITS_ROUND)
+    ) & is_stroke & seg
+    arc_lines = float(np.sum(np.where(has_round_join | has_round_cap, narc, 0.0)))
+    simple_lines = float(np.sum(np.where(is_stroke & seg, 3.0, 0.0)))
+
+    # Tile crossings: each flattened line of length ~arclen/n crosses
+    # ~ceil(len * 0.0625 * sqrt2) tiles (estimate.go:327-330).
+    c0x, c0y = fmod._apply_transform(T, P[0], P[1])
+    c1x, c1y = fmod._apply_transform(T, P[2], P[3])
+    c2x, c2y = fmod._apply_transform(T, P[4], P[5])
+    c3x, c3y = fmod._apply_transform(T, P[6], P[7])
+    chord = np.hypot(c3x - c0x, c3y - c0y)
+    poly = (
+        np.hypot(c1x - c0x, c1y - c0y)
+        + np.hypot(c2x - c1x, c2y - c1y)
+        + np.hypot(c3x - c2x, c3y - c2y)
+    )
+    arclen = 0.5 * (chord + poly) + 2.0 * r_dev * is_stroke
+    safe_n = np.maximum(lines_per_seg, 1.0)
+    per_line = np.maximum(np.ceil(arclen / safe_n * 0.0625 * 1.41421356), 1.0)
+    crossings = float(
+        np.sum(np.where(seg, lines_per_seg * per_line + narc * (has_round_join | has_round_cap), 0.0))
+    )
+
+    # Viewport-clamped per-path tile rect areas (for tiles/pairs).
+    n_paths = max(layout.n_paths, 1)
+    pidx = mono["path_idx"].astype(np.int64)
+    allx = np.stack([c0x, c1x, c2x, c3x])
+    ally = np.stack([c0y, c1y, c2y, c3y])
+    bx0 = np.where(seg, allx.min(0) - r_dev, 1e9)
+    bx1 = np.where(seg, allx.max(0) + r_dev, -1e9)
+    by0 = np.where(seg, ally.min(0) - r_dev, 1e9)
+    by1 = np.where(seg, ally.max(0) + r_dev, -1e9)
+    px0 = np.full(n_paths + 1, 1e9, np.float32)
+    px1 = np.full(n_paths + 1, -1e9, np.float32)
+    py0 = np.full(n_paths + 1, 1e9, np.float32)
+    py1 = np.full(n_paths + 1, -1e9, np.float32)
+    np.minimum.at(px0, np.minimum(pidx, n_paths), bx0)
+    np.maximum.at(px1, np.minimum(pidx, n_paths), bx1)
+    np.minimum.at(py0, np.minimum(pidx, n_paths), by0)
+    np.maximum.at(py1, np.minimum(pidx, n_paths), by1)
+    wit = (width + 15) // 16
+    hit = (height + 15) // 16
+    tx0 = np.clip(np.floor(px0 / 16.0), 0, wit)
+    tx1 = np.clip(np.ceil(px1 / 16.0), 0, wit)
+    ty0 = np.clip(np.floor(py0 / 16.0), 0, hit)
+    ty1 = np.clip(np.ceil(py1 / 16.0), 0, hit)
+    areas = np.maximum(tx1 - tx0, 0) * np.maximum(ty1 - ty0, 0)
+    tiles = float(areas[:n_paths].sum())
+
+    SAFETY = 1.5
+    est = dict(
+        euler_line_cap=_pow2(int(euler_lines * SAFETY), 1 << 12),
+        simple_line_cap=_pow2(int(simple_lines * SAFETY), 1 << 10),
+        arc_line_cap=_pow2(int(arc_lines * SAFETY), 1 << 10),
+        seg_cap=_pow2(int(max(crossings * SAFETY, 512)), 1 << 13),
+        row_cap=_pow2(int(max(crossings * SAFETY, 512)), 1 << 12),
+        tiles_cap=_pow2(int(tiles * SAFETY + 256), 1 << 12),
+        pair_cap=_pow2(int(tiles * SAFETY + 256), 1 << 12),
+        area_rows_cap=_pow2(int(min(crossings, tiles) * SAFETY + 256), 1 << 12),
+    )
+    # Start from the stream-based caps for the non-estimated fields,
+    # then *override* the estimated ones (the whole point is that the
+    # Wang-based numbers are tighter than the stream heuristics). Caps
+    # from a previous frame (`base`) only ever grow, so settled size
+    # classes stay settled.
+    caps = estimate_caps(layout, width, height, None)
+    caps.update(est)
+    if base:
+        for k, v in base.items():
+            if isinstance(v, int):
+                caps[k] = max(caps.get(k, 0), v)
+    caps["line_cap"] = _pow2(
+        caps["euler_line_cap"] + caps["simple_line_cap"] + caps["arc_line_cap"], 1
+    )
+    if base:
+        caps["line_cap"] = max(caps["line_cap"], base.get("line_cap", 0))
+    return caps
+
+
 # Which overflow flag grows which capacities on retry.
 GROW_ON_FLAG = {
-    "flatten_overflow": ("euler_line_cap", "simple_line_cap", "arc_line_cap", "line_cap", "max_emits"),
+    "flatten_overflow": ("euler_line_cap", "simple_line_cap", "arc_line_cap", "line_cap", "max_iters"),
     "tiles_overflow": ("tiles_cap",),
     "segs_overflow": ("seg_cap", "row_cap"),
     "pairs_overflow": ("pair_cap",),
@@ -88,9 +256,8 @@ def grow_caps(caps: dict, flags: dict) -> dict:
     for flag, keys in GROW_ON_FLAG.items():
         if bool(flags.get(flag, False)):
             for k in keys:
-                if k == "max_emits":
-                    out[k] = min(out[k] * 2, 64)
-                    out["max_iters"] = 2 * out[k] + 20
+                if k == "max_iters":
+                    out[k] = min(out[k] * 2, 128)
                 else:
                     out[k] = out[k] * 2
     out["line_cap"] = max(

@@ -22,7 +22,7 @@ import numpy as np
 from ..cpu.pipeline import build_image_atlas, build_layout_dict
 from ..pipeline import render as render_mod
 from ..pipeline.fine_ref import assemble_image
-from ..renderer.estimate import estimate_caps, grow_caps
+from ..renderer.estimate import estimate_caps_from_scene, grow_caps
 from ..renderer.params import RenderParams
 from ..renderer.resolve import Resolver
 
@@ -111,10 +111,15 @@ class Renderer:
         enc = scene.encoding if hasattr(scene, "encoding") else scene
         layout, ramps, images, scene_u32 = self._resolver.resolve(enc)
         ld_np = build_layout_dict(layout, params)
-        if self._caps is None:
-            self._caps = estimate_caps(layout, params.width, params.height)
-        else:
-            self._caps = estimate_caps(layout, params.width, params.height, self._caps)
+        # Re-estimate capacities only when the stream shape changed;
+        # animated same-structure scenes keep their settled class.
+        est_key = (layout.n_path_tags, layout.n_paths, len(scene_u32),
+                   params.width, params.height)
+        if getattr(self, "_est_key", None) != est_key or self._caps is None:
+            self._caps = estimate_caps_from_scene(
+                scene_u32, layout, params.width, params.height, self._caps
+            )
+            self._est_key = est_key
         caps = self._caps
 
         # Pad the scene buffer to its size class.
