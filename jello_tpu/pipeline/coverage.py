@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from . import ops
 
-COVERAGE_CHUNK = 512
+COVERAGE_CHUNK = 1024
 
 
 def compute_area_rows(xp, counted, segs, caps):

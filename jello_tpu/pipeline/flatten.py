@@ -447,9 +447,25 @@ def flatten_stage(xp, scene, layout, caps):
     tend_bx = P[6] - npx
     tend_by = P[7] - npy
 
-    rec_a = lockstep_euler_pass(xp, PA, off_a, scale, act_a, IT, IT)
-    rec_b = lockstep_euler_pass(xp, P, off_b, scale, act_b, IT, IT)
-    overflow_euler = rec_a[3] | rec_b[3]
+    # Compact the euler work to actual segment slots before the
+    # lockstep walk: the loop body is transcendental-heavy, so running
+    # it over style/transform/marker slots (pass A) or fill slots
+    # (pass B — strokes only) wastes most of the VPU.
+    NWA = caps["work_a_cap"]
+    NWB = caps["work_b_cap"]
+    wl_a, _, wla_valid, _, na = expand_by_counts(xp, act_a.astype(xp.int32), NWA)
+    wl_b, _, wlb_valid, _, nb = expand_by_counts(xp, act_b.astype(xp.int32), NWB)
+    gA = lambda arr: ops.gather_guarded(xp, arr, wl_a)
+    gB = lambda arr: ops.gather_guarded(xp, arr, wl_b)
+    PA_w = [gA(PA[i]) for i in range(8)]
+    PB_w = [gB(P[i]) for i in range(8)]
+    rec_a = lockstep_euler_pass(
+        xp, PA_w, gA(off_a), gA(scale), wla_valid, IT, IT
+    )
+    rec_b = lockstep_euler_pass(
+        xp, PB_w, gB(off_b), gB(scale), wlb_valid, IT, IT
+    )
+    overflow_euler = rec_a[3] | rec_b[3] | (na > NWA) | (nb > NWB)
 
     ident = [f32(1.0), f32(0.0), f32(0.0), f32(1.0), f32(0.0), f32(0.0)]
     # Per-pass line transform: identity for fills (already device space).
@@ -612,8 +628,8 @@ def flatten_stage(xp, scene, layout, caps):
 
     # Euler lines.
     EC = caps["euler_line_cap"]
-    # Records come back iteration-major [IT, N]; flatten slot-major so a
-    # slot's records are contiguous in emission order.
+    # Records come back iteration-major [IT, NW]; flatten worklist-major
+    # so a work item's records are contiguous in emission order.
     slot_major = lambda r: xp.transpose(r).reshape(-1)
     recs_n = xp.concatenate([slot_major(rec_a[2]), slot_major(rec_b[2])])
     recs_t0 = xp.concatenate([slot_major(rec_a[0]), slot_major(rec_b[0])])
@@ -621,8 +637,13 @@ def flatten_stage(xp, scene, layout, caps):
     rec_idx, within, e_valid, excl, e_total = expand_by_counts(
         xp, recs_n, EC
     )
-    e_pass = rec_idx // (N * IT)
-    e_slot = (rec_idx // IT) % N
+    e_pass = (rec_idx >= NWA * IT).astype(xp.int32)
+    e_work = xp.where(e_pass == 0, rec_idx // IT, (rec_idx - NWA * IT) // IT)
+    e_slot = xp.where(
+        e_pass == 0,
+        ops.gather_guarded(xp, wl_a, e_work),
+        ops.gather_guarded(xp, wl_b, e_work),
+    )
     sel_idx = e_pass * N + e_slot
 
     Pcat = [xp.concatenate([PA[i], P[i]]) for i in range(8)]
@@ -646,9 +667,11 @@ def flatten_stage(xp, scene, layout, caps):
     lp1x, lp1y = euler_line_points(
         xp, P8l, t0_l, t1_l, within, n_l, off_l, scale_l, tex_l, tey_l
     )
-    # lp0 chaining: previous line's end within the same (pass, slot) group.
-    group = sel_idx
-    group_first_rec = group * IT
+    # lp0 chaining: previous line's end within the same work-item group
+    # (groups are contiguous in the flattened record order).
+    group_first_rec = xp.where(
+        e_pass == 0, e_work * IT, NWA * IT + e_work * IT
+    )
     group_start_line = excl[group_first_rec]
     j = xp.arange(EC, dtype=xp.int32)
     is_first = j == group_start_line

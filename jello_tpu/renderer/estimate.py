@@ -41,6 +41,8 @@ def estimate_caps(layout, width: int, height: int, base=None) -> dict:
     simple = _pow2(n_tags, 1 << 10)
     arc = _pow2(n_tags * 4, 1 << 10)
     caps.setdefault("max_iters", 32)
+    caps.setdefault("work_a_cap", max(_pow2(n_tags + 1, 256), caps.get("work_a_cap", 0)))
+    caps.setdefault("work_b_cap", max(_pow2(n_tags + 1, 256), caps.get("work_b_cap", 0)))
     caps.setdefault("blend_depth", 8)
     caps.setdefault("fine_seg_chunk", 8)
     caps.setdefault("cmds_per_tile", 64)
@@ -209,7 +211,11 @@ def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=No
     tiles = float(areas[:n_paths].sum())
 
     SAFETY = 1.5
+    n_seg_slots = int(np.sum(seg & ~(is_stroke & is_marker)))
+    n_stroke_slots = int(np.sum(regular_stroke))
     est = dict(
+        work_a_cap=_pow2(n_seg_slots + 1, 256),
+        work_b_cap=_pow2(n_stroke_slots + 1, 256),
         euler_line_cap=_pow2(int(euler_lines * SAFETY), 1 << 12),
         simple_line_cap=_pow2(int(simple_lines * SAFETY), 1 << 10),
         arc_line_cap=_pow2(int(arc_lines * SAFETY), 1 << 10),
