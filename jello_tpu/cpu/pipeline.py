@@ -64,6 +64,7 @@ def render(scene, params: RenderParams, resolver: Resolver | None = None,
     layout, ramps, images, scene_u32 = resolver.resolve(enc)
     ld = build_layout_dict(layout, params)
     caps = caps or estimate_caps_from_scene(scene_u32, layout, params.width, params.height)
+    caps.setdefault("aa_mode", params.antialiasing_method.value)
 
     ramps_arr = (
         ramps.data.astype(np.float32)

@@ -48,16 +48,51 @@ def _extend_mode(xp, t, mode):
     return xp.where(mode == EXTEND_PAD, pad, xp.where(mode == EXTEND_REPEAT, rep, refl))
 
 
+def sample_offsets(aa: str):
+    """Subpixel sample positions for MSAA modes (the sample patterns of
+    renderer/mask.go: rotated-grid 8x and the D3D11 16x pattern)."""
+    from ..renderer.mask import _MASK16_PATTERN, _MASK8_PATTERN
+
+    if aa == "msaa8":
+        pat, n = _MASK8_PATTERN, 8
+    elif aa == "msaa16":
+        pat, n = _MASK16_PATTERN, 16
+    else:
+        return None
+    offs = [((pat[i] + 0.5) / n, (i + 0.5) / n) for i in range(n)]
+    return offs
+
+
+def _seg_winding(xp, sx0, sy0, sx1, sy1, sye, xs, ys):
+    """Exact winding contribution of one segment at a sample point
+    (the zero-width limit of the analytic area math: crossings counted
+    to the right, plus the tile-left-edge y_edge term)."""
+    dy = sy1 - sy0
+    covered = (sy0 <= ys) != (sy1 <= ys)
+    safe_dy = xp.where(dy == 0.0, xp.float32(1.0), dy)
+    t = (ys - sy0) / safe_dy
+    xi = sx0 + t * (sx1 - sx0)
+    w = xp.where(covered & (xi > xs), -xp.sign(dy), 0.0)
+    w = w + xp.sign(sx1 - sx0) * (ys >= sye)
+    return w
+
+
 def _fill_area(xp, seg_start, seg_count, backdrop, even_odd, segs, px, py, caps):
     """Coverage per pixel for one fill command across all tiles.
 
     seg_start/seg_count/backdrop: [G] per-tile command fields.
     px, py: [256] local pixel coordinates.
-    Returns area [G, 256].
+    Returns area [G, 256]. AA mode from caps["aa_mode"] ("area" default,
+    "msaa8"/"msaa16" for exact per-sample multisampling).
     """
     G = seg_start.shape[0]
     f32 = xp.float32
-    area = xp.broadcast_to(backdrop.astype(f32)[:, None], (G, 256)).astype(f32)
+    aa = caps.get("aa_mode", "area")
+    offsets = sample_offsets(aa)
+    S = 1 if offsets is None else len(offsets)
+    area = xp.broadcast_to(
+        backdrop.astype(f32)[:, None, None], (G, S, 256)
+    ).astype(f32)
     max_segs = xp.max(seg_count)
 
     CH = caps.get("fine_seg_chunk", 8)
@@ -73,40 +108,68 @@ def _fill_area(xp, seg_start, seg_count, backdrop, even_odd, segs, px, py, caps)
         sx1 = segs["seg_x1"][gi]
         sy1 = segs["seg_y1"][gi]
         sye = segs["seg_y_edge"][gi]
-        # [G, CH, 1] against [1, 1, 256]
-        dx = (sx1 - sx0)[:, :, None]
-        dy = (sy1 - sy0)[:, :, None]
-        y = sy0[:, :, None] - py[None, None, :]
-        y0c = xp.clip(y, 0.0, 1.0)
-        y1c = xp.clip(y + dy, 0.0, 1.0)
-        dyc = y0c - y1c
-        safe_dy = xp.where(dy == 0.0, f32(1.0), dy)
-        vy_recip = 1.0 / safe_dy
-        t0 = (y0c - y) * vy_recip
-        t1 = (y1c - y) * vy_recip
-        startx = sx0[:, :, None] - px[None, None, :]
-        x0 = startx + t0 * dx
-        x1 = startx + t1 * dx
-        xmin0 = xp.minimum(x0, x1)
-        xmax0 = xp.maximum(x0, x1)
-        xmin = xp.minimum(xmin0, 1.0) - 1.0e-6
-        b = xp.minimum(xmax0, 1.0)
-        c_ = xp.maximum(b, 0.0)
-        d = xp.maximum(xmin, 0.0)
-        denom = xmax0 - xmin
-        a = (b + 0.5 * (d * d - c_ * c_) - xmin) / denom
-        contrib = xp.where(dyc != 0.0, a * dyc, 0.0)
-        y_edge = xp.sign(dx) * xp.clip(py[None, None, :] - sye[:, :, None] + 1.0, 0.0, 1.0)
-        contrib = contrib + y_edge
-        contrib = xp.where(valid[:, :, None], contrib, 0.0)
-        return area + xp.sum(contrib, axis=1)
+        if offsets is None:
+            # Analytic area (fine.wgsl:824-864). [G, CH, 1] vs [1, 1, 256].
+            dx = (sx1 - sx0)[:, :, None]
+            dy = (sy1 - sy0)[:, :, None]
+            y = sy0[:, :, None] - py[None, None, :]
+            y0c = xp.clip(y, 0.0, 1.0)
+            y1c = xp.clip(y + dy, 0.0, 1.0)
+            dyc = y0c - y1c
+            safe_dy = xp.where(dy == 0.0, f32(1.0), dy)
+            vy_recip = 1.0 / safe_dy
+            t0 = (y0c - y) * vy_recip
+            t1 = (y1c - y) * vy_recip
+            startx = sx0[:, :, None] - px[None, None, :]
+            x0 = startx + t0 * dx
+            x1 = startx + t1 * dx
+            xmin0 = xp.minimum(x0, x1)
+            xmax0 = xp.maximum(x0, x1)
+            xmin = xp.minimum(xmin0, 1.0) - 1.0e-6
+            b = xp.minimum(xmax0, 1.0)
+            c_ = xp.maximum(b, 0.0)
+            d = xp.maximum(xmin, 0.0)
+            denom = xmax0 - xmin
+            a = (b + 0.5 * (d * d - c_ * c_) - xmin) / denom
+            contrib = xp.where(dyc != 0.0, a * dyc, 0.0)
+            y_edge = xp.sign(dx) * xp.clip(
+                py[None, None, :] - sye[:, :, None] + 1.0, 0.0, 1.0
+            )
+            contrib = contrib + y_edge
+            contrib = xp.where(valid[:, :, None], contrib, 0.0)
+            return area + xp.sum(contrib, axis=1)[:, None, :]
+        # Per-sample winding.
+        new = area
+        for si, (ox, oy) in enumerate(offsets):
+            xs = (px + ox)[None, None, :]
+            ys = (py + oy)[None, None, :]
+            w = _seg_winding(
+                xp,
+                sx0[:, :, None], sy0[:, :, None], sx1[:, :, None],
+                sy1[:, :, None], sye[:, :, None], xs, ys,
+            )
+            w = xp.where(valid[:, :, None], w, 0.0)
+            new = new.at[:, si, :].add(xp.sum(w, axis=1)) if ops.is_jax(xp) else _np_add_slice(new, si, xp.sum(w, axis=1))
+        return new
 
     n_chunks = (max_segs + CH - 1) // CH
     area = ops.fori(xp, n_chunks, chunk_body, area)
 
-    eo = xp.abs(area - 2.0 * xp.round(0.5 * area))
-    nz = xp.minimum(xp.abs(area), 1.0)
+    if offsets is not None:
+        # Per-sample integer winding -> fill rule -> coverage fraction.
+        wi = xp.round(area).astype(xp.int32)
+        inside = xp.where(even_odd[:, None, None], (wi & 1) != 0, wi != 0)
+        return xp.mean(inside.astype(f32), axis=1)
+    a = area[:, 0, :]
+    eo = xp.abs(a - 2.0 * xp.round(0.5 * a))
+    nz = xp.minimum(xp.abs(a), 1.0)
     return xp.where(even_odd[:, None], eo, nz)
+
+
+def _np_add_slice(arr, si, v):
+    arr = arr.copy()
+    arr[:, si, :] += v
+    return arr
 
 
 def _blend_over(xp, rgba, fg, area):

@@ -58,6 +58,9 @@ class Renderer:
     def _fine_impl(self, caps):
         if not self.use_pallas:
             return None
+        if caps.get("aa_mode", "area") != "area":
+            # MSAA currently renders through the reference fine path.
+            return None
         from .fine_pallas import fine_pallas
 
         return fine_pallas
@@ -120,6 +123,7 @@ class Renderer:
                 scene_u32, layout, params.width, params.height, self._caps
             )
             self._est_key = est_key
+        self._caps["aa_mode"] = params.antialiasing_method.value
         caps = self._caps
 
         # Pad the scene buffer to its size class.
