@@ -72,7 +72,9 @@ def _seg_winding(xp, sx0, sy0, sx1, sy1, sye, xs, ys):
     safe_dy = xp.where(dy == 0.0, xp.float32(1.0), dy)
     t = (ys - sy0) / safe_dy
     xi = sx0 + t * (sx1 - sx0)
-    w = xp.where(covered & (xi > xs), -xp.sign(dy), 0.0)
+    # The analytic area formula accumulates crossings to the LEFT of the
+    # sample (segments left of the pixel contribute their full height).
+    w = xp.where(covered & (xi < xs), -xp.sign(dy), 0.0)
     w = w + xp.sign(sx1 - sx0) * (ys >= sye)
     return w
 
