@@ -194,13 +194,28 @@ def build_commands(
         "di": cdi[order],
         "dd": cdd[order],
     }
-    tile_ids = xp.arange(GRID, dtype=xp.int32)
-    cmds["tile_start"] = xp.searchsorted(cmds["tile"], tile_ids, side="left").astype(
-        xp.int32
-    )
-    cmds["tile_end"] = xp.searchsorted(cmds["tile"], tile_ids, side="right").astype(
-        xp.int32
-    )
-    cmds["n_cmds"] = xp.searchsorted(cmds["tile"], xp.int32(GRID - 1), side="left")
+    # Per-tile command ranges from run boundaries (unique scatters).
+    st = cmds["tile"]
+    PCn = st.shape[0]
+    i_ids = xp.arange(PCn, dtype=xp.int32)
+    prev = xp.concatenate([xp.full(1, -1, st.dtype), st[:-1]])
+    nxt = xp.concatenate([st[1:], xp.full(1, GRID + 1, st.dtype)])
+    first = (st != prev) & (st < GRID)
+    last = (st != nxt) & (st < GRID)
+    tile_start = xp.zeros(GRID, dtype=xp.int32)
+    tile_end = xp.zeros(GRID, dtype=xp.int32)
+    if ops.is_jax(xp):
+        tile_start = tile_start.at[xp.where(first, st, GRID)].set(
+            i_ids, mode="drop", unique_indices=True
+        )
+        tile_end = tile_end.at[xp.where(last, st, GRID)].set(
+            i_ids + 1, mode="drop", unique_indices=True
+        )
+    else:
+        tile_start = ops.scatter_set(xp, tile_start, xp.where(first, st, GRID), i_ids)
+        tile_end = ops.scatter_set(xp, tile_end, xp.where(last, st, GRID), i_ids + 1)
+    cmds["tile_start"] = tile_start
+    cmds["tile_end"] = tile_end
+    cmds["n_cmds"] = xp.sum((st < GRID).astype(xp.int32))
     cmds["overflow"] = pair_total > PC
     return cmds

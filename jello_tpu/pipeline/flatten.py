@@ -289,7 +289,7 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
 
     state = ops.while_bounded(xp, max_iters, cond, body, state)
     done = state[7]
-    rec_t0, rec_t1, rec_n = state[9], state[10], state[11]
+    rec_t0, rec_t1, rec_n = ops.barrier(xp, state[9], state[10], state[11])
     overflow = ~xp.all(done)
     return rec_t0, rec_t1, rec_n, overflow
 
@@ -297,15 +297,31 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
 def expand_by_counts(xp, counts, out_cap, total=None):
     """Expansion primitive: for counts[r] items per record, produce for
     each output slot j < out_cap its (record index, index within record,
-    valid flag)."""
+    valid flag).
+
+    Under jax this uses scatter+cummax instead of a binary search:
+    every nonzero record scatters its index at its exclusive offset
+    (offsets of nonzero records are distinct), and a cummax fills the
+    record id forward across its run — O(R + cap) with sequential
+    memory access, where the searchsorted formulation costs
+    O(cap * log R) *random* gathers (the dominant cost of the frame
+    before this change)."""
     counts = counts.astype(xp.int32)
     incl = xp.cumsum(counts)
     excl = incl - counts
     if total is None:
         total = incl[-1] if incl.shape[0] > 0 else xp.int32(0)
+    if ops.is_jax(xp):
+        marks = xp.zeros(out_cap, dtype=xp.int32)
+        r_ids = xp.arange(counts.shape[0], dtype=xp.int32)
+        tgt = xp.where(counts > 0, excl, out_cap)
+        marks = marks.at[tgt].max(r_ids, mode="drop")
+        rec_c = ops.cummax(xp, marks)
+    else:
+        j = xp.arange(out_cap, dtype=xp.int32)
+        rec = ops.searchsorted_right(xp, incl, j).astype(xp.int32)
+        rec_c = xp.minimum(rec, counts.shape[0] - 1)
     j = xp.arange(out_cap, dtype=xp.int32)
-    rec = ops.searchsorted_right(xp, incl, j).astype(xp.int32)
-    rec_c = xp.minimum(rec, counts.shape[0] - 1)
     within = j - excl[rec_c]
     valid = j < total
     return rec_c, within, valid, excl, total

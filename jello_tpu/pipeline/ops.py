@@ -103,6 +103,18 @@ def gather_guarded(xp, arr, idx):
     return arr[idx]
 
 
+def barrier(xp, *arrays):
+    """Materialization barrier: stops XLA from duplicating expensive
+    producers (e.g. re-running a while loop once per consumer) or fusing
+    them into downstream loop bodies. Identity under numpy."""
+    if is_jax(xp):
+        import jax
+
+        out = jax.lax.optimization_barrier(tuple(arrays))
+        return out if len(arrays) > 1 else out[0]
+    return arrays if len(arrays) > 1 else arrays[0]
+
+
 def cummax(xp, v):
     if is_jax(xp):
         import jax

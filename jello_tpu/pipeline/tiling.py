@@ -97,17 +97,9 @@ def tile_alloc(xp, draw_bbox, tag, layout, caps):
 
 
 def _expand(xp, counts, cap, total=None):
-    counts = counts.astype(xp.int32)
-    incl = xp.cumsum(counts)
-    excl = incl - counts
-    if total is None:
-        total = incl[-1]
-    j = xp.arange(cap, dtype=xp.int32)
-    rec = ops.searchsorted_right(xp, incl, j).astype(xp.int32)
-    rec = xp.minimum(rec, counts.shape[0] - 1)
-    within = j - excl[rec]
-    valid = j < total
-    return rec, within, valid, excl, total
+    from .flatten import expand_by_counts
+
+    return expand_by_counts(xp, counts, cap, total)
 
 
 def _line_setup(xp, x0, y0, x1, y1):
@@ -304,10 +296,25 @@ def path_count(xp, lines, paths, caps):
     sorted_line = c_rec[order]
     sorted_i = ci[order]
 
-    # Per-tile start/count.
-    tile_ids = xp.arange(T, dtype=xp.int32)
-    seg_start = xp.searchsorted(sorted_slot, tile_ids, side="left").astype(xp.int32)
-    seg_end = xp.searchsorted(sorted_slot, tile_ids, side="right").astype(xp.int32)
+    # Per-tile start/count from run boundaries of the sorted slots (one
+    # unique-index scatter each instead of two log-n binary searches).
+    i_ids = xp.arange(SC, dtype=xp.int32)
+    prev = xp.concatenate([xp.full(1, -1, sorted_slot.dtype), sorted_slot[:-1]])
+    nxt = xp.concatenate([sorted_slot[1:], xp.full(1, T + 1, sorted_slot.dtype)])
+    first = (sorted_slot != prev) & (sorted_slot < T)
+    last = (sorted_slot != nxt) & (sorted_slot < T)
+    seg_start = xp.zeros(T, dtype=xp.int32)
+    seg_end = xp.zeros(T, dtype=xp.int32)
+    if ops.is_jax(xp):
+        seg_start = seg_start.at[xp.where(first, sorted_slot, T)].set(
+            i_ids, mode="drop", unique_indices=True
+        )
+        seg_end = seg_end.at[xp.where(last, sorted_slot, T)].set(
+            i_ids + 1, mode="drop", unique_indices=True
+        )
+    else:
+        seg_start = ops.scatter_set(xp, seg_start, xp.where(first, sorted_slot, T), i_ids)
+        seg_end = ops.scatter_set(xp, seg_end, xp.where(last, sorted_slot, T), i_ids + 1)
     seg_count = (seg_end - seg_start).astype(xp.int32)
 
     # ---- Backdrop prefix along rows ------------------------------------
