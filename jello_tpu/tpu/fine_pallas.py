@@ -368,19 +368,22 @@ def make_fine_kernel(caps, img_shape=None):
                         )
                         onehot = jnp.astype(rows == flat, jnp.float32)
                         img_rows = img_buf[0:4, :]
-                        return jax.lax.dot_general(
+                        t4 = jax.lax.dot_general(
                             img_rows, onehot, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
+                        # Premultiply per tap (fine.wgsl applies
+                        # premul_alpha to each textureLoad *before*
+                        # bilinear mixing).
+                        return jnp.concatenate(
+                            [t4[0:1] * t4[3:4], t4[1:2] * t4[3:4],
+                             t4[2:3] * t4[3:4], t4[3:4]], axis=0)
 
                     aq = tap(y0i, x0i)
                     bq = tap(jnp.ceil(uy), x0i)
                     cq = tap(y0i, jnp.ceil(ux))
                     dq = tap(jnp.ceil(uy), jnp.ceil(ux))
                     fg = (aq + (bq - aq) * fy) * (1 - fx) + (cq + (dq - cq) * fy) * fx
-                    fg = jnp.concatenate(
-                        [fg[0:1] * fg[3:4], fg[1:2] * fg[3:4], fg[2:3] * fg[3:4],
-                         fg[3:4]], axis=0)
                     inbf = jnp.astype(inb, jnp.float32)
                     blend_over_px(fg * inbf, area[...] * inbf)
 
