@@ -1,0 +1,84 @@
+"""Comprehensive scene: all brush types + nested clips/blends + dashes
+in one frame (the scene used for device parity validation), plus the
+overflow-retry protocol."""
+
+import numpy as np
+
+import jello_tpu as jt
+from jello_tpu.curve import circle
+from jello_tpu.cpu import render_numpy
+from jello_tpu.renderer.params import RenderParams
+
+
+def full_scene():
+    s = jt.Scene()
+    stops = (
+        jt.ColorStop(0.0, jt.Color.rgba(1, 1, 0, 1)),
+        jt.ColorStop(0.5, jt.Color.rgba(1, 0, 1, 1)),
+        jt.ColorStop(1.0, jt.Color.rgba(0, 0, 1, 1)),
+    )
+    FULL = jt.BezPath().move_to(0, 0).line_to(256, 0).line_to(256, 256).line_to(0, 256).close()
+    s.fill(jt.Fill.NON_ZERO, jt.Affine.identity(),
+           jt.GradientBrush(jt.LinearGradient((0, 0), (256, 0), stops)), None, FULL)
+    s.fill(jt.Fill.EVEN_ODD, jt.Affine.identity(),
+           jt.GradientBrush(jt.RadialGradient((100, 100), 5.0, (120, 110), 80.0, stops, jt.Extend.REFLECT)),
+           None, circle(110, 105, 70))
+    s.fill(jt.Fill.NON_ZERO, jt.Affine.identity(),
+           jt.GradientBrush(jt.SweepGradient((180, 180), 0.0, 6.283185, stops)),
+           None, circle(180, 180, 50))
+    pix = np.zeros((4, 4, 4), np.uint8)
+    pix[:2, :2] = [255, 0, 0, 255]
+    pix[2:, 2:] = [0, 255, 0, 255]
+    pix[:2, 2:] = [0, 0, 255, 255]
+    pix[2:, :2] = [255, 255, 0, 128]
+    s.fill(jt.Fill.NON_ZERO, jt.Affine.translate(10, 180) @ jt.Affine.scale(12),
+           jt.ImageBrush(jt.Image(pixels=pix)), None,
+           jt.BezPath().move_to(0, 0).line_to(4, 0).line_to(4, 4).line_to(0, 4).close())
+    s.push_layer(jt.BlendMode(jt.Mix.MULTIPLY, jt.Compose.SRC_OVER), 0.8,
+                 jt.Affine.identity(), circle(128, 128, 100))
+    s.fill(jt.Fill.NON_ZERO, jt.Affine.identity(),
+           jt.SolidBrush(jt.Color.rgba(0.2, 0.9, 0.4, 0.7)), None, circle(120, 120, 60))
+    s.push_layer(jt.BlendMode(jt.Mix.CLIP, jt.Compose.SRC_OVER), 1.0,
+                 jt.Affine.identity(), circle(140, 140, 40))
+    s.fill(jt.Fill.NON_ZERO, jt.Affine.identity(),
+           jt.SolidBrush(jt.Color.rgba(0.9, 0.1, 0.1, 1)), None, FULL)
+    s.pop_layer()
+    s.pop_layer()
+    s.stroke(jt.Stroke(width=5, dash_pattern=(12, 6)).with_caps(jt.Cap.ROUND),
+             jt.Affine.identity(), jt.SolidBrush(jt.Color.rgba(0, 0, 0, 1)), None,
+             jt.BezPath().move_to(10, 30).cubic_to(80, 5, 170, 60, 246, 25))
+    return s
+
+
+PARAMS = RenderParams(width=256, height=256, base_color=jt.Color.rgba(1, 1, 1, 1))
+
+
+def test_full_scene_renders():
+    img, flags, caps = render_numpy(full_scene(), PARAMS)
+    assert not any(bool(v) for v in flags.values())
+    assert img.shape == (256, 256, 4)
+    # spot checks: sweep circle center region has paint, image quadrant red
+    assert img[180 + 10, 180, 3] == 1.0
+    assert img[186, 16, 0] > 0.8  # red image texel region
+
+
+def test_overflow_retry_recovers():
+    """Force tiny capacities: the retry protocol must converge to the
+    same image as a correctly sized first attempt."""
+    from jello_tpu.renderer.estimate import estimate_caps
+
+    ref, flags, _ = render_numpy(full_scene(), PARAMS)
+    tiny = estimate_caps(
+        type("L", (), {"n_path_tags": 1, "n_paths": 1, "n_draw_objects": 1, "n_clips": 1})(),
+        16, 16,
+    )
+    tiny.update(
+        euler_line_cap=1 << 9, simple_line_cap=1 << 8, arc_line_cap=1 << 8,
+        line_cap=1 << 10, seg_cap=1 << 10, row_cap=1 << 9, tiles_cap=1 << 8,
+        pair_cap=1 << 8, area_rows_cap=1 << 8, tile_grid_cap=256,
+        n_paths_cap=64, n_draws_cap=64, info_cap=1 << 9, n_tag_slots=1024,
+        blend_depth=1, aa_mode="area",
+    )
+    img, flags, caps = render_numpy(full_scene(), PARAMS, caps=tiny, max_retries=12)
+    assert not any(bool(v) for v in flags.values()), flags
+    assert np.abs(img - ref).max() < 1e-4
