@@ -36,6 +36,18 @@ def compute_area_rows(xp, counted, segs, caps):
     ).astype(xp.int32)
     row = xp.where(row < AR, row, AR)
 
+    # Materialize loop inputs (prevents re-running path_tiling inside
+    # every chunk iteration via fusion).
+    sx0a, sy0a, sx1a, sy1a, syea, row = ops.barrier(
+        xp,
+        segs["seg_x0"], segs["seg_y0"], segs["seg_x1"], segs["seg_y1"],
+        segs["seg_y_edge"], row,
+    )
+    segs = {
+        "seg_x0": sx0a, "seg_y0": sy0a, "seg_x1": sx1a, "seg_y1": sy1a,
+        "seg_y_edge": syea,
+    }
+
     # Pixel coordinate constants.
     p = xp.arange(256, dtype=xp.int32)
     lx = (p % 16).astype(f32)[None, :]

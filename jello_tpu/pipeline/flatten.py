@@ -209,6 +209,10 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
     N = P[0].shape[0]
     IT = max_iters
     f32 = xp.float32
+    # Materialize the inputs: without this XLA fuses their (gather-heavy)
+    # producers into the while body and recomputes them every iteration.
+    P = list(ops.barrier(xp, *P)) if N > 0 else P
+    offset, scale, active = ops.barrier(xp, offset, scale, active)
     degenerate = (
         (P[0] == P[2]) & (P[1] == P[3]) & (P[0] == P[4]) & (P[1] == P[5])
         & (P[0] == P[6]) & (P[1] == P[7])
