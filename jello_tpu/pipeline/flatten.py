@@ -659,30 +659,37 @@ def flatten_stage(xp, scene, layout, caps):
     )
     e_pass = (rec_idx >= NWA * IT).astype(xp.int32)
     e_work = xp.where(e_pass == 0, rec_idx // IT, (rec_idx - NWA * IT) // IT)
-    e_slot = xp.where(
-        e_pass == 0,
-        ops.gather_guarded(xp, wl_a, e_work),
-        ops.gather_guarded(xp, wl_b, e_work),
-    )
-    sel_idx = e_pass * N + e_slot
+    work_global = xp.where(e_pass == 0, e_work, NWA + e_work)
 
-    Pcat = [xp.concatenate([PA[i], P[i]]) for i in range(8)]
-    off_cat = xp.concatenate([off_a, off_b])
-    scale_cat = xp.concatenate([scale, scale])
-    tsx_cat = xp.concatenate([tstart_ax, tstart_bx])
-    tsy_cat = xp.concatenate([tstart_ay, tstart_by])
-    tex_cat = xp.concatenate([tend_ax, tend_bx])
-    tey_cat = xp.concatenate([tend_ay, tend_by])
-    Tcat = [xp.concatenate([TA[i], T[i]]) for i in range(6)]
+    # Pack all per-work-item parameters into one row table so the line
+    # expansion does a single row gather instead of ~22 scalar gathers
+    # (the expansion is gather-bound).
+    fpath = path_idx.astype(xp.float32)
+    a_cols = list(PA_w) + [
+        gA(off_a), gA(scale),
+        gA(tstart_ax), gA(tstart_ay), gA(tend_ax), gA(tend_ay),
+    ] + [gA(TA[i]) for i in range(6)] + [gA(fpath)]
+    b_cols = list(PB_w) + [
+        gB(off_b), gB(scale),
+        gB(tstart_bx), gB(tstart_by), gB(tend_bx), gB(tend_by),
+    ] + [gB(T[i]) for i in range(6)] + [gB(fpath)]
+    table = xp.concatenate(
+        [xp.stack(a_cols, axis=1), xp.stack(b_cols, axis=1)], axis=0
+    )  # [NWA+NWB, 21]
 
-    P8l = tuple(ops.gather_guarded(xp, Pcat[i], sel_idx) for i in range(8))
+    row = ops.gather_guarded(xp, table, work_global)
+    P8l = tuple(row[:, i] for i in range(8))
+    off_l = row[:, 8]
+    scale_l = row[:, 9]
+    tsx_l = row[:, 10]
+    tsy_l = row[:, 11]
+    tex_l = row[:, 12]
+    tey_l = row[:, 13]
+    Tl = [row[:, 14 + i] for i in range(6)]
+    e_path = row[:, 20].astype(xp.int32)
     t0_l = recs_t0[rec_idx]
     t1_l = recs_t1[rec_idx]
     n_l = recs_n[rec_idx]
-    off_l = ops.gather_guarded(xp, off_cat, sel_idx)
-    scale_l = ops.gather_guarded(xp, scale_cat, sel_idx)
-    tex_l = ops.gather_guarded(xp, tex_cat, sel_idx)
-    tey_l = ops.gather_guarded(xp, tey_cat, sel_idx)
 
     lp1x, lp1y = euler_line_points(
         xp, P8l, t0_l, t1_l, within, n_l, off_l, scale_l, tex_l, tey_l
@@ -697,8 +704,6 @@ def flatten_stage(xp, scene, layout, caps):
     is_first = j == group_start_line
     prev1x = xp.concatenate([lp1x[:1] * 0, lp1x[:-1]])
     prev1y = xp.concatenate([lp1y[:1] * 0, lp1y[:-1]])
-    tsx_l = ops.gather_guarded(xp, tsx_cat, sel_idx)
-    tsy_l = ops.gather_guarded(xp, tsy_cat, sel_idx)
     lp0x = xp.where(is_first, tsx_l, prev1x)
     lp0y = xp.where(is_first, tsy_l, prev1y)
     # Negative-offset passes swap line direction (flatten.go:488-498).
@@ -707,10 +712,8 @@ def flatten_stage(xp, scene, layout, caps):
     e_y0 = xp.where(swap, lp1y, lp0y)
     e_x1 = xp.where(swap, lp0x, lp1x)
     e_y1 = xp.where(swap, lp0y, lp1y)
-    Tl = [ops.gather_guarded(xp, Tcat[i], sel_idx) for i in range(6)]
     e_x0, e_y0 = _apply_transform(Tl, e_x0, e_y0)
     e_x1, e_y1 = _apply_transform(Tl, e_x1, e_y1)
-    e_path = ops.gather_guarded(xp, path_idx, e_slot)
 
     # Simple lines.
     SC = caps["simple_line_cap"]
