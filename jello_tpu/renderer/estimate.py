@@ -25,6 +25,14 @@ def _pow2(n: int, lo: int) -> int:
     return p
 
 
+def _bucket(n: int, lo: int, q: int = 8192) -> int:
+    """Round up to a multiple of q (finer-grained than powers of two;
+    expansion stages process the full capacity, so cap slack is wasted
+    work). Compiled-class churn is bounded by the retry protocol."""
+    v = max(int(n), lo, 1)
+    return -(-v // q) * q
+
+
 def estimate_caps(layout, width: int, height: int, base=None) -> dict:
     """Initial capacity class for a resolved encoding."""
     caps = dict(base) if base else {}
@@ -214,16 +222,16 @@ def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=No
     n_seg_slots = int(np.sum(seg & ~(is_stroke & is_marker)))
     n_stroke_slots = int(np.sum(regular_stroke))
     est = dict(
-        work_a_cap=_pow2(n_seg_slots + 1, 256),
-        work_b_cap=_pow2(n_stroke_slots + 1, 256),
-        euler_line_cap=_pow2(int(euler_lines * SAFETY), 1 << 12),
-        simple_line_cap=_pow2(int(simple_lines * SAFETY), 1 << 10),
-        arc_line_cap=_pow2(int(arc_lines * SAFETY), 1 << 10),
-        seg_cap=_pow2(int(max(crossings * SAFETY, 512)), 1 << 13),
-        row_cap=_pow2(int(max(crossings * SAFETY, 512)), 1 << 12),
-        tiles_cap=_pow2(int(tiles * SAFETY + 256), 1 << 12),
-        pair_cap=_pow2(int(tiles * SAFETY + 256), 1 << 12),
-        area_rows_cap=_pow2(int(min(crossings, tiles) * SAFETY + 256), 1 << 12),
+        work_a_cap=_bucket(n_seg_slots + 1, 256, 1024),
+        work_b_cap=_bucket(n_stroke_slots + 1, 256, 1024),
+        euler_line_cap=_bucket(int(euler_lines * SAFETY), 1 << 12),
+        simple_line_cap=_bucket(int(simple_lines * SAFETY), 1 << 10, 2048),
+        arc_line_cap=_bucket(int(arc_lines * SAFETY), 1 << 10, 2048),
+        seg_cap=_bucket(int(max(crossings * SAFETY, 512)), 1 << 13),
+        row_cap=_bucket(int(max(crossings * SAFETY, 512)), 1 << 12),
+        tiles_cap=_bucket(int(tiles * SAFETY + 256), 1 << 12),
+        pair_cap=_bucket(int(tiles * SAFETY + 256), 1 << 12),
+        area_rows_cap=_bucket(int(min(crossings, tiles) * SAFETY + 256), 1 << 12),
     )
     # Start from the stream-based caps for the non-estimated fields,
     # then *override* the estimated ones (the whole point is that the
@@ -236,8 +244,8 @@ def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=No
         for k, v in base.items():
             if isinstance(v, int):
                 caps[k] = max(caps.get(k, 0), v)
-    caps["line_cap"] = _pow2(
-        caps["euler_line_cap"] + caps["simple_line_cap"] + caps["arc_line_cap"], 1
+    caps["line_cap"] = (
+        caps["euler_line_cap"] + caps["simple_line_cap"] + caps["arc_line_cap"]
     )
     if base:
         caps["line_cap"] = max(caps["line_cap"], base.get("line_cap", 0))
