@@ -61,6 +61,8 @@ class Renderer:
         if caps.get("aa_mode", "area") != "area":
             # MSAA currently renders through the reference fine path.
             return None
+        if caps.get("_no_pallas_fine"):
+            return None
         from .fine_pallas import fine_pallas
 
         return fine_pallas
@@ -136,6 +138,13 @@ class Renderer:
             else np.zeros((1, 512, 4), dtype=np.float32)
         )
         atlas = build_image_atlas(images)
+
+        # The Pallas fine kernel holds one image's planes in VMEM scratch;
+        # very large images fall back to the XLA fine path.
+        if atlas is not None and atlas.shape[1] * atlas.shape[2] > (1 << 16):
+            caps = dict(caps)
+            caps["aa_mode"] = caps.get("aa_mode", "area")
+            caps["_no_pallas_fine"] = True
 
         packed_layout = jnp.asarray(render_mod.pack_layout(ld_np))
         scene_dev = jnp.asarray(scene_padded)
