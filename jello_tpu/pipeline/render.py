@@ -22,8 +22,7 @@ from . import tiling
 
 DEFAULT_CAPS = dict(
     n_tag_slots=1024,
-    max_emits=16,
-    max_iters=52,
+    max_iters=32,
     euler_line_cap=1 << 14,
     simple_line_cap=1 << 12,
     arc_line_cap=1 << 12,

@@ -137,7 +137,7 @@ def _extend(t, mode):
     return jnp.where(mode == 0, pad, jnp.where(mode == 1, rep, refl))
 
 
-def make_fine_kernel(caps, img_shape=None):
+def make_fine_kernel(caps, img_shape=None, interpret=False):
     GRID = caps["tile_grid_cap"]
     MC = caps["cmds_per_tile"]
     BD = caps["blend_depth"]
@@ -473,10 +473,11 @@ def make_fine_kernel(caps, img_shape=None):
             jax.ShapeDtypeStruct((GRID, 4, 256), jnp.float32),
             jax.ShapeDtypeStruct((GRID, 1, 128), jnp.int32),
         ),
+        interpret=interpret,
     )
 
 
-def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps):
+def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, interpret=False):
     """Drop-in replacement for fine_ref.fine (jnp), Pallas-accelerated.
 
     Returns (fine_out [4, GRID, 256], flags dict)."""
@@ -516,7 +517,7 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps):
     )
     scalars = jnp.asarray(layout["base_color"], dtype=jnp.float32)
 
-    call = make_fine_kernel(caps, img_shape)
+    call = make_fine_kernel(caps, img_shape, interpret=interpret)
     out, ovf = call(counts, scalars, slab, area_blk, ramps_cp, img_flat)
     fine_out = jnp.transpose(out, (1, 0, 2))  # [4, GRID, 256]
     flags = {
