@@ -687,9 +687,17 @@ def flatten_stage(xp, scene, layout, caps):
     tey_l = row[:, 13]
     Tl = [row[:, 14 + i] for i in range(6)]
     e_path = row[:, 20].astype(xp.int32)
-    t0_l = recs_t0[rec_idx]
-    t1_l = recs_t1[rec_idx]
-    n_l = recs_n[rec_idx]
+    # Same packing trick for the per-record fields: one row gather
+    # instead of three element gathers over the [NW*IT] record arrays
+    # (plus one more for the group-start lookup below).
+    recs_pack = xp.stack(
+        [recs_t0, recs_t1, recs_n.astype(xp.float32), excl.astype(xp.float32)],
+        axis=1,
+    )
+    rrow = ops.gather_guarded(xp, recs_pack, rec_idx)
+    t0_l = rrow[:, 0]
+    t1_l = rrow[:, 1]
+    n_l = rrow[:, 2]
 
     lp1x, lp1y = euler_line_points(
         xp, P8l, t0_l, t1_l, within, n_l, off_l, scale_l, tex_l, tey_l
@@ -699,7 +707,9 @@ def flatten_stage(xp, scene, layout, caps):
     group_first_rec = xp.where(
         e_pass == 0, e_work * IT, NWA * IT + e_work * IT
     )
-    group_start_line = excl[group_first_rec]
+    group_start_line = ops.gather_guarded(xp, recs_pack, group_first_rec)[
+        :, 3
+    ].astype(xp.int32)
     j = xp.arange(EC, dtype=xp.int32)
     is_first = j == group_start_line
     prev1x = xp.concatenate([lp1x[:1] * 0, lp1x[:-1]])

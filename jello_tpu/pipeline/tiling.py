@@ -249,43 +249,78 @@ def path_count(xp, lines, paths, caps):
     ymin = xp.where(line_dead, f32(0.0), ymin)
     ymax = xp.where(line_dead, f32(0.0), ymax)
 
+    # ---- Packed per-line parameter table -------------------------------
+    # Both expansions below (rows, crossings) and path_tiling read a
+    # dozen per-line scalars per expanded record. A dozen independent
+    # element gathers over ~10^5-10^6 records are gather-bound on TPU
+    # (~0.6 GB/s effective each); packing the scalars into one f32 row
+    # per line turns them into a single contiguous row gather (same
+    # trick as the flatten expansion's param table). Integer-valued
+    # columns (stride, tiles_base, delta, flags) are exact in f32
+    # (|value| < 2^24).
+    P = xp.stack(
+        [
+            imin,                                  # 0
+            a,                                     # 1
+            b,                                     # 2
+            sign,                                  # 3
+            y0i,                                   # 4
+            x0f,                                   # 5
+            bb0,                                   # 6
+            bb1,                                   # 7
+            bb2,                                   # 8
+            stride.astype(f32),                    # 9
+            tiles_base.astype(f32),                # 10
+            s0y,                                   # 11
+            delta.astype(f32),                     # 12
+            ymin,                                  # 13
+            ls["xy0x"],                            # 14  (path_tiling)
+            ls["xy0y"],                            # 15
+            ls["xy1x"],                            # 16
+            ls["xy1y"],                            # 17
+            ls["is_down"].astype(f32),             # 18
+            ls["count"].astype(f32),               # 19
+            ls["is_positive"].astype(f32),         # 20
+        ],
+        axis=1,
+    )
+
     # ---- Backdrop row deltas (column 0 of each path row) ---------------
     n_rows = xp.maximum((ymax - ymin).astype(xp.int32), 0)
     RC = caps["row_cap"]
     backdrop = xp.zeros(T + 1, dtype=xp.int32)
     r_rec, r_within, r_valid, _, r_total = _expand(xp, n_rows, RC)
-    r_y = ops.gather_guarded(xp, ymin, r_rec).astype(xp.int32) + r_within
-    r_slot = ops.gather_guarded(xp, tiles_base, r_rec) + (
-        r_y - ops.gather_guarded(xp, bb1, r_rec).astype(xp.int32)
-    ) * ops.gather_guarded(xp, stride, r_rec)
+    PR = ops.gather_guarded(xp, P, r_rec)
+    r_y = PR[:, 13].astype(xp.int32) + r_within
+    r_slot = PR[:, 10].astype(xp.int32) + (
+        r_y - PR[:, 7].astype(xp.int32)
+    ) * PR[:, 9].astype(xp.int32)
     r_slot = xp.where(r_valid, r_slot, T)
-    backdrop = ops.scatter_add(
-        xp, backdrop, r_slot, ops.gather_guarded(xp, delta, r_rec)
-    )
+    backdrop = ops.scatter_add(xp, backdrop, r_slot, PR[:, 12].astype(xp.int32))
 
     # ---- Crossings -----------------------------------------------------
     n_cross = xp.maximum((imax - imin).astype(xp.int32), 0)
     c_rec, c_within, c_valid, _, c_total = _expand(xp, n_cross, SC)
-    g = lambda arr: ops.gather_guarded(xp, arr, c_rec)
-    ci = g(imin) + c_within.astype(f32)
-    ca, cb, csign = g(a), g(b), g(sign)
-    cy0, cx0 = g(y0i), g(x0f)
+    PC = ops.gather_guarded(xp, P, c_rec)
+    ci = PC[:, 0] + c_within.astype(f32)
+    ca, cb, csign = PC[:, 1], PC[:, 2], PC[:, 3]
+    cy0, cx0 = PC[:, 4], PC[:, 5]
     zf = ca * ci + cb
     z = xp.floor(zf)
     cy = (cy0 + ci - z).astype(xp.int32)
     cx = (cx0 + csign * z).astype(xp.int32)
-    cbb0 = g(bb0).astype(xp.int32)
-    cbb1 = g(bb1).astype(xp.int32)
-    cbb2 = g(bb2).astype(xp.int32)
-    cstride = g(stride.astype(f32)).astype(xp.int32)
-    cbase = g(tiles_base) + (cy - cbb1) * cstride - cbb0
+    cbb0 = PC[:, 6].astype(xp.int32)
+    cbb1 = PC[:, 7].astype(xp.int32)
+    cbb2 = PC[:, 8].astype(xp.int32)
+    cstride = PC[:, 9].astype(xp.int32)
+    cbase = PC[:, 10].astype(xp.int32) + (cy - cbb1) * cstride - cbb0
     last_z = xp.floor(ca * (ci - 1.0) + cb)
-    top_edge = xp.where(ci == 0.0, cy0 == g(s0y), last_z == z)
+    top_edge = xp.where(ci == 0.0, cy0 == PC[:, 11], last_z == z)
     # Top-edge backdrop bumps.
     bump_ok = top_edge & (cx + 1 < cbb2) & c_valid
     x_bump = xp.maximum(cx + 1, cbb0)
     bump_slot = xp.where(bump_ok, cbase + x_bump, T)
-    backdrop = ops.scatter_add(xp, backdrop, bump_slot, g(delta))
+    backdrop = ops.scatter_add(xp, backdrop, bump_slot, PC[:, 12].astype(xp.int32))
 
     tile_slot = cbase + cx
     tile_slot = xp.where(c_valid, tile_slot, T)
@@ -331,6 +366,7 @@ def path_count(xp, lines, paths, caps):
 
     overflow = (c_total > SC) | (r_total > RC)
     return {
+        "line_params": P,
         "sorted_slot": sorted_slot,
         "sorted_line": sorted_line,
         "sorted_i": sorted_i,
@@ -352,8 +388,24 @@ def path_tiling(xp, lines, counted, caps):
     f32 = xp.float32
     line_idx = counted["sorted_line"]
     i = counted["sorted_i"]
-    g = lambda arr: ops.gather_guarded(xp, arr, line_idx)
-    ls = _line_setup(xp, g(lines["line_x0"]), g(lines["line_y0"]), g(lines["line_x1"]), g(lines["line_y1"]))
+    # One row gather from the packed per-line table built by path_count
+    # (columns documented there) instead of re-gathering endpoints and
+    # re-running the line setup per crossing.
+    PT = ops.gather_guarded(xp, counted["line_params"], line_idx)
+    ls = {
+        "a": PT[:, 1],
+        "b": PT[:, 2],
+        "sign": PT[:, 3],
+        "y0i": PT[:, 4],
+        "x0f": PT[:, 5],
+        "xy0x": PT[:, 14],
+        "xy0y": PT[:, 15],
+        "xy1x": PT[:, 16],
+        "xy1y": PT[:, 17],
+        "is_down": PT[:, 18] > 0.5,
+        "count": PT[:, 19],
+        "is_positive": PT[:, 20] > 0.5,
+    }
     a, b, sign = ls["a"], ls["b"], ls["sign"]
     y0i, x0f = ls["y0i"], ls["x0f"]
     z = xp.floor(a * i + b)
