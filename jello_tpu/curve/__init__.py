@@ -29,6 +29,9 @@ class Point:
         yield self.x
         yield self.y
 
+    def __getitem__(self, i: int) -> float:
+        return (self.x, self.y)[i]
+
     def __add__(self, o: "Point") -> "Point":
         return Point(self.x + o.x, self.y + o.y)
 

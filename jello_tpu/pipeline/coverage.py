@@ -17,7 +17,7 @@ COVERAGE_CHUNK = 1024
 
 
 def compute_area_rows(xp, counted, segs, caps):
-    """Returns (area_rows [AR+1, 256] f32, overflow).
+    """Returns (area_rows [AR+CH, 256] f32, overflow); rows [AR:] are slack.
 
     Row indices are `counted["row_of_slot"][slot]` for slots with
     segments; rows include the slot's backdrop winding.
@@ -27,21 +27,35 @@ def compute_area_rows(xp, counted, segs, caps):
     CH = COVERAGE_CHUNK
     f32 = xp.float32
 
-    # Per-segment target row.
+    # Per-segment target row. row_of_slot assigns *dense ranks* to the
+    # slots that have segments, and the segment stream is sorted by
+    # slot, so the row sequence is non-decreasing and covers every rank
+    # in [0, n_rows) with no gaps. Invalid tail segments (slot == T)
+    # are remapped to the last valid row via cummax (their contribution
+    # is zeroed below), preserving density: any 1024-segment window
+    # then spans a contiguous row range of width < 1024, which lets the
+    # accumulation below use a contiguous slice-add instead of a
+    # scatter.
     slot = counted["sorted_slot"]
     T = counted["seg_count"].shape[0]
     valid = slot < T
     row = xp.where(
-        valid, ops.gather_guarded(xp, counted["row_of_slot"], slot), AR
+        valid,
+        ops.gather_guarded(xp, counted["row_of_slot"], slot),
+        xp.int32(-1),
     ).astype(xp.int32)
-    row = xp.where(row < AR, row, AR)
+    row = xp.maximum(ops.cummax(xp, row), 0)
+    # Overflow safety only (frame is discarded and retried): keep the
+    # slice windows in bounds.
+    row = xp.minimum(row, AR - 1)
+    valid_f = valid.astype(f32)
 
     # Materialize loop inputs (prevents re-running path_tiling inside
     # every chunk iteration via fusion).
-    sx0a, sy0a, sx1a, sy1a, syea, row = ops.barrier(
+    sx0a, sy0a, sx1a, sy1a, syea, row, valid_f = ops.barrier(
         xp,
         segs["seg_x0"], segs["seg_y0"], segs["seg_x1"], segs["seg_y1"],
-        segs["seg_y_edge"], row,
+        segs["seg_y_edge"], row, valid_f,
     )
     segs = {
         "seg_x0": sx0a, "seg_y0": sy0a, "seg_x1": sx1a, "seg_y1": sy1a,
@@ -53,10 +67,9 @@ def compute_area_rows(xp, counted, segs, caps):
     lx = (p % 16).astype(f32)[None, :]
     ly = (p // 16).astype(f32)[None, :]
 
-    # Table rows: AR real rows, 1 drop row, CH unique dump rows for the
-    # MXU-segmented accumulation (see body()).
-    area = xp.zeros((AR + 1 + CH, 256), dtype=f32)
-    ar_ids = xp.arange(CH, dtype=xp.int32)
+    # AR real rows + CH slack so each chunk's contiguous window fits.
+    area = xp.zeros((AR + CH, 256), dtype=f32)
+    q_ids = xp.arange(CH, dtype=xp.int32)
 
     n_chunks = (SC + CH - 1) // CH
 
@@ -68,7 +81,6 @@ def compute_area_rows(xp, counted, segs, caps):
         sx1 = sl(segs["seg_x1"])[:, None]
         sy1 = sl(segs["seg_y1"])[:, None]
         sye = sl(segs["seg_y_edge"])[:, None]
-        rows = sl(row)
         dx = sx1 - sx0
         dy = sy1 - sy0
         y = sy0 - ly
@@ -90,33 +102,43 @@ def compute_area_rows(xp, counted, segs, caps):
         a = (b + 0.5 * (d * d - cc * cc) - xmin) / (xmax0 - xmin)
         contrib = xp.where(dyc != 0.0, a * dyc, 0.0)
         contrib = contrib + xp.sign(dx) * xp.clip(ly - sye + 1.0, 0.0, 1.0)
+        contrib = contrib * sl(valid_f)[:, None]
 
-        # Segmented accumulation without duplicate-index scatter: rows
-        # within a chunk are sorted, so group segments by their rank
-        # (first-occurrence position) with a one-hot matmul on the MXU,
-        # then scatter the per-rank sums to *unique* target rows (ranks
-        # that are not first occurrences carry all-zero sums and go to
-        # per-chunk dump rows).
-        ranks = xp.searchsorted(rows, rows, side="left").astype(xp.int32)
-        onehot = (ranks[None, :] == ar_ids[:, None]).astype(f32)  # (CH, CH)
+        # Segmented accumulation without any 256-wide scatter: rows in
+        # this chunk are non-decreasing and dense, so they span the
+        # contiguous range [rmin, rmin + CH). Run sums come from the
+        # chunk-local inclusive cumsum differenced at run boundaries
+        # (exact per chunk: magnitudes are bounded by the chunk), and
+        # land in the area table with one contiguous slice-add. Runs
+        # spanning chunk borders accumulate across iterations.
+        rows = sl(row)
+        rmin = rows[0]
+        r_local = rows - rmin  # in [0, CH)
+        lc = xp.cumsum(contrib, axis=0)
+        # Last in-chunk position of each local row (max combines
+        # duplicates associatively).
+        if ops.is_jax(xp):
+            lp = xp.full((CH,), -1, dtype=xp.int32)
+            lp = lp.at[r_local].max(q_ids, mode="drop")
+        else:
+            import numpy as _np
+
+            lp = _np.full((CH,), -1, dtype=_np.int32)
+            m = (r_local >= 0) & (r_local < CH)
+            _np.maximum.at(lp, r_local[m], q_ids[m])
+        gm = ops.gather_guarded(xp, lc, xp.maximum(lp, 0))
+        present = (lp >= 0)[:, None]
+        gm = xp.where(present, gm, f32(0.0))
+        gprev = xp.concatenate([xp.zeros((1, 256), dtype=f32), gm[:-1]])
+        partial = xp.where(present, gm - gprev, f32(0.0))
+
         if ops.is_jax(xp):
             import jax
 
-            per_rank = jax.lax.dot_general(
-                onehot, contrib, (((1,), (0,)), ((), ())),
-                preferred_element_type=xp.float32,
-            )
-        else:
-            per_rank = onehot @ contrib
-        is_first = ranks == ar_ids
-        tgt = xp.where(is_first, rows, AR + 1 + ar_ids)
-        if ops.is_jax(xp):
-            return area.at[tgt].add(per_rank, mode="drop", unique_indices=True)
-        out = area.copy()
-        import numpy as _np
-
-        _np.add.at(out, tgt, per_rank)
-        return out
+            cur = jax.lax.dynamic_slice(area, (rmin, 0), (CH, 256))
+            return jax.lax.dynamic_update_slice(area, cur + partial, (rmin, 0))
+        area[rmin : rmin + CH] += partial
+        return area
 
     area = ops.fori(xp, n_chunks, body, area)
 
