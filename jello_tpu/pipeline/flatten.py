@@ -821,16 +821,25 @@ def flatten_stage(xp, scene, layout, caps):
     line_valid = lpath < n_paths_cap
 
     # --- Path bboxes ----------------------------------------------------
+    # One 4-wide scatter-max instead of four element scatters: the mins
+    # ride along negated (max(-x) == -min(x)).
     big = xp.float32(1e30)
-    bb_x0 = xp.full(n_paths_cap, big, dtype=f32)
-    bb_y0 = xp.full(n_paths_cap, big, dtype=f32)
-    bb_x1 = xp.full(n_paths_cap, -big, dtype=f32)
-    bb_y1 = xp.full(n_paths_cap, -big, dtype=f32)
     pidx = xp.where(line_valid, lpath, n_paths_cap)
-    bb_x0 = ops.scatter_min(xp, bb_x0, pidx, xp.minimum(lx0, lx1))
-    bb_y0 = ops.scatter_min(xp, bb_y0, pidx, xp.minimum(ly0, ly1))
-    bb_x1 = ops.scatter_max(xp, bb_x1, pidx, xp.maximum(lx0, lx1))
-    bb_y1 = ops.scatter_max(xp, bb_y1, pidx, xp.maximum(ly0, ly1))
+    bb_acc = xp.full((n_paths_cap, 4), -big, dtype=f32)
+    upd = xp.stack(
+        [
+            -xp.minimum(lx0, lx1),
+            -xp.minimum(ly0, ly1),
+            xp.maximum(lx0, lx1),
+            xp.maximum(ly0, ly1),
+        ],
+        axis=1,
+    )
+    bb_acc = ops.scatter_max(xp, bb_acc, pidx, upd)
+    bb_x0 = -bb_acc[:, 0]
+    bb_y0 = -bb_acc[:, 1]
+    bb_x1 = bb_acc[:, 2]
+    bb_y1 = bb_acc[:, 3]
     empty = bb_x0 > bb_x1
     # Sentinel bbox for line-less paths (reference: bbox_clear).
     path_bbox = xp.stack(

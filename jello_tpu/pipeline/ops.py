@@ -18,7 +18,7 @@ def scatter_add(xp, target, idx, values):
         return target.at[idx].add(values, mode="drop")
     out = np.array(target, copy=True)
     idx = np.asarray(idx)
-    values = np.broadcast_to(values, idx.shape)
+    values = np.broadcast_to(values, idx.shape + target.shape[1:])
     mask = (idx >= 0) & (idx < out.shape[0])
     np.add.at(out, idx[mask], values[mask])
     return out
@@ -29,7 +29,7 @@ def scatter_min(xp, target, idx, values):
         return target.at[idx].min(values, mode="drop")
     out = np.array(target, copy=True)
     idx = np.asarray(idx)
-    values = np.broadcast_to(values, idx.shape)
+    values = np.broadcast_to(values, idx.shape + target.shape[1:])
     mask = (idx >= 0) & (idx < out.shape[0])
     np.minimum.at(out, idx[mask], values[mask])
     return out
@@ -40,7 +40,7 @@ def scatter_max(xp, target, idx, values):
         return target.at[idx].max(values, mode="drop")
     out = np.array(target, copy=True)
     idx = np.asarray(idx)
-    values = np.broadcast_to(values, idx.shape)
+    values = np.broadcast_to(values, idx.shape + target.shape[1:])
     mask = (idx >= 0) & (idx < out.shape[0])
     np.maximum.at(out, idx[mask], values[mask])
     return out
@@ -100,6 +100,39 @@ def gather_guarded(xp, arr, idx):
     """arr[idx] with out-of-range indices clamped (values unspecified but
     in-bounds; callers mask)."""
     idx = xp.clip(idx.astype(xp.int64) if not is_jax(xp) else idx.astype(xp.int32), 0, arr.shape[0] - 1)
+    return arr[idx]
+
+
+def gather_rows(xp, arr, starts, width):
+    """arr[starts[i] : starts[i]+width] for each i -> [len(starts), width].
+
+    One sliced gather (contiguous words per row) instead of `width`
+    independent element gathers. Out-of-range starts are clamped so the
+    slice stays in bounds (values unspecified; callers mask).
+
+    CAUTION: measured MUCH slower than element gathers on TPU/XLA (the
+    multi-element-slice gather lowers poorly; +190 ms on config5 when
+    used in the slab build). Prefer packing into a stacked row table
+    and gathering rows of it; use this only off the hot path."""
+    if is_jax(xp):
+        import jax
+
+        return jax.lax.gather(
+            arr,
+            starts[:, None].astype(xp.int32),
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,),
+                collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=(width,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+    idx = np.clip(
+        np.asarray(starts)[:, None].astype(np.int64) + np.arange(width),
+        0,
+        arr.shape[0] - 1,
+    )
     return arr[idx]
 
 

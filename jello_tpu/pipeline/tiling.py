@@ -176,13 +176,23 @@ def path_count(xp, lines, paths, caps):
     )
     valid = lines["line_valid"] & ~ls["skip"]
 
+    # One row gather for the five per-path fields (vs five element
+    # gathers over the line array).
     pidx = xp.minimum(lines["line_path"], paths["rect_x0"].shape[0] - 1)
-    bb0 = ops.gather_guarded(xp, paths["rect_x0"], pidx).astype(f32)
-    bb1 = ops.gather_guarded(xp, paths["rect_y0"], pidx).astype(f32)
-    bb2 = ops.gather_guarded(xp, paths["rect_x1"], pidx).astype(f32)
-    bb3 = ops.gather_guarded(xp, paths["rect_y1"], pidx).astype(f32)
+    ptab = xp.stack(
+        [
+            paths["rect_x0"].astype(f32),
+            paths["rect_y0"].astype(f32),
+            paths["rect_x1"].astype(f32),
+            paths["rect_y1"].astype(f32),
+            paths["tile_offset"].astype(f32),
+        ],
+        axis=1,
+    )
+    prow = ops.gather_guarded(xp, ptab, pidx)
+    bb0, bb1, bb2, bb3 = prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3]
     stride = (bb2 - bb0).astype(xp.int32)
-    tiles_base = ops.gather_guarded(xp, paths["tile_offset"], pidx)
+    tiles_base = prow[:, 4].astype(xp.int32)
 
     s0x, s0y, s1x, s1y = ls["s0x"], ls["s0y"], ls["s1x"], ls["s1y"]
     a, b, sign = ls["a"], ls["b"], ls["sign"]
@@ -326,10 +336,13 @@ def path_count(xp, lines, paths, caps):
     tile_slot = xp.where(c_valid, tile_slot, T)
 
     # Sort crossings by tile slot (stable), replacing atomic slice alloc.
+    # The three permuted fields ride one packed row gather.
     order = ops.stable_argsort(xp, tile_slot)
-    sorted_slot = tile_slot[order]
-    sorted_line = c_rec[order]
-    sorted_i = ci[order]
+    perm_src = xp.stack([tile_slot, c_rec, ci.astype(xp.int32)], axis=1)
+    perm = perm_src[order]
+    sorted_slot = perm[:, 0]
+    sorted_line = perm[:, 1]
+    sorted_i = perm[:, 2].astype(f32)
 
     # Per-tile start/count from run boundaries of the sorted slots (one
     # unique-index scatter each instead of two log-n binary searches).
