@@ -335,14 +335,50 @@ def path_count(xp, lines, paths, caps):
     tile_slot = cbase + cx
     tile_slot = xp.where(c_valid, tile_slot, T)
 
-    # Sort crossings by tile slot (stable), replacing atomic slice alloc.
-    # The three permuted fields ride one packed row gather.
+    # Tile-relative segment clipping (cpu.go PathTiling), computed here
+    # PRE-SORT: all per-line parameters are already in the gathered PC
+    # rows (z, last_z, cx, cy reused from the DDA above), so fusing the
+    # stage avoids a second 21-wide row gather after the sort.
+    ls_c = {
+        "a": ca,
+        "b": cb,
+        "sign": csign,
+        "y0i": cy0,
+        "x0f": cx0,
+        "xy0x": PC[:, 14],
+        "xy0y": PC[:, 15],
+        "xy1x": PC[:, 16],
+        "xy1y": PC[:, 17],
+        "is_down": PC[:, 18] > 0.5,
+        "count": PC[:, 19],
+        "is_positive": PC[:, 20] > 0.5,
+    }
+    seg_pre = _tile_clip_segments(xp, ls_c, ci, z, last_z, cx, cy)
+
+    # Sort crossings by tile slot (stable), replacing atomic slice
+    # alloc. All permuted fields ride one packed row gather (the slot
+    # is exact in f32: tile caps < 2^24).
     order = ops.stable_argsort(xp, tile_slot)
-    perm_src = xp.stack([tile_slot, c_rec, ci.astype(xp.int32)], axis=1)
+    perm_src = xp.stack(
+        [
+            tile_slot.astype(f32),
+            seg_pre["seg_x0"],
+            seg_pre["seg_y0"],
+            seg_pre["seg_x1"],
+            seg_pre["seg_y1"],
+            seg_pre["seg_y_edge"],
+        ],
+        axis=1,
+    )
     perm = perm_src[order]
-    sorted_slot = perm[:, 0]
-    sorted_line = perm[:, 1]
-    sorted_i = perm[:, 2].astype(f32)
+    sorted_slot = perm[:, 0].astype(xp.int32)
+    segs = {
+        "seg_x0": perm[:, 1],
+        "seg_y0": perm[:, 2],
+        "seg_x1": perm[:, 3],
+        "seg_y1": perm[:, 4],
+        "seg_y_edge": perm[:, 5],
+    }
 
     # Per-tile start/count from run boundaries of the sorted slots (one
     # unique-index scatter each instead of two log-n binary searches).
@@ -381,8 +417,7 @@ def path_count(xp, lines, paths, caps):
     return {
         "line_params": P,
         "sorted_slot": sorted_slot,
-        "sorted_line": sorted_line,
-        "sorted_i": sorted_i,
+        "segs": segs,
         "seg_start": seg_start,
         "seg_count": seg_count,
         "backdrop": bd_prefix,
@@ -395,36 +430,20 @@ def path_count(xp, lines, paths, caps):
 
 def path_tiling(xp, lines, counted, caps):
     """Clip each crossing's line to its tile -> tile-relative segments
-    (cpu.go PathTiling). Operates on the sorted crossing records so the
-    output is already grouped by tile slot."""
-    SC = caps["seg_cap"]
-    f32 = xp.float32
-    line_idx = counted["sorted_line"]
-    i = counted["sorted_i"]
-    # One row gather from the packed per-line table built by path_count
-    # (columns documented there) instead of re-gathering endpoints and
-    # re-running the line setup per crossing.
-    PT = ops.gather_guarded(xp, counted["line_params"], line_idx)
-    ls = {
-        "a": PT[:, 1],
-        "b": PT[:, 2],
-        "sign": PT[:, 3],
-        "y0i": PT[:, 4],
-        "x0f": PT[:, 5],
-        "xy0x": PT[:, 14],
-        "xy0y": PT[:, 15],
-        "xy1x": PT[:, 16],
-        "xy1y": PT[:, 17],
-        "is_down": PT[:, 18] > 0.5,
-        "count": PT[:, 19],
-        "is_positive": PT[:, 20] > 0.5,
-    }
-    a, b, sign = ls["a"], ls["b"], ls["sign"]
-    y0i, x0f = ls["y0i"], ls["x0f"]
-    z = xp.floor(a * i + b)
-    x = (x0f + sign * z).astype(xp.int32)
-    y = (y0i + i - z).astype(xp.int32)
+    (cpu.go PathTiling). The clipping itself is fused into path_count
+    (pre-sort, where the per-line parameter rows are already gathered);
+    this stage just hands out the sorted result."""
+    return counted["segs"]
 
+
+def _tile_clip_segments(xp, ls, i, z, z_prev, x, y):
+    """Clip one crossing's line to its tile (cpu.go PathTiling body).
+
+    ls: per-crossing line-setup fields; i: DDA index; z/z_prev: floor
+    terms (reused from the crossing computation); x/y: tile coords.
+    """
+    f32 = xp.float32
+    a, b, sign = ls["a"], ls["b"], ls["sign"]
     xy0x, xy0y = ls["xy0x"], ls["xy0y"]
     xy1x, xy1y = ls["xy1x"], ls["xy1y"]
     tile_x = x.astype(f32) * TILE_WIDTH
@@ -433,7 +452,6 @@ def path_tiling(xp, lines, counted, caps):
     tile_y1 = tile_y + TILE_HEIGHT
 
     # Clip the top (i > 0).
-    z_prev = xp.floor(a * (i - 1.0) + b)
     top_clipped = z == z_prev
     safe_dy = xp.where(xy1y == xy0y, f32(1e-12), xy1y - xy0y)
     xt = xy0x + (xy1x - xy0x) * (tile_y - xy0y) / safe_dy
