@@ -786,36 +786,30 @@ def flatten_stage(xp, scene, layout, caps):
     a_path = ops.gather_guarded(xp, path_idx, a_slot)
 
     # --- Combine into the line soup -------------------------------------
+    # One 5-wide row scatter per emission family instead of five element
+    # scatters each (path ids are exact in f32: caps < 2^24).
     LC = caps["line_cap"]
-    lx0 = xp.zeros(LC, dtype=f32)
-    ly0 = xp.zeros(LC, dtype=f32)
-    lx1 = xp.zeros(LC, dtype=f32)
-    ly1 = xp.zeros(LC, dtype=f32)
-    lpath = xp.full(LC, n_paths_cap, dtype=xp.int32)
+    lsoup = xp.concatenate(
+        [xp.zeros((LC, 4), dtype=f32), xp.full((LC, 1), f32(n_paths_cap))],
+        axis=1,
+    )
 
-    def place(tgt, idx, vals, valid):
-        return ops.scatter_set(xp, tgt, xp.where(valid, idx, LC), vals)
+    def place5(tgt, idx, x0v, y0v, x1v, y1v, pv, valid):
+        rows = xp.stack([x0v, y0v, x1v, y1v, pv.astype(f32)], axis=1)
+        return ops.scatter_set(xp, tgt, xp.where(valid, idx, LC), rows)
 
     je = xp.arange(EC, dtype=xp.int32)
-    lx0 = place(lx0, je, e_x0, e_valid)
-    ly0 = place(ly0, je, e_y0, e_valid)
-    lx1 = place(lx1, je, e_x1, e_valid)
-    ly1 = place(ly1, je, e_y1, e_valid)
-    lpath = place(lpath, je, e_path, e_valid)
-
+    lsoup = place5(lsoup, je, e_x0, e_y0, e_x1, e_y1, e_path, e_valid)
     js = xp.arange(SC, dtype=xp.int32) + e_total
-    lx0 = place(lx0, js, sl_x0, s_valid)
-    ly0 = place(ly0, js, sl_y0, s_valid)
-    lx1 = place(lx1, js, sl_x1, s_valid)
-    ly1 = place(ly1, js, sl_y1, s_valid)
-    lpath = place(lpath, js, s_path, s_valid)
-
+    lsoup = place5(lsoup, js, sl_x0, sl_y0, sl_x1, sl_y1, s_path, s_valid)
     ja = xp.arange(AC, dtype=xp.int32) + (e_total + s_total)
-    lx0 = place(lx0, ja, al0x, a_valid)
-    ly0 = place(ly0, ja, al0y, a_valid)
-    lx1 = place(lx1, ja, al1x, a_valid)
-    ly1 = place(ly1, ja, al1y, a_valid)
-    lpath = place(lpath, ja, a_path, a_valid)
+    lsoup = place5(lsoup, ja, al0x, al0y, al1x, al1y, a_path, a_valid)
+
+    lx0 = lsoup[:, 0]
+    ly0 = lsoup[:, 1]
+    lx1 = lsoup[:, 2]
+    ly1 = lsoup[:, 3]
+    lpath = lsoup[:, 4].astype(xp.int32)
 
     n_lines = e_total + s_total + a_total
     line_valid = lpath < n_paths_cap
