@@ -73,12 +73,16 @@ def render(scene, params: RenderParams, resolver: Resolver | None = None,
     )
     atlas = build_image_atlas(images)
 
-    for _ in range(max_retries):
-        fine_out, flags = render_mod.render_frame(
-            np, scene_u32, ld, ramps_arr, atlas, caps
-        )
-        if not any(bool(v) for v in flags.values()):
-            break
-        caps = grow_caps(caps, flags)
-    img = assemble_image(np, fine_out, ld)
+    # The pipeline intentionally computes garbage in masked-off lanes
+    # (dead work items, capacity padding); silence numpy's warnings for
+    # those lanes — results are always masked before use.
+    with np.errstate(all="ignore"):
+        for _ in range(max_retries):
+            fine_out, flags = render_mod.render_frame(
+                np, scene_u32, ld, ramps_arr, atlas, caps
+            )
+            if not any(bool(v) for v in flags.values()):
+                break
+            caps = grow_caps(caps, flags)
+        img = assemble_image(np, fine_out, ld)
     return np.asarray(img), flags, caps
