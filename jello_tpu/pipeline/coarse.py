@@ -220,6 +220,7 @@ def build_commands(
             flags.astype(xp.int32),
             cdi,
             cdd,
+            rec,
         ],
         axis=1,
     )
@@ -234,6 +235,7 @@ def build_commands(
         "flags": pko[:, 6].astype(xp.uint32),
         "di": pko[:, 7],
         "dd": pko[:, 8],
+        "draw": pko[:, 9],
     }
     # Per-tile command ranges from run boundaries (unique scatters).
     st = cmds["tile"]

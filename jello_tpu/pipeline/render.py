@@ -160,6 +160,24 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None):
             fl["path_draw_flags"],
             caps,
         )
+        # Per-draw scene/info words consumed by the fine command slab
+        # (tpu/fine_pallas.py build_cmd_slab): gathered at draw level
+        # (D is small) so the slab build needs one row gather per
+        # command instead of ~14 element gathers. Columns:
+        # scene[dd+0..3], info[di+1..9].
+        from . import ops as _ops2
+
+        cmds["dtab"] = xp.stack(
+            [
+                _ops2.gather_guarded(xp, scene, dd + k).astype(xp.uint32)
+                for k in range(4)
+            ]
+            + [
+                _ops2.gather_guarded(xp, info, di + k).astype(xp.uint32)
+                for k in range(1, 10)
+            ],
+            axis=1,
+        )
     flags = {
         "flatten_overflow": fl["overflow"],
         "tiles_overflow": paths["overflow"],

@@ -74,14 +74,19 @@ def build_cmd_slab(xp, cmds, scene, info, caps):
     slot = xp.where(ok, xp.clip(tile, 0, GRID - 1) * MC + within, GRID * MC)
 
     kind = cmds["kind"]
-    dd = cmds["dd"].astype(xp.int32)
-    di = cmds["di"].astype(xp.int32)
+
+    # One row gather of the per-draw word table built in render_frame
+    # (columns: scene[dd+0..3], info[di+1..9]) instead of ~14 element
+    # gathers over the command stream.
+    from ..pipeline import ops as _ops
+
+    drow = _ops.gather_guarded(xp, cmds["dtab"], cmds["draw"])
 
     def sc_u(off):
-        return scene[xp.clip(dd + off, 0, scene.shape[0] - 1)].astype(xp.uint32)
+        return drow[:, off]
 
     def info_u(off):
-        return info[xp.clip(di + off, 0, info.shape[0] - 1)].astype(xp.uint32)
+        return drow[:, 3 + off]
 
     z = xp.zeros(PC, dtype=xp.uint32)
     is_color = kind == CMD_COLOR
