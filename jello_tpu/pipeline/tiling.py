@@ -71,15 +71,17 @@ def tile_alloc(xp, draw_bbox, tag, layout, caps):
     tile_offset = ops.exclusive_cumsum(xp, counts)
     total = tile_offset[-1] + counts[-1] if counts.shape[0] else xp.int32(0)
 
-    # Per-tile metadata via expansion.
+    # Per-tile metadata via expansion (packed row table: one gather).
     rec, within, valid, _, _ = _expand(xp, counts, T, total)
-    stride = xp.maximum(ops.gather_guarded(xp, w, rec), 1)
+    dt = xp.stack([w, x0, y0, tile_offset], axis=1)
+    dr = ops.gather_guarded(xp, dt, rec)
+    stride = xp.maximum(dr[:, 0], 1)
     ly = within // stride
     lx = within % stride
     tile_draw = rec
-    tile_tx = ops.gather_guarded(xp, x0, rec) + lx
-    tile_ty = ops.gather_guarded(xp, y0, rec) + ly
-    row_start = ops.gather_guarded(xp, tile_offset, rec) + ly * stride
+    tile_tx = dr[:, 1] + lx
+    tile_ty = dr[:, 2] + ly
+    row_start = dr[:, 3] + ly * stride
     return {
         "rect_x0": x0,
         "rect_y0": y0,
