@@ -91,12 +91,19 @@ def _read_points(xp, scene, base_words, tag):
     is_f32 = (tag & PATH_TAG_F32_BIT) != 0
     seg_type = (tag & PATH_TAG_SEG_TYPE_MASK).astype(xp.int32)
 
+    # One batched gather for all 8 candidate words per segment (the
+    # per-op cost of 8 separate element gathers dominates their size on
+    # TPU; see ARCHITECTURE.md "row-table idiom").
+    N = base_words.shape[0]
+    offs = xp.arange(8, dtype=xp.int32)[:, None]
+    idx = (base_words[None, :].astype(xp.int32) + offs).reshape(-1)
+    W = ops.gather_guarded(xp, scene, idx).reshape(8, N)
+
     def rdf(off):
-        w = ops.gather_guarded(xp, scene, base_words + off)
-        return ops.bitcast_u32_f32(xp, w)
+        return ops.bitcast_u32_f32(xp, W[off])
 
     def rdi16(off):
-        w = ops.gather_guarded(xp, scene, base_words + off)
+        w = W[off]
         x = ((w << 16).astype(xp.int32) >> 16).astype(xp.float32)
         y = (w.astype(xp.int32) >> 16).astype(xp.float32)
         return x, y
