@@ -796,27 +796,28 @@ def flatten_stage(xp, scene, layout, caps):
     # One 5-wide row scatter per emission family instead of five element
     # scatters each (path ids are exact in f32: caps < 2^24).
     LC = caps["line_cap"]
-    lsoup = xp.concatenate(
-        [xp.zeros((LC, 4), dtype=f32), xp.full((LC, 1), f32(n_paths_cap))],
-        axis=1,
-    )
+    lsoup = xp.zeros((LC, 4), dtype=f32)
+    lpath = xp.full(LC, n_paths_cap, dtype=xp.int32)
 
-    def place5(tgt, idx, x0v, y0v, x1v, y1v, pv, valid):
-        rows = xp.stack([x0v, y0v, x1v, y1v, pv.astype(f32)], axis=1)
-        return ops.scatter_set(xp, tgt, xp.where(valid, idx, LC), rows)
+    def place4(tgt, pth, idx, x0v, y0v, x1v, y1v, pv, valid):
+        rows = xp.stack([x0v, y0v, x1v, y1v], axis=1)
+        idx = xp.where(valid, idx, LC)
+        return (
+            ops.scatter_set(xp, tgt, idx, rows),
+            ops.scatter_set(xp, pth, idx, pv),
+        )
 
     je = xp.arange(EC, dtype=xp.int32)
-    lsoup = place5(lsoup, je, e_x0, e_y0, e_x1, e_y1, e_path, e_valid)
+    lsoup, lpath = place4(lsoup, lpath, je, e_x0, e_y0, e_x1, e_y1, e_path, e_valid)
     js = xp.arange(SC, dtype=xp.int32) + e_total
-    lsoup = place5(lsoup, js, sl_x0, sl_y0, sl_x1, sl_y1, s_path, s_valid)
+    lsoup, lpath = place4(lsoup, lpath, js, sl_x0, sl_y0, sl_x1, sl_y1, s_path, s_valid)
     ja = xp.arange(AC, dtype=xp.int32) + (e_total + s_total)
-    lsoup = place5(lsoup, ja, al0x, al0y, al1x, al1y, a_path, a_valid)
+    lsoup, lpath = place4(lsoup, lpath, ja, al0x, al0y, al1x, al1y, a_path, a_valid)
 
     lx0 = lsoup[:, 0]
     ly0 = lsoup[:, 1]
     lx1 = lsoup[:, 2]
     ly1 = lsoup[:, 3]
-    lpath = lsoup[:, 4].astype(xp.int32)
 
     n_lines = e_total + s_total + a_total
     line_valid = lpath < n_paths_cap
