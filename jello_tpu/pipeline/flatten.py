@@ -795,29 +795,40 @@ def flatten_stage(xp, scene, layout, caps):
     # --- Combine into the line soup -------------------------------------
     # One 5-wide row scatter per emission family instead of five element
     # scatters each (path ids are exact in f32: caps < 2^24).
+    # Per-component element scatters: a packed [LC, 4/5] row scatter was
+    # tried twice and both times drew a transposed {0,1} layout from XLA
+    # costing ~1.7x more than these five (scatter layout roulette — the
+    # row-table idiom pays off for gathers, not for scatter targets).
     LC = caps["line_cap"]
-    lsoup = xp.zeros((LC, 4), dtype=f32)
+    lx0 = xp.zeros(LC, dtype=f32)
+    ly0 = xp.zeros(LC, dtype=f32)
+    lx1 = xp.zeros(LC, dtype=f32)
+    ly1 = xp.zeros(LC, dtype=f32)
     lpath = xp.full(LC, n_paths_cap, dtype=xp.int32)
 
-    def place4(tgt, pth, idx, x0v, y0v, x1v, y1v, pv, valid):
-        rows = xp.stack([x0v, y0v, x1v, y1v], axis=1)
-        idx = xp.where(valid, idx, LC)
-        return (
-            ops.scatter_set(xp, tgt, idx, rows),
-            ops.scatter_set(xp, pth, idx, pv),
-        )
+    def place(tgt, idx, vals, valid):
+        return ops.scatter_set(xp, tgt, xp.where(valid, idx, LC), vals)
 
     je = xp.arange(EC, dtype=xp.int32)
-    lsoup, lpath = place4(lsoup, lpath, je, e_x0, e_y0, e_x1, e_y1, e_path, e_valid)
-    js = xp.arange(SC, dtype=xp.int32) + e_total
-    lsoup, lpath = place4(lsoup, lpath, js, sl_x0, sl_y0, sl_x1, sl_y1, s_path, s_valid)
-    ja = xp.arange(AC, dtype=xp.int32) + (e_total + s_total)
-    lsoup, lpath = place4(lsoup, lpath, ja, al0x, al0y, al1x, al1y, a_path, a_valid)
+    lx0 = place(lx0, je, e_x0, e_valid)
+    ly0 = place(ly0, je, e_y0, e_valid)
+    lx1 = place(lx1, je, e_x1, e_valid)
+    ly1 = place(ly1, je, e_y1, e_valid)
+    lpath = place(lpath, je, e_path, e_valid)
 
-    lx0 = lsoup[:, 0]
-    ly0 = lsoup[:, 1]
-    lx1 = lsoup[:, 2]
-    ly1 = lsoup[:, 3]
+    js = xp.arange(SC, dtype=xp.int32) + e_total
+    lx0 = place(lx0, js, sl_x0, s_valid)
+    ly0 = place(ly0, js, sl_y0, s_valid)
+    lx1 = place(lx1, js, sl_x1, s_valid)
+    ly1 = place(ly1, js, sl_y1, s_valid)
+    lpath = place(lpath, js, s_path, s_valid)
+
+    ja = xp.arange(AC, dtype=xp.int32) + (e_total + s_total)
+    lx0 = place(lx0, ja, al0x, a_valid)
+    ly0 = place(ly0, ja, al0y, a_valid)
+    lx1 = place(lx1, ja, al1x, a_valid)
+    ly1 = place(ly1, ja, al1y, a_valid)
+    lpath = place(lpath, ja, a_path, a_valid)
 
     n_lines = e_total + s_total + a_total
     line_valid = lpath < n_paths_cap
