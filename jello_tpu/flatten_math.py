@@ -17,7 +17,18 @@ Coordinates are SoA: separate x and y arrays throughout.
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as _np
+
+
+def _quiet(xp):
+    """Silence numpy invalid/overflow warnings from masked degenerate
+    lanes (their results are discarded by a `where` downstream); no-op
+    under jax.numpy, which doesn't emit runtime warnings."""
+    if xp is _np:
+        return _np.errstate(invalid="ignore", divide="ignore", over="ignore")
+    return contextlib.nullcontext()
 
 # Constants (reference: flatten.go:24-31, euler.go:16, cpu.go:78-86)
 DERIV_THRESH = 1e-6
@@ -209,20 +220,22 @@ def euler_eval_th(k0, k1, th0, t):
 
 def euler_eval(xp, k0, k1, ch, th0, t):
     """Evaluate normalized Euler segment at t (euler.go:178-188)."""
-    thm = euler_eval_th(k0, k1, th0, t * 0.5)
-    u, v = integrate_euler10(xp, (k0 + k1 * (0.5 * t - 0.5)) * t, k1 * t * t)
-    s = t / ch * xp.sin(thm)
-    c = t / ch * xp.cos(thm)
-    x = u * c - v * s
-    y = -v * c - u * s
+    with _quiet(xp):
+        thm = euler_eval_th(k0, k1, th0, t * 0.5)
+        u, v = integrate_euler10(xp, (k0 + k1 * (0.5 * t - 0.5)) * t, k1 * t * t)
+        s = t / ch * xp.sin(thm)
+        c = t / ch * xp.cos(thm)
+        x = u * c - v * s
+        y = -v * c - u * s
     return x, y
 
 
 def euler_eval_with_offset(xp, k0, k1, ch, th0, t, offset):
     """euler.go:190-194 (offset normalized to chord length)."""
-    th = euler_eval_th(k0, k1, th0, t)
-    vx = offset * xp.sin(th)
-    vy = offset * xp.cos(th)
+    with _quiet(xp):
+        th = euler_eval_th(k0, k1, th0, t)
+        vx = offset * xp.sin(th)
+        vy = offset * xp.cos(th)
     ex, ey = euler_eval(xp, k0, k1, ch, th0, t)
     return ex + vx, ey + vy
 
@@ -352,13 +365,14 @@ def espc_s_of_t(xp, t, robust, a, b, int0, integral):
     # LOW_K1: s = t
     # LOW_DIST: c = cbrt(integral*t + int0); inv = c*|c|; s = (inv - b)/a
     # NORMAL: inv = espc_int_inv_approx(integral*t + int0); s = (inv - b)/a
-    arg = integral * t + int0
-    c = xp.cbrt(arg) if hasattr(xp, "cbrt") else xp.sign(arg) * xp.abs(arg) ** (1.0 / 3.0)
-    inv_ld = c * xp.abs(c)
-    inv_n = espc_int_inv_approx(xp, arg)
-    safe_a = xp.where(xp.abs(a) < 1e-30, f32(xp, 1e-30), a)
-    s_ld = (inv_ld - b) / safe_a
-    s_n = (inv_n - b) / safe_a
+    with _quiet(xp):
+        arg = integral * t + int0
+        c = xp.cbrt(arg) if hasattr(xp, "cbrt") else xp.sign(arg) * xp.abs(arg) ** (1.0 / 3.0)
+        inv_ld = c * xp.abs(c)
+        inv_n = espc_int_inv_approx(xp, arg)
+        safe_a = xp.where(xp.abs(a) < 1e-30, f32(xp, 1e-30), a)
+        s_ld = (inv_ld - b) / safe_a
+        s_n = (inv_n - b) / safe_a
     return xp.where(
         robust == ROBUST_LOW_K1, t, xp.where(robust == ROBUST_LOW_DIST, s_ld, s_n)
     )

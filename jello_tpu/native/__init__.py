@@ -35,13 +35,25 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than encoder.cpp."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    src = os.path.join(_DIR, "encoder.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return True
+
+
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed or stale) the native library, or None."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
-        return None
+    if _stale() and not _build():
+        if not os.path.exists(_LIB_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

@@ -916,7 +916,9 @@ def euler_line_points(xp, P8, t0, t1, i, n, offset, scale, tend_x, tend_y):
     n2, robust, a, b, int0, integral, norm_off = fm.espc_subdivision(
         xp, k0, k1, ch, chord_len, offset, scale
     )
-    t = (i.astype(xp.float32) + 1.0) / n
+    # Masked (padding) lanes carry n == 0; give them a safe divisor —
+    # their outputs are discarded downstream.
+    t = (i.astype(xp.float32) + 1.0) / xp.maximum(n, 1.0)
     s = fm.espc_s_of_t(xp, t, robust, a, b, int0, integral)
     lx, ly = fm.euler_seg_eval_with_offset(
         xp, p0x, p0y, p1x, p1y, k0, k1, ch, th0, s, norm_off

@@ -140,10 +140,11 @@ class Renderer:
         atlas = build_image_atlas(images)
 
         # The Pallas fine kernel holds one image's planes in VMEM scratch;
-        # very large images fall back to the XLA fine path.
+        # very large images fall back to the XLA fine path. This is a
+        # per-frame decision: apply it to a copy so it never persists in
+        # self._caps across frames.
         if atlas is not None and atlas.shape[1] * atlas.shape[2] > (1 << 16):
             caps = dict(caps)
-            caps["aa_mode"] = caps.get("aa_mode", "area")
             caps["_no_pallas_fine"] = True
 
         packed_layout = jnp.asarray(render_mod.pack_layout(ld_np))
@@ -156,6 +157,7 @@ class Renderer:
             self._cached_upload("atlas", atlas) if atlas is not None else None
         )
 
+        flags = {}
         for _ in range(max_retries):
             caps_key = (n, ramps_arr.shape[0] if ramps.height else 0,
                         None if atlas is None else atlas.shape,
@@ -170,6 +172,7 @@ class Renderer:
                     scene_dev, packed_layout, ramps_dev, atlas_dev
                 )
             if not check_flags:
+                flags = {}
                 break
             flags = {
                 k: bool(v) for k, v in zip(keys_cell, np.asarray(packed_flags))
@@ -178,7 +181,18 @@ class Renderer:
             if not any(flags.values()):
                 break
             caps = grow_caps(caps, flags)
-            self._caps = caps
+            # Persist grown capacities, but never the per-frame fine-path
+            # decision (it would disable the Pallas kernel for all later
+            # frames of this Renderer).
+            persisted = dict(caps)
+            persisted.pop("_no_pallas_fine", None)
+            self._caps = persisted
+        if flags and any(flags.values()):
+            raise RuntimeError(
+                f"render overflowed after {max_retries} retries; "
+                f"flags still raised: "
+                f"{[k for k, v in flags.items() if v]}"
+            )
         return fine_out, ld_np
 
     def _cached_upload(self, kind, arr):
