@@ -66,11 +66,9 @@ def render(scene, params: RenderParams, resolver: Resolver | None = None,
     caps = caps or estimate_caps_from_scene(scene_u32, layout, params.width, params.height)
     caps.setdefault("aa_mode", params.antialiasing_method.value)
 
-    ramps_arr = (
-        ramps.data.astype(np.float32)
-        if ramps.height > 0
-        else np.zeros((1, 512, 4), dtype=np.float32)
-    )
+    from ..pipeline.gradient import stops_table_or_empty
+
+    ramps_arr = stops_table_or_empty(ramps)
     atlas = build_image_atlas(images)
 
     # The pipeline intentionally computes garbage in masked-off lanes

@@ -183,16 +183,12 @@ def _blend_over(xp, rgba, fg, area):
 
 
 def _sample_ramp(xp, ramps, ramp_idx, t):
-    """ramps: [NR, 512, 4]; ramp_idx: [G]; t: [G, 256] in [0,1]."""
-    x = xp.round(t * (GRADIENT_WIDTH - 1)).astype(xp.int32)
-    x = xp.clip(x, 0, GRADIENT_WIDTH - 1)
-    row = ramps[xp.clip(ramp_idx, 0, ramps.shape[0] - 1)]  # [G, 512, 4]
-    G = t.shape[0]
-    if ops.is_jax(xp):
-        samp = xp.take_along_axis(row, x[:, :, None], axis=1)
-    else:
-        samp = _np.take_along_axis(row, x[:, :, None], axis=1)
-    return xp.transpose(samp, (2, 0, 1))  # [4, G, 256]
+    """ramps: stop-table rows [NR, W] (pipeline/gradient.py layout);
+    ramp_idx: [G]; t: [G, 256] in [0,1]. Returns [4, G, 256] premul."""
+    from .gradient import sample_stops
+
+    rows = ramps[xp.clip(ramp_idx, 0, ramps.shape[0] - 1)]  # [G, W]
+    return sample_stops(xp, rows, t)
 
 
 def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):

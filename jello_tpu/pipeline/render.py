@@ -92,7 +92,7 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None):
         style_base, n_path_tags, n_paths, n_draw_objects, n_clips,
         width_in_tiles, height_in_tiles, target_width, target_height,
         base_color (f32[4] premultiplied).
-    ramps:  f32[NR, 512, 4] gradient ramps (premultiplied linear).
+    ramps:  f32[NR, W] gradient stop-table rows (pipeline/gradient.py).
     images: f32[NI, IH, IW, 4] image atlas (non-premultiplied linear)
         or None.
     caps:   static capacity dict (see DEFAULT_CAPS).

@@ -60,6 +60,11 @@ class Ramps:
     data: np.ndarray = field(default_factory=lambda: np.zeros((0, NUM_RAMP_SAMPLES, 4), np.float16))
     width: int = NUM_RAMP_SAMPLES
     height: int = 0
+    # Analytic form consumed by the fine stages: per-ramp stop-table rows
+    # (pipeline/gradient.py layout). `data` (the baked 512-texel texture
+    # of renderer/ramp_cache.go) is kept for API parity/inspection only.
+    stops: np.ndarray = field(default_factory=lambda: np.zeros((0, 11), np.float32))
+    max_stops: int = 2
 
 
 def make_ramp(stops: list[ColorStop]) -> np.ndarray:
@@ -116,6 +121,7 @@ class _RampCache:
         self.epoch = 0
         self.mapping: dict = {}  # key -> [id, epoch]
         self.data: list[np.ndarray] = []  # one (512,4) f16 row per ramp
+        self.stop_lists: list = []  # the ColorStop sequence per ramp id
 
     def maintain(self):
         self.epoch += 1
@@ -124,6 +130,7 @@ class _RampCache:
                 k: v for k, v in self.mapping.items() if v[0] < RETAINED_RAMP_COUNT
             }
             del self.data[RETAINED_RAMP_COUNT:]
+            del self.stop_lists[RETAINED_RAMP_COUNT:]
 
     @staticmethod
     def _key(stops):
@@ -141,6 +148,7 @@ class _RampCache:
         if len(self.mapping) < RETAINED_RAMP_COUNT:
             ramp_id = len(self.data)
             self.data.append(make_ramp(stops))
+            self.stop_lists.append(list(stops))
             self.mapping[key] = [ramp_id, self.epoch]
             return ramp_id
         # Reuse a stale slot if possible, else append unretained.
@@ -149,17 +157,35 @@ class _RampCache:
                 reuse_id = v[0]
                 del self.mapping[k]
                 self.data[reuse_id] = make_ramp(stops)
+                self.stop_lists[reuse_id] = list(stops)
                 self.mapping[key] = [reuse_id, self.epoch]
                 return reuse_id
         ramp_id = len(self.data)
         self.data.append(make_ramp(stops))
+        self.stop_lists.append(list(stops))
         return ramp_id
 
     def ramps(self) -> Ramps:
         if not self.data:
             return Ramps()
+        from ..pipeline.gradient import bake_stops_row, stops_row_width
+
         arr = np.stack(self.data)
-        return Ramps(data=arr, width=NUM_RAMP_SAMPLES, height=len(self.data))
+        # Table-wide max stop count (a 0-offset stop may be prepended).
+        max_stops = 2
+        for sl in self.stop_lists:
+            n = len(sl) + (1 if sl[0].offset != 0.0 else 0)
+            max_stops = max(max_stops, n)
+        stops_tab = np.stack(
+            [bake_stops_row(sl, max_stops) for sl in self.stop_lists]
+        ).astype(np.float32)
+        return Ramps(
+            data=arr,
+            width=NUM_RAMP_SAMPLES,
+            height=len(self.data),
+            stops=stops_tab,
+            max_stops=max_stops,
+        )
 
 
 class Resolver:

@@ -99,7 +99,7 @@ def build_cmd_slab(xp, cmds, scene, info, caps):
     is_xf = is_rad | is_sweep | is_img
 
     index_mode = sc_u(0)
-    ramp_row = xp.where(is_grad, (index_mode >> 2) * 8, z)
+    ramp_row = xp.where(is_grad, index_mode >> 2, z)  # stop-table row id
     extend = xp.where(is_grad, index_mode & 3, z)
 
     w = [None] * 16
@@ -142,17 +142,18 @@ def _extend(t, mode):
     return jnp.where(mode == 0, pad, jnp.where(mode == 1, rep, refl))
 
 
-def make_fine_kernel(caps, img_shape=None, interpret=False):
+def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1):
     GRID = caps["tile_grid_cap"]
     MC = caps["cmds_per_tile"]
     BD = caps["blend_depth"]
+    MAX_STOPS = caps.get("max_stops", 2)
     if img_shape is not None:
         IHWP_STATIC = -(-(img_shape[0] * img_shape[1]) // 128) * 128
     else:
         IHWP_STATIC = 128
 
     def kernel(counts_smem, scalars_smem, cmd_ref, rows_hbm, ramps_ref, img_ref,
-               out_ref, ovf_ref, rgba, stack, area, area_dma, ramp_buf, img_buf, sem):
+               out_ref, ovf_ref, rgba, stack, area, area_dma, img_buf, sem):
         t = pl.program_id(0)
         wit = counts_smem[counts_smem.shape[0] - 1]
         base_r = scalars_smem[0]
@@ -175,26 +176,36 @@ def make_fine_kernel(caps, img_shape=None, interpret=False):
 
         n_cmds = counts_smem[t]
 
-        def sample_ramp(ramp_row8, tpos):
+        def sample_ramp(ramp_id, tpos):
             """tpos (1,256) in [0,1] -> (4, 256) premultiplied color.
 
-            Ramps are stored channel-planar as (NR*8, 512): rows
-            8*i .. 8*i+3 are the RGBA planes of ramp i (sublane-aligned
-            for VMEM slicing). Sampling = one-hot matmul on the MXU."""
-            xi = jnp.round(tpos * 511.0).astype(jnp.int32)
-            xi = jnp.clip(xi, 0, 511)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (512, 256), 0)
-            onehot = jnp.astype(rows == xi, jnp.float32)
-            dma = pltpu.make_async_copy(
-                ramps_ref.at[pl.ds(pl.multiple_of(ramp_row8, 8), 8), :],
-                ramp_buf, sem,
-            )
-            dma.start()
-            dma.wait()
-            ramp = ramp_buf[0:4, :]  # (4, 512)
-            return jax.lax.dot_general(
-                ramp, onehot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            Analytic stop evaluation (pipeline/gradient.py): the stop
+            table row is read from the VMEM-resident table, the
+            piecewise sRGB lerp and EOTF run as (1,256) vector ops —
+            the TPU-native replacement for the reference's 512-texel
+            ramp texture fetch (fine.wgsl:28)."""
+            S = MAX_STOPS
+            row = ramps_ref[pl.ds(jnp.clip(ramp_id, 0, n_ramp_rows - 1), 1), :]
+
+            def stop_c(k, c):
+                return row[0, 1 + S + 4 * k + c]
+
+            acc = [jnp.full((1, 256), stop_c(0, c)) for c in range(4)]
+            for k in range(S - 1):
+                pk = row[0, 1 + k]
+                dk = jnp.maximum(row[0, 1 + k + 1] - pk, 1e-9)
+                u = jnp.clip((tpos - pk) / dk, 0.0, 1.0)
+                for c in range(4):
+                    acc[c] = acc[c] + (stop_c(k + 1, c) - stop_c(k, c)) * u
+
+            def eotf(x):
+                hi = jnp.exp(2.4 * jnp.log((x + 0.055) * (1.0 / 1.055)))
+                return jnp.where(x <= 0.04045, x * (1.0 / 12.92), hi)
+
+            a = acc[3]
+            return jnp.concatenate(
+                [eotf(acc[0]) * a, eotf(acc[1]) * a, eotf(acc[2]) * a, a],
+                axis=0,
             )  # (4, 256)
 
         def blend_over_px(fg, a_cov):
@@ -453,7 +464,8 @@ def make_fine_kernel(caps, img_shape=None, interpret=False):
         in_specs=[
             pl.BlockSpec((1, MC, 16), lambda t, c, s: (t, 0, 0)),  # cmd slab
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # area rows
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # ramps
+            # Whole stop table VMEM-resident (a few KB typical, ~2 MB max).
+            pl.BlockSpec((n_ramp_rows, 128), lambda t, c, s: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # images
         ],
         out_specs=(
@@ -465,7 +477,6 @@ def make_fine_kernel(caps, img_shape=None, interpret=False):
             pltpu.VMEM((BD, 4, 256), jnp.float32),  # blend stack
             pltpu.VMEM((1, 256), jnp.float32),      # area
             pltpu.VMEM((1, 8, 128), jnp.float32),   # area row DMA target
-            pltpu.VMEM((8, 512), jnp.float32),      # ramp row group
             pltpu.VMEM((8, IHWP_STATIC), jnp.float32),  # image planes
             pltpu.SemaphoreType.DMA,
         ],
@@ -500,12 +511,11 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
     area_blk = jnp.zeros((AR, 8, 128), dtype=jnp.float32)
     area_blk = area_blk.at[:, 0:2, :].set(area_rows[:AR].reshape(AR, 2, 128))
 
-    # Ramps channel-planar, sublane-aligned: (NR*8, 512).
-    NR = ramps.shape[0]
-    ramps_cp = jnp.zeros((NR * 8, 512), dtype=jnp.float32)
-    ramps_cp = ramps_cp.at[
-        (jnp.arange(NR * 4) // 4) * 8 + jnp.arange(NR * 4) % 4
-    ].set(jnp.transpose(ramps, (0, 2, 1)).reshape(NR * 4, 512))
+    # Stop table rows (pipeline/gradient.py layout), lane-padded.
+    NR, W = ramps.shape[0], ramps.shape[1]
+    caps["max_stops"] = (W - 1) // 5
+    stops_pad = jnp.zeros((NR, 128), dtype=jnp.float32)
+    stops_pad = stops_pad.at[:, :W].set(ramps)
     if images is None:
         img_flat = jnp.zeros((8, 128), dtype=jnp.float32)
     else:
@@ -522,8 +532,8 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
     )
     scalars = jnp.asarray(layout["base_color"], dtype=jnp.float32)
 
-    call = make_fine_kernel(caps, img_shape, interpret=interpret)
-    out, ovf = call(counts, scalars, slab, area_blk, ramps_cp, img_flat)
+    call = make_fine_kernel(caps, img_shape, interpret=interpret, n_ramp_rows=NR)
+    out, ovf = call(counts, scalars, slab, area_blk, stops_pad, img_flat)
     fine_out = jnp.transpose(out, (1, 0, 2))  # [4, GRID, 256]
     flags = {
         "cmd_slab_overflow": slab_overflow,

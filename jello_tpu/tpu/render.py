@@ -132,11 +132,17 @@ class Renderer:
         n = _pow2(max(len(scene_u32), 1024))
         scene_padded = np.zeros(n, dtype=np.uint32)
         scene_padded[: len(scene_u32)] = scene_u32
-        ramps_arr = (
-            np.asarray(ramps.data, dtype=np.float32)
-            if ramps.height > 0
-            else np.zeros((1, 512, 4), dtype=np.float32)
-        )
+        from ..pipeline.gradient import stops_table_or_empty
+
+        ramps_arr = stops_table_or_empty(ramps)
+        # Bucket the row count to its power-of-two size class so gradient
+        # cache growth doesn't recompile every frame.
+        nr = _pow2(ramps_arr.shape[0])
+        if nr != ramps_arr.shape[0]:
+            ramps_arr = np.concatenate(
+                [ramps_arr, np.zeros((nr - ramps_arr.shape[0], ramps_arr.shape[1]),
+                                     dtype=np.float32)]
+            )
         atlas = build_image_atlas(images)
 
         # The Pallas fine kernel holds one image's planes in VMEM scratch;
@@ -159,7 +165,7 @@ class Renderer:
 
         flags = {}
         for _ in range(max_retries):
-            caps_key = (n, ramps_arr.shape[0] if ramps.height else 0,
+            caps_key = (n, ramps_arr.shape,
                         None if atlas is None else atlas.shape,
                         tuple(sorted(caps.items())))
             run, run_no_images, keys_cell = self._get_compiled(caps_key, dict(caps))

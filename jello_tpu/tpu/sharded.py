@@ -151,7 +151,7 @@ def dryrun(n_devices: int):
     n = 1 << (len(scene_u32) - 1).bit_length()
     scene_padded = np.zeros(max(n, 1024), dtype=np.uint32)
     scene_padded[: len(scene_u32)] = scene_u32
-    ramps_arr = np.zeros((1, 512, 4), dtype=np.float32)
+    ramps_arr = np.zeros((1, 11), dtype=np.float32)  # empty stop table
 
     ld = {k: jnp.asarray(v) for k, v in ld_np.items()}
     run = make_sharded_render(mesh, caps)

@@ -31,7 +31,8 @@ def test_pallas_interpret_matches_reference_fine():
     from jello_tpu.cpu.pipeline import build_image_atlas
 
     atlas = build_image_atlas(images)
-    ramps_arr = np.asarray(ramps.data, np.float32) if ramps.height else np.zeros((1, 512, 4), np.float32)
+    from jello_tpu.pipeline.gradient import stops_table_or_empty
+    ramps_arr = stops_table_or_empty(ramps)
     n = 1 << (max(len(scene_u32), 1024) - 1).bit_length()
     sp = np.zeros(n, np.uint32)
     sp[: len(scene_u32)] = scene_u32
