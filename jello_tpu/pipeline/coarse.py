@@ -151,7 +151,6 @@ def build_commands(
             counted["seg_count"],
             counted["seg_start"],
             counted["backdrop"],
-            counted["row_of_slot"],
         ],
         axis=1,
     )
@@ -159,7 +158,6 @@ def build_commands(
     seg_count = crow[:, 0]
     seg_start = crow[:, 1]
     backdrop = crow[:, 2]
-    area_row = crow[:, 3]
 
     ctag = drow[:, 8].astype(tag.dtype)
     cdd = drow[:, 9]
@@ -216,7 +214,7 @@ def build_commands(
             seg_start,
             xp.where(begin_zero, -1, seg_count),
             backdrop,
-            area_row,
+            tile_slot,
             flags.astype(xp.int32),
             cdi,
             cdd,
@@ -231,7 +229,9 @@ def build_commands(
         "seg_start": pko[:, 2],
         "seg_count": pko[:, 3],
         "backdrop": pko[:, 4],
-        "area_row": pko[:, 5],
+        # The record's (path, tile) slot; coverage-row ranks are derived
+        # from it post-sort (coverage.rank_records).
+        "tile_slot": pko[:, 5],
         "flags": pko[:, 6].astype(xp.uint32),
         "di": pko[:, 7],
         "dd": pko[:, 8],

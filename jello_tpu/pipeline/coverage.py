@@ -1,12 +1,19 @@
-"""Batched fill-coverage pass.
+"""Batched fill-coverage pass, keyed by fine-command record rank.
 
-Computes, for every (path, tile) slot that has segments, the raw
-analytic winding of all 256 pixels (fine.wgsl:824-864: trapezoid areas
-plus y_edge terms, plus the tile backdrop), as a dense [AR, 256] f32
-"area row" table. The fine kernel then just fetches its command's row
-and applies the fill rule — the irregular per-tile segment loop becomes
-one regular chunked sweep over the (already tile-sorted) segment
-stream, which is the TPU-native formulation.
+Computes, for every fine command (record) that has segments, the raw
+analytic winding of all 256 pixels of its tile (fine.wgsl:824-864:
+trapezoid areas plus y_edge terms, plus the tile backdrop), as a dense
+[AR, 256] f32 "area row" table indexed by *record rank* — the dense
+rank of the record among coverage-carrying records in tile-sorted
+command order. Because ranks are non-decreasing along the command
+stream, a chunk of C consecutive records needs a contiguous window of
+at most C rows: the streaming fine kernels read coverage with one
+aligned DMA per chunk instead of per-command row fetches.
+
+The segment stream arrives sorted by (path, tile) slot (path_count's
+order, which the backdrop prefix needs); it is re-sorted here by record
+rank so the accumulation stays a regular chunked sweep with contiguous
+slice-adds (no 256-wide scatters).
 """
 
 from __future__ import annotations
@@ -16,41 +23,90 @@ from . import ops
 COVERAGE_CHUNK = 1024
 
 
-def compute_area_rows(xp, counted, segs, caps):
-    """Returns (area_rows [AR+CH, 256] f32, overflow); rows [AR:] are slack.
+def rank_records(xp, cmds, caps):
+    """Assign coverage-row ranks to fine-command records.
 
-    Row indices are `counted["row_of_slot"][slot]` for slots with
-    segments; rows include the slot's backdrop winding.
-    """
+    A record needs a row iff it is visible (tile < GRID) and has
+    segments; EndClip shares its BeginClip's row (they cover the same
+    (path, tile) slot — clip_leaf patches EndClip's path to the clip
+    path, cpu.go:458-472).
+
+    Returns (area_row [PC] i32 with -1 for rowless records,
+             slot2rank [T+1] i32, bd_tgt [PC] i32 backdrop scatter
+             targets, n_rows scalar)."""
+    from .coarse import CMD_END_CLIP
+
+    GRID = caps["tile_grid_cap"]
+    T = caps["tiles_cap"]
     AR = caps["area_rows_cap"]
-    SC = segs["seg_x0"].shape[0]
+    tile = cmds["tile"]
+    kind = cmds["kind"]
+    segc = cmds["seg_count"]
+    valid = tile < GRID
+    needs = valid & (segc > 0) & (kind != CMD_END_CLIP)
+    ni = needs.astype(xp.int32)
+    rk = ops.exclusive_cumsum(xp, ni)
+    n_rows = rk[-1] + ni[-1]
+    slot2rank = xp.full((T + 1,), -1, dtype=xp.int32)
+    slot2rank = ops.scatter_set(
+        xp, slot2rank, xp.where(needs, cmds["tile_slot"], T), rk
+    )
+    end_needs = valid & (segc > 0) & (kind == CMD_END_CLIP)
+    end_rank = ops.gather_guarded(xp, slot2rank, xp.clip(cmds["tile_slot"], 0, T))
+    area_row = xp.where(needs, rk, xp.where(end_needs, end_rank, -1)).astype(xp.int32)
+    bd_tgt = xp.where(needs, xp.minimum(rk, AR - 1), AR).astype(xp.int32)
+    return area_row, slot2rank, bd_tgt, n_rows
+
+
+def sort_segments_by_rank(xp, counted, slot2rank, caps):
+    """Re-sort the (slot-sorted) segment stream by record rank.
+
+    Segments of slots whose records were dropped (clip-bbox
+    intersection removed the tile from the draw's range) get a sentinel
+    key past every real rank and contribute nothing.
+
+    Returns (row [SC] i32 non-decreasing, valid [SC] bool, segs dict)."""
+    T = caps["tiles_cap"]
+    AR = caps["area_rows_cap"]
+    segs = counted["segs"]
+    slot = counted["sorted_slot"]
+    key = ops.gather_guarded(xp, slot2rank, xp.clip(slot, 0, T))
+    ok = (slot < T) & (key >= 0)
+    key = xp.where(ok, key, AR + COVERAGE_CHUNK)
+    key_s, okf, x0, y0, x1, y1, ye = ops.sort_multi(
+        xp,
+        key.astype(xp.int32),
+        (
+            ok.astype(xp.float32),
+            segs["seg_x0"],
+            segs["seg_y0"],
+            segs["seg_x1"],
+            segs["seg_y1"],
+            segs["seg_y_edge"],
+        ),
+    )
+    out = {
+        "seg_x0": x0,
+        "seg_y0": y0,
+        "seg_x1": x1,
+        "seg_y1": y1,
+        "seg_y_edge": ye,
+    }
+    return xp.minimum(key_s, AR - 1).astype(xp.int32), okf, out
+
+
+def compute_area_rows(xp, cmds, counted, caps):
+    """Returns (area_rows [AR+CH, 256] f32 rank-indexed, area_row [PC]
+    per-record row ids (-1 when rowless), overflow)."""
+    AR = caps["area_rows_cap"]
     CH = COVERAGE_CHUNK
     f32 = xp.float32
 
-    # Per-segment target row. row_of_slot assigns *dense ranks* to the
-    # slots that have segments, and the segment stream is sorted by
-    # slot, so the row sequence is non-decreasing and covers every rank
-    # in [0, n_rows) with no gaps. Invalid tail segments (slot == T)
-    # are remapped to the last valid row via cummax (their contribution
-    # is zeroed below), preserving density: any 1024-segment window
-    # then spans a contiguous row range of width < 1024, which lets the
-    # accumulation below use a contiguous slice-add instead of a
-    # scatter.
-    slot = counted["sorted_slot"]
-    T = counted["seg_count"].shape[0]
-    valid = slot < T
-    row = xp.where(
-        valid,
-        ops.gather_guarded(xp, counted["row_of_slot"], slot),
-        xp.int32(-1),
-    ).astype(xp.int32)
-    row = xp.maximum(ops.cummax(xp, row), 0)
-    # Overflow safety only (frame is discarded and retried): keep the
-    # slice windows in bounds.
-    row = xp.minimum(row, AR - 1)
-    valid_f = valid.astype(f32)
+    area_row_rec, slot2rank, bd_tgt, n_rows = rank_records(xp, cmds, caps)
+    row, valid_f, segs = sort_segments_by_rank(xp, counted, slot2rank, caps)
+    SC = segs["seg_x0"].shape[0]
 
-    # Materialize loop inputs (prevents re-running path_tiling inside
+    # Materialize loop inputs (prevents re-running the producers inside
     # every chunk iteration via fusion).
     sx0a, sy0a, sx1a, sy1a, syea, row, valid_f = ops.barrier(
         xp,
@@ -105,12 +161,11 @@ def compute_area_rows(xp, counted, segs, caps):
         contrib = contrib * sl(valid_f)[:, None]
 
         # Segmented accumulation without any 256-wide scatter: rows in
-        # this chunk are non-decreasing and dense, so they span the
+        # this chunk are non-decreasing (rank-sorted), so they span the
         # contiguous range [rmin, rmin + CH). Run sums come from the
-        # chunk-local inclusive cumsum differenced at run boundaries
-        # (exact per chunk: magnitudes are bounded by the chunk), and
-        # land in the area table with one contiguous slice-add. Runs
-        # spanning chunk borders accumulate across iterations.
+        # chunk-local inclusive cumsum differenced at run boundaries,
+        # and land in the area table with one contiguous slice-add.
+        # Runs spanning chunk borders accumulate across iterations.
         rows = sl(row)
         rmin = rows[0]
         r_local = rows - rmin  # in [0, CH)
@@ -142,14 +197,13 @@ def compute_area_rows(xp, counted, segs, caps):
 
     area = ops.fori(xp, n_chunks, body, area)
 
-    # Add per-slot backdrops to their rows.
-    has = counted["seg_count"] > 0
-    tgt = xp.where(has, counted["row_of_slot"], AR).astype(xp.int32)
-    bd = counted["backdrop"].astype(f32)[:, None] * xp.ones((1, 256), f32)
-    area = ops.scatter_add(xp, area, tgt, bd)
+    # Add per-record backdrops to their rows (once per row: the
+    # row-owning record carries the slot's backdrop prefix).
+    bd = cmds["backdrop"].astype(f32)[:, None] * xp.ones((1, 256), f32)
+    area = ops.scatter_add(xp, area, bd_tgt, bd)
 
-    overflow = counted["n_rows"] > AR
-    return area, overflow
+    overflow = n_rows > AR
+    return area, area_row_rec, overflow
 
 
 def jax_dynamic_slice(xp, a, start, size):

@@ -122,6 +122,8 @@ class _RampCache:
         self.mapping: dict = {}  # key -> [id, epoch]
         self.data: list[np.ndarray] = []  # one (512,4) f16 row per ramp
         self.stop_lists: list = []  # the ColorStop sequence per ramp id
+        self._version = 0  # bumped on any content change
+        self._ramps_cache: tuple | None = None  # (version, Ramps)
 
     def maintain(self):
         self.epoch += 1
@@ -131,6 +133,7 @@ class _RampCache:
             }
             del self.data[RETAINED_RAMP_COUNT:]
             del self.stop_lists[RETAINED_RAMP_COUNT:]
+            self._version += 1
 
     @staticmethod
     def _key(stops):
@@ -149,6 +152,7 @@ class _RampCache:
             ramp_id = len(self.data)
             self.data.append(make_ramp(stops))
             self.stop_lists.append(list(stops))
+            self._version += 1
             self.mapping[key] = [ramp_id, self.epoch]
             return ramp_id
         # Reuse a stale slot if possible, else append unretained.
@@ -158,16 +162,22 @@ class _RampCache:
                 del self.mapping[k]
                 self.data[reuse_id] = make_ramp(stops)
                 self.stop_lists[reuse_id] = list(stops)
+                self._version += 1
                 self.mapping[key] = [reuse_id, self.epoch]
                 return reuse_id
         ramp_id = len(self.data)
         self.data.append(make_ramp(stops))
         self.stop_lists.append(list(stops))
+        self._version += 1
         return ramp_id
 
     def ramps(self) -> Ramps:
         if not self.data:
             return Ramps()
+        # Rebuild only when a ramp was added/replaced (static scenes hit
+        # this every frame).
+        if self._ramps_cache is not None and self._ramps_cache[0] == self._version:
+            return self._ramps_cache[1]
         from ..pipeline.gradient import bake_stops_row, stops_row_width
 
         arr = np.stack(self.data)
@@ -179,13 +189,15 @@ class _RampCache:
         stops_tab = np.stack(
             [bake_stops_row(sl, max_stops) for sl in self.stop_lists]
         ).astype(np.float32)
-        return Ramps(
+        out = Ramps(
             data=arr,
             width=NUM_RAMP_SAMPLES,
             height=len(self.data),
             stops=stops_tab,
             max_stops=max_stops,
         )
+        self._ramps_cache = (self._version, out)
+        return out
 
 
 class Resolver:

@@ -59,21 +59,13 @@ from ..pipeline.drawobjs import (
 )
 
 
-def build_cmd_slab(xp, cmds, scene, info, caps):
-    """Pack sorted commands into the [GRID, MC, 16] u32 slab + counts."""
-    GRID = caps["tile_grid_cap"]
-    MC = caps["cmds_per_tile"]
-    PC = cmds["tile"].shape[0]
-
-    j = xp.arange(PC, dtype=xp.int32)
-    tile = cmds["tile"]
-    in_grid = tile < GRID
-    start_of_tile = cmds["tile_start"][xp.clip(tile, 0, GRID - 1)]
-    within = j - start_of_tile
-    ok = in_grid & (within < MC)
-    slot = xp.where(ok, xp.clip(tile, 0, GRID - 1) * MC + within, GRID * MC)
-
+def build_records(xp, cmds, scene, info, caps):
+    """Pack the sorted command stream into dense 16-word u32 records
+    [PC, 16] (tile order preserved, no scatter). Layout in module doc;
+    word 3 carries the tile id (the record-stream kernel derives pixel
+    coords and segment boundaries from it)."""
     kind = cmds["kind"]
+    PC = cmds["tile"].shape[0]
 
     # One row gather of the per-draw word table built in render_frame
     # (columns: scene[dd+0..3], info[di+1..9]) instead of ~14 element
@@ -106,7 +98,7 @@ def build_cmd_slab(xp, cmds, scene, info, caps):
     w[0] = kind.astype(xp.uint32)
     w[1] = cmds["area_row"].astype(xp.uint32)
     w[2] = cmds["seg_count"].astype(xp.uint32)
-    w[3] = cmds["backdrop"].astype(xp.uint32)
+    w[3] = cmds["tile"].astype(xp.uint32)
     w[4] = cmds["flags"].astype(xp.uint32)
     w[5] = xp.where(is_color | is_end, sc_u(0), xp.where(is_grad, extend, z))
     x6 = xp.where(is_color, sc_u(1), z)
@@ -125,7 +117,26 @@ def build_cmd_slab(xp, cmds, scene, info, caps):
     w[14] = xp.where(is_rad, info_u(9), z)
     w[15] = ramp_row
 
-    rec = xp.stack(w, axis=1)  # [PC, 16] u32
+    return xp.stack(w, axis=1)  # [PC, 16] u32
+
+
+def build_cmd_slab(xp, cmds, scene, info, caps, rec=None):
+    """Scatter the dense records into the [GRID, MC, 16] u32 slab +
+    per-tile counts (consumed by the per-tile interpreter kernel)."""
+    GRID = caps["tile_grid_cap"]
+    MC = caps["cmds_per_tile"]
+    PC = cmds["tile"].shape[0]
+
+    if rec is None:
+        rec = build_records(xp, cmds, scene, info, caps)
+    j = xp.arange(PC, dtype=xp.int32)
+    tile = cmds["tile"]
+    in_grid = tile < GRID
+    start_of_tile = cmds["tile_start"][xp.clip(tile, 0, GRID - 1)]
+    within = j - start_of_tile
+    ok = in_grid & (within < MC)
+    slot = xp.where(ok, xp.clip(tile, 0, GRID - 1) * MC + within, GRID * MC)
+
     slab = xp.zeros((GRID * MC + 1, 16), dtype=xp.uint32)
     slab = slab.at[slot].set(rec, mode="drop")
     slab = slab[: GRID * MC].reshape(GRID, MC, 16)
@@ -237,14 +248,16 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1):
 
             @pl.when(~suppressed & is_fillish & (seg_count > 0))
             def _():
+                # Rank rows live in a plain [AR+CH, 256] table; DMA the
+                # aligned 8-row window containing the record's rank and
+                # pick the row with a dynamic sublane slice.
+                start8 = pl.multiple_of((area_row // 8) * 8, 8)
                 dma = pltpu.make_async_copy(
-                    rows_hbm.at[pl.ds(area_row, 1), :, :], area_dma, sem
+                    rows_hbm.at[pl.ds(start8, 8), :], area_dma, sem
                 )
                 dma.start()
                 dma.wait()
-                a = jnp.concatenate(
-                    [area_dma[0, 0:1, :], area_dma[0, 1:2, :]], axis=1
-                )
+                a = area_dma[pl.ds(area_row - start8, 1), :]  # (1, 256)
                 eo = jnp.abs(a - 2.0 * jnp.round(0.5 * a))
                 nz = jnp.minimum(jnp.abs(a), 1.0)
                 use_eo = even_odd & (kind != CMD_END_CLIP)
@@ -476,7 +489,7 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1):
             pltpu.VMEM((4, 256), jnp.float32),      # rgba
             pltpu.VMEM((BD, 4, 256), jnp.float32),  # blend stack
             pltpu.VMEM((1, 256), jnp.float32),      # area
-            pltpu.VMEM((1, 8, 128), jnp.float32),   # area row DMA target
+            pltpu.VMEM((8, 256), jnp.float32),      # area row DMA window
             pltpu.VMEM((8, IHWP_STATIC), jnp.float32),  # image planes
             pltpu.SemaphoreType.DMA,
         ],
@@ -505,11 +518,12 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
         img_shape = (int(images.shape[1]), int(images.shape[2]))
         caps["img_hw"] = img_shape
 
+    area_blk, area_row_rec, rows_overflow = compute_area_rows(
+        jnp, cmds, counted, caps
+    )
+    cmds = dict(cmds)
+    cmds["area_row"] = area_row_rec
     slab, counts, slab_overflow = build_cmd_slab(jnp, cmds, scene, info, caps)
-    area_rows, rows_overflow = compute_area_rows(jnp, counted, segs, caps)
-    AR = caps["area_rows_cap"]
-    area_blk = jnp.zeros((AR, 8, 128), dtype=jnp.float32)
-    area_blk = area_blk.at[:, 0:2, :].set(area_rows[:AR].reshape(AR, 2, 128))
 
     # Stop table rows (pipeline/gradient.py layout), lane-padded.
     NR, W = ramps.shape[0], ramps.shape[1]

@@ -1,0 +1,493 @@
+"""Record-stream fine rasterization (fine_v2): compositing as a
+segmented affine scan.
+
+The reference's fine stage interprets each 16x16 tile's command tape
+sequentially, one workgroup per tile (fine.wgsl:814-883). A TPU pays a
+fixed cost per scalar-dispatched command, so per-tile interpretation is
+issue-bound. This kernel restructures the whole stage around one
+observation: painter's-order src-over compositing
+
+    rgba' = rgba * (1 - fg_a * cov) + fg * cov
+
+is an *affine* map of the running pixel color, and affine maps compose
+associatively. The tile-sorted command stream therefore admits a
+segmented scan (segments = tiles): chunks of C consecutive records are
+processed entirely with dense [C, 256] vector/MXU ops —
+
+  - coverage rows stream in with one aligned window DMA per chunk
+    (ranks are non-decreasing along the stream; see pipeline/coverage)
+    and are aligned to records by a one-hot matmul;
+  - paints (solid colors and all three gradient kinds) evaluate
+    vectorized across the chunk, with per-record parameters broadcast
+    from record columns and gradient stops fetched by a one-hot matmul
+    against the VMEM-resident stop table;
+  - the per-tile composite is a log2(C)-step segmented scan of
+    (A = 1 - fa, B = fg*cov) affine pairs;
+  - completed tiles' values scatter into a staging block via a one-hot
+    matmul on the MXU and leave with one contiguous window write per
+    chunk, into a *compact* output indexed by nonempty-tile rank
+    (windows stay C-bounded even when the tile grid is sparse).
+
+There is no per-record scalar dispatch, branch, or DMA anywhere.
+
+Tiles containing clip/blend groups or image paints are excluded here
+(their records are masked to the identity map) and rendered by the
+per-tile interpreter kernel (fine_pallas) into the same compact buffer.
+
+Output: (compact [NT_cap, 4, 256] un-premultiplied, tile2rank [GRID]);
+assemble with `assemble_compact`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..pipeline import ops
+from ..pipeline.coarse import (
+    CMD_BEGIN_CLIP,
+    CMD_COLOR,
+    CMD_END_CLIP,
+    CMD_IMAGE,
+    CMD_LIN_GRAD,
+    CMD_RAD_GRAD,
+    CMD_SWEEP_GRAD,
+)
+from ..pipeline.coverage import compute_area_rows
+from ..pipeline.drawobjs import (
+    RAD_GRAD_KIND_CIRCULAR,
+    RAD_GRAD_KIND_FOCAL_ON_CIRCLE,
+    RAD_GRAD_KIND_STRIP,
+    RAD_GRAD_SWAPPED,
+)
+
+# Records per chunk. The cov window pads to CW (8-aligned slack for the
+# aligned DMA start).
+V2_CHUNK = 128
+COV_SLACK = 16
+
+
+def _shift_down(arr, k, fill):
+    """arr[i] <- arr[i-k] along axis 0; first k rows get `fill`.
+
+    Uses a rotate + iota mask: Mosaic lowers tpu.rotate for any sublane
+    count, whereas pad+concat of offset slices is not legalizable."""
+    rolled = pltpu.roll(arr, k, 0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    return jnp.where(idx < k, jnp.full_like(arr, fill), rolled)
+
+
+def _extend_v(t, mode):
+    """Extend-mode application with per-record mode (C,1)."""
+    pad = jnp.clip(t, 0.0, 1.0)
+    rep = t - jnp.floor(t)
+    refl = jnp.abs(t - 2.0 * jnp.round(0.5 * t))
+    return jnp.where(mode == 0, pad, jnp.where(mode == 1, rep, refl))
+
+
+def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
+    GRID = caps["tile_grid_cap"]
+    C = caps.get("v2_chunk", V2_CHUNK)
+    CW = C + COV_SLACK
+    MAX_STOPS = caps.get("max_stops", 2)
+    S = MAX_STOPS
+
+    def kernel(rank_lo_s, trank_lo_s, next_first_s, misc_s, base_s,
+               rec_ref, rows_hbm, stops_ref, out_hbm,
+               cov_win, stag, carry, carry_tile, sem, sem_out):
+        c = pl.program_id(0)
+        wit = misc_s[0]
+
+        @pl.when(c == 0)
+        def _():
+            carry_tile[0] = -1
+            # Scratch starts uninitialized; 0-masked NaNs still poison
+            # the v0 select, so zero it.
+            carry[...] = jnp.zeros((4, 256), jnp.float32)
+
+        ru = rec_ref[...][0]  # (C, 16) u32
+        rf = pltpu.bitcast(ru, jnp.float32)
+
+        def iu(k):  # (C, 1) i32 column
+            return ru[:, k : k + 1].astype(jnp.int32)
+
+        def fu(k):  # (C, 1) f32 column
+            return rf[:, k : k + 1]
+
+        kind = iu(0)
+        rank = iu(1)
+        segc = iu(2)
+        tile = iu(3)
+        flags = iu(4)
+
+        valid = (tile < GRID) & (tile >= 0)
+        is_color = kind == CMD_COLOR
+        is_lin = kind == CMD_LIN_GRAD
+        is_rad = kind == CMD_RAD_GRAD
+        is_sweep = kind == CMD_SWEEP_GRAD
+        is_grad = is_lin | is_rad | is_sweep
+        # Records this kernel paints; everything else (padding, clip
+        # markers, image paints, whole tiles routed to the interpreter
+        # via flag bit 1) is the identity map.
+        legacy_tile = (flags & 2) != 0
+        live = valid & (is_color | is_grad) & ~legacy_tile
+        live_f = live.astype(jnp.float32)
+
+        # ---- coverage -------------------------------------------------
+        r_lo = rank_lo_s[c]
+        start8 = pl.multiple_of((r_lo // 8) * 8, 8)
+        dma = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(start8, CW), :], cov_win, sem
+        )
+        dma.start()
+        dma.wait()
+        local = rank - start8  # (C,1); negative when rank == -1
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (C, CW), 1)
+        has_row = rank >= 0
+        ohc = ((iota_r == local) & has_row).astype(jnp.float32)
+        a = jax.lax.dot_general(
+            ohc, cov_win[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+        )  # (C, 256) raw winding
+        eo = jnp.abs(a - 2.0 * jnp.round(0.5 * a))
+        nz = jnp.minimum(jnp.abs(a), 1.0)
+        even_odd = (flags & 1) != 0
+        cov = jnp.where(even_odd, eo, nz)
+        cov = jnp.where(has_row, cov, 1.0)  # seg-less fills cover fully
+        cov = cov * live_f
+
+        # ---- paints ---------------------------------------------------
+        # Solid color: rgba f32 in words 5..8, already premultiplied.
+        fg = [jnp.where(is_color, fu(5 + ch), 0.0) * jnp.ones((C, 256), jnp.float32)
+              for ch in range(4)]
+
+        any_grad = jnp.any(live & is_grad)
+
+        def grad_fg(_):
+            lx = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+            lxf = jnp.astype(lx % 16, jnp.float32)
+            lyf = jnp.astype(lx // 16, jnp.float32)
+            txf = jnp.astype((tile % wit) * 16, jnp.float32)
+            tyf = jnp.astype((tile // wit) * 16, jnp.float32)
+            gx = txf + lxf  # (C, 256)
+            gy = tyf + lyf
+            ext = iu(5)
+
+            # linear: t = line_x*gx + line_y*gy + line_c
+            t_lin = fu(6) * gx + fu(7) * gy + fu(8)
+
+            # radial (Skia focal form, draw_leaf's classification)
+            m0, m1, m2, m3 = fu(6), fu(7), fu(8), fu(9)
+            xl, yl = fu(10), fu(11)
+            focal_x = fu(12)
+            radius = fu(13)
+            kf = iu(14)
+            rkind = kf & 0x7
+            rflags = kf >> 3
+            lxr = m0 * gx + m2 * gy + xl
+            lyr = m1 * gx + m3 * gy + yl
+            xx = lxr * lxr
+            yy = lyr * lyr
+            is_strip = rkind == RAD_GRAD_KIND_STRIP
+            is_circ = rkind == RAD_GRAD_KIND_CIRCULAR
+            is_foc = rkind == RAD_GRAD_KIND_FOCAL_ON_CIRCLE
+            is_swapped = (rflags & RAD_GRAD_SWAPPED) != 0
+            r1r = jnp.where(is_circ, 0.0, 1.0 / jnp.where(radius == 0, 1.0, radius))
+            less_scale = jnp.where(is_swapped | ((1.0 - focal_x) < 0.0), -1.0, 1.0)
+            t_sign = jnp.sign(1.0 - focal_x)
+            a_s = radius - yy
+            t_strip = jnp.sqrt(jnp.maximum(a_s, 0.0)) + lxr
+            v_strip = (a_s >= 0.0).astype(jnp.float32)
+            safe_x = jnp.where(lxr == 0.0, 1.0, lxr)
+            t_foc = (xx + yy) / safe_x
+            v_foc = ((t_foc >= 0.0) & (lxr != 0.0)).astype(jnp.float32)
+            t_big = jnp.sqrt(xx + yy) - lxr * r1r
+            a_c = xx - yy
+            t_cone = less_scale * jnp.sqrt(jnp.maximum(a_c, 0.0)) - lxr * r1r
+            v_cone = ((a_c >= 0.0) & (t_cone >= 0.0)).astype(jnp.float32)
+            t_rad = jnp.where(is_strip, t_strip,
+                              jnp.where(is_foc, t_foc,
+                                        jnp.where(radius > 1.0, t_big, t_cone)))
+            v_rad = jnp.where(is_strip, v_strip,
+                              jnp.where(is_foc, v_foc,
+                                        jnp.where(radius > 1.0, 1.0, v_cone)))
+            t_rad = focal_x + t_sign * t_rad
+            t_rad_post = jnp.where(is_swapped, 1.0, 0.0)  # applied after extend
+
+            # sweep: atan polynomial (fine.wgsl:1035-1067)
+            t0s, t1s = fu(12), fu(13)
+            lxs = m0 * gx + m2 * gy + xl
+            lys = m1 * gx + m3 * gy + yl
+            xabs = jnp.abs(lxs)
+            yabs = jnp.abs(lys)
+            mx = jnp.maximum(xabs, yabs)
+            slope = jnp.minimum(xabs, yabs) / jnp.where(mx == 0, 1.0, mx)
+            s2 = slope * slope
+            phi = slope * (
+                0.15912117063999176025390625
+                + s2 * (-5.185396969318389892578125e-2
+                        + s2 * (2.476101927459239959716796875e-2
+                                + s2 * (-7.0547382347285747528076171875e-3))))
+            phi = jnp.where(xabs < yabs, 0.25 - phi, phi)
+            phi = jnp.where(lxs < 0.0, 0.5 - phi, phi)
+            phi = jnp.where(lys < 0.0, 1.0 - phi, phi)
+            phi = jnp.where(phi != phi, 0.0, phi)
+            safe_dt = jnp.where(t1s == t0s, 1.0, t1s - t0s)
+            t_sweep = (phi - t0s) / safe_dt
+
+            t = jnp.where(is_lin, t_lin, jnp.where(is_rad, t_rad, t_sweep))
+            t = _extend_v(t, ext)
+            t = jnp.where(is_rad & is_swapped, 1.0 - t, t)
+            vmask = jnp.where(is_rad, v_rad, 1.0)
+
+            # stop rows via one-hot over the stop table
+            ramp_id = iu(15)
+            iota_n = jax.lax.broadcasted_iota(jnp.int32, (C, n_ramp_rows), 1)
+            ohr = ((iota_n == ramp_id) & is_grad).astype(jnp.float32)
+            rows = jax.lax.dot_general(
+                ohr, stops_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (C, 128) stop-table rows
+
+            def stop_p(k):
+                return rows[:, 1 + k : 2 + k]
+
+            def stop_c(k, ch):
+                return rows[:, 1 + S + 4 * k + ch : 2 + S + 4 * k + ch]
+
+            acc = [stop_c(0, ch) * jnp.ones((C, 256), jnp.float32) for ch in range(4)]
+            for k in range(S - 1):
+                dk = jnp.maximum(stop_p(k + 1) - stop_p(k), 1e-9)
+                u = jnp.clip((t - stop_p(k)) / dk, 0.0, 1.0)
+                for ch in range(4):
+                    acc[ch] = acc[ch] + (stop_c(k + 1, ch) - stop_c(k, ch)) * u
+
+            def eotf(x):
+                hi = jnp.exp(2.4 * jnp.log(jnp.maximum(x + 0.055, 1e-6) * (1.0 / 1.055)))
+                return jnp.where(x <= 0.04045, x * (1.0 / 12.92), hi)
+
+            ga = acc[3] * vmask
+            return [eotf(acc[0]) * ga, eotf(acc[1]) * ga, eotf(acc[2]) * ga, ga]
+
+        def no_grad(_):
+            zz = jnp.zeros((C, 256), jnp.float32)
+            return [zz, zz, zz, zz]
+
+        gfg = jax.lax.cond(any_grad, grad_fg, no_grad, 0)
+        gmask = is_grad.astype(jnp.float32)
+        fg = [fg[ch] * (1.0 - gmask) + gfg[ch] * gmask for ch in range(4)]
+
+        # ---- segmented affine scan -------------------------------------
+        fa = fg[3] * cov
+        A = 1.0 - fa
+        B = [fg[ch] * cov for ch in range(4)]
+        k = 1
+        while k < C:
+            tile_sh = _shift_down(tile, k, -1)
+            same = (tile == tile_sh).astype(jnp.float32)
+            A_sh = _shift_down(A, k, 1.0)
+            B_sh = [_shift_down(B[ch], k, 0.0) for ch in range(4)]
+            B = [B[ch] + same * (A * B_sh[ch]) for ch in range(4)]
+            A = A * (1.0 + same * (A_sh - 1.0))
+            k *= 2
+
+        # ---- compose with carry / base ---------------------------------
+        ct = carry_tile[0]
+        use_carry = (tile == ct).astype(jnp.float32)  # (C,1)
+        v = []
+        for ch in range(4):
+            base_ch = base_s[ch]
+            v0 = use_carry * carry[ch : ch + 1, :] + (1.0 - use_carry) * base_ch
+            v.append(B[ch] + A * v0)
+
+        # ---- flush completed tiles -------------------------------------
+        nf = next_first_s[c]
+        idx0 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+        tile_nx = jnp.where(idx0 == C - 1, nf, pltpu.roll(tile, C - 1, 0))
+        is_last = (tile != tile_nx) & (tile < GRID)
+
+        # local tile rank within chunk (record 0's tile is rank t_lo by
+        # construction, whether it continues the carry tile or not)
+        t_lo = trank_lo_s[c]
+        changed = (tile != _shift_down(tile, 1, -2)).astype(jnp.int32)
+        idxp = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+        new_tile = jnp.where(idxp == 0, 0, changed)
+        # prefix sum over (C,1) via log shifts
+        ps = new_tile
+        k = 1
+        while k < C:
+            ps = ps + _shift_down(ps, k, 0)
+            k *= 2
+        pos = ps  # (C,1): trank_rec - t_lo
+
+        # Un-premultiply (the interpreter kernel and assembly both use
+        # un-premultiplied rows, fine.wgsl:1092-1102).
+        inv_a = 1.0 / jnp.maximum(v[3], 1e-6)
+        vout = [v[0] * inv_a, v[1] * inv_a, v[2] * inv_a, v[3]]
+        base_a = jnp.maximum(base_s[3], 1e-6)
+        base_un = [base_s[0] / base_a, base_s[1] / base_a,
+                   base_s[2] / base_a, base_s[3]]
+
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        ohl = ((iota_p == pos) & is_last).astype(jnp.float32)  # (rec, slot)
+        for ch in range(4):
+            sc = jax.lax.dot_general(
+                ohl, vout[ch] - base_un[ch], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (slot, 256)
+            stag[:, ch, :] = sc + base_un[ch]
+
+        out_dma = pltpu.make_async_copy(
+            stag, out_hbm.at[pl.ds(jnp.minimum(t_lo, GRID), C)], sem_out
+        )
+        out_dma.start()
+        out_dma.wait()
+
+        # ---- carry ------------------------------------------------------
+        for ch in range(4):
+            carry[ch : ch + 1, :] = v[ch][C - 1 : C, :]
+        carry_tile[0] = tile[C - 1, 0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # rank_lo, trank_lo, next_first, misc, base
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, C, 16), lambda c, *s: (c, 0, 0)),  # records
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # cov rows
+            pl.BlockSpec((n_ramp_rows, 128), lambda c, *s: (0, 0)),  # stops
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((C + COV_SLACK, 256), jnp.float32),  # cov window
+            pltpu.VMEM((C, 4, 256), jnp.float32),           # staging
+            pltpu.VMEM((4, 256), jnp.float32),              # carry value
+            pltpu.SMEM((1,), jnp.int32),                    # carry tile
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((GRID + C, 4, 256), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
+            interpret=False):
+    """Record-stream fine pass. Requires a clip-free frame; image tiles
+    must be pre-flagged (flag bit 1) for the interpreter merge pass.
+
+    Returns ((compact [GRID+C,4,256] un-premultiplied, tile2rank [GRID]),
+    flags)."""
+    from .fine_pallas import build_records
+
+    caps = dict(caps)
+    C = caps.get("v2_chunk", V2_CHUNK)
+    GRID = caps["tile_grid_cap"]
+    xp = jnp
+
+    area_blk, area_row_rec, rows_overflow = compute_area_rows(
+        xp, cmds, counted, caps
+    )
+    cmds = dict(cmds)
+    cmds["area_row"] = area_row_rec
+
+    # Stop table, lane-padded; row count static per size class.
+    NR, W = ramps.shape[0], ramps.shape[1]
+    caps["max_stops"] = (W - 1) // 5
+    stops_pad = xp.zeros((NR, 128), dtype=xp.float32)
+    stops_pad = stops_pad.at[:, :W].set(ramps)
+
+    rec = build_records(xp, cmds, scene, info, caps)
+    PC = rec.shape[0]
+    n_chunks = (PC + C - 1) // C
+    PCpad = n_chunks * C
+    if PCpad != PC:
+        rec = xp.concatenate(
+            [rec, xp.zeros((PCpad - PC, 16), dtype=xp.uint32)]
+        )
+    # Padding records: tile = GRID (invalid), all else zero.
+    if PCpad != PC:
+        pad_tile = xp.full((PCpad - PC,), GRID, dtype=xp.uint32)
+        rec = rec.at[PC:, 3].set(pad_tile)
+    rec3 = rec.reshape(n_chunks, C, 16)
+
+    tile = cmds["tile"].astype(xp.int32)
+    tile_p = xp.concatenate(
+        [tile, xp.full((PCpad - PC,), GRID, dtype=xp.int32)]
+    ) if PCpad != PC else tile
+
+    # Per-chunk coverage-row window starts: the running max row so far.
+    runm = ops.cummax(xp, area_row_rec)
+    runm_p = (
+        xp.concatenate([runm, xp.full((PCpad - PC,), runm[-1], xp.int32)])
+        if PCpad != PC else runm
+    )
+    rank_lo = xp.maximum(
+        xp.concatenate([xp.zeros(1, xp.int32), runm_p[C - 1 :: C][:-1]]), 0
+    )
+
+    # Nonempty-tile ranks.
+    prev_t = xp.concatenate([xp.full(1, -1, xp.int32), tile_p[:-1]])
+    first = (tile_p != prev_t) & (tile_p < GRID)
+    csum = xp.cumsum(first.astype(xp.int32))
+    n_tiles = csum[-1]
+    trank = xp.where(tile_p < GRID, csum - 1, n_tiles)
+    trank_lo = trank[0::C]
+    tile2rank = xp.full((GRID,), -1, dtype=xp.int32)
+    tile2rank = ops.scatter_set(
+        xp, tile2rank, xp.where(first, tile_p, GRID), csum - 1
+    )
+    next_first = xp.concatenate(
+        [tile_p[C::C], xp.full(1, GRID, xp.int32)]
+    )
+
+    misc = xp.asarray(layout["width_in_tiles"], dtype=xp.int32).reshape(1)
+    base = xp.asarray(layout["base_color"], dtype=xp.float32)
+
+    call = make_fine_v2_kernel(caps, NR, n_chunks, interpret=interpret)
+    out = call(
+        rank_lo.astype(xp.int32),
+        trank_lo.astype(xp.int32),
+        next_first.astype(xp.int32),
+        misc,
+        base,
+        rec3,
+        area_blk,
+        stops_pad,
+    )
+    flags = {"area_rows_overflow": rows_overflow}
+    return (out, tile2rank), flags
+
+
+def assemble_compact(np_mod, compact, tile2rank, ld):
+    """Expand the compact per-tile output into an [H, W, 4] image
+    (host-side; the gather is a numpy fancy-index)."""
+    wit = int(ld["width_in_tiles"])
+    hit = int(ld["height_in_tiles"])
+    W = int(ld["target_width"])
+    H = int(ld["target_height"])
+    base = np_mod.asarray(ld["base_color"], dtype=np_mod.float32)
+    # un-premultiplied base (compact rows are un-premultiplied)
+    ba = max(float(base[3]), 1e-6)
+    base_un = np_mod.array([base[0] / ba, base[1] / ba, base[2] / ba, base[3]],
+                           dtype=np_mod.float32)
+    rank = np_mod.asarray(tile2rank)[: wit * hit]
+    compact = np_mod.asarray(compact)
+    rows = compact[np_mod.clip(rank, 0, compact.shape[0] - 1)]  # [T,4,256]
+    rows = np_mod.where(
+        (rank >= 0)[:, None, None], rows,
+        base_un[None, :, None],
+    )
+    img = rows.reshape(hit, wit, 4, 16, 16)
+    img = np_mod.transpose(img, (0, 3, 1, 4, 2)).reshape(hit * 16, wit * 16, 4)
+    return img[:H, :W]

@@ -61,6 +61,10 @@ class Renderer:
         if caps.get("aa_mode", "area") != "area":
             # MSAA currently renders through the reference fine path.
             return None
+        if caps.get("_fine_mode") == "v2":
+            from .fine_v2 import fine_v2
+
+            return fine_v2
         if caps.get("_no_pallas_fine"):
             return None
         from .fine_pallas import fine_pallas
@@ -101,7 +105,14 @@ class Renderer:
     def render(self, scene, params: RenderParams, max_retries: int = 4):
         """Render to a host numpy [H, W, 4] float32 image."""
         fine_out, ld = self.render_device(scene, params, max_retries)
-        img = assemble_image(np, np.asarray(fine_out), ld)
+        if isinstance(fine_out, tuple):
+            from .fine_v2 import assemble_compact
+
+            compact, tile2rank = fine_out
+            img = assemble_compact(np, np.asarray(compact),
+                                   np.asarray(tile2rank), ld)
+        else:
+            img = assemble_image(np, np.asarray(fine_out), ld)
         return np.asarray(img)
 
     def render_device(self, scene, params: RenderParams, max_retries: int = 4,
@@ -145,13 +156,17 @@ class Renderer:
             )
         atlas = build_image_atlas(images)
 
-        # The Pallas fine kernel holds one image's planes in VMEM scratch;
-        # very large images fall back to the XLA fine path. This is a
-        # per-frame decision: apply it to a copy so it never persists in
-        # self._caps across frames.
+        # Per-frame fine-path routing (host-static; never persisted into
+        # self._caps):
+        #  - record-stream kernel (fine_v2) for clip-free, image-free,
+        #    area-AA frames — the fast path;
+        #  - per-tile interpreter kernel otherwise;
+        #  - XLA reference fine when the atlas exceeds VMEM scratch.
+        caps = dict(caps)
         if atlas is not None and atlas.shape[1] * atlas.shape[2] > (1 << 16):
-            caps = dict(caps)
             caps["_no_pallas_fine"] = True
+        elif layout.n_clips == 0 and atlas is None:
+            caps["_fine_mode"] = "v2"
 
         packed_layout = jnp.asarray(render_mod.pack_layout(ld_np))
         scene_dev = jnp.asarray(scene_padded)
@@ -192,6 +207,7 @@ class Renderer:
             # frames of this Renderer).
             persisted = dict(caps)
             persisted.pop("_no_pallas_fine", None)
+            persisted.pop("_fine_mode", None)
             self._caps = persisted
         if flags and any(flags.values()):
             raise RuntimeError(
