@@ -205,11 +205,12 @@ def build_commands(
     begin_zero = is_begin & (seg_count == 0) & (backdrop == 0)
 
     sort_key = xp.where(include, tile_global, GRID).astype(xp.int32)
-    order = ops.stable_argsort(xp, sort_key)
-    # One packed row gather applies the sort permutation to all fields.
-    pk = xp.stack(
-        [
-            sort_key,
+    # Payload rides the compare-exchange network (one multi-operand
+    # lax.sort) — cheaper than argsort + a permutation row gather.
+    (st_, k_, ss_, sc_, bd_, ts_, fl_, di_, dd_, dr_) = ops.sort_multi(
+        xp,
+        sort_key,
+        (
             kind,
             seg_start,
             xp.where(begin_zero, -1, seg_count),
@@ -219,23 +220,21 @@ def build_commands(
             cdi,
             cdd,
             rec,
-        ],
-        axis=1,
+        ),
     )
-    pko = pk[order]
     cmds = {
-        "tile": pko[:, 0],
-        "kind": pko[:, 1],
-        "seg_start": pko[:, 2],
-        "seg_count": pko[:, 3],
-        "backdrop": pko[:, 4],
+        "tile": st_,
+        "kind": k_,
+        "seg_start": ss_,
+        "seg_count": sc_,
+        "backdrop": bd_,
         # The record's (path, tile) slot; coverage-row ranks are derived
         # from it post-sort (coverage.rank_records).
-        "tile_slot": pko[:, 5],
-        "flags": pko[:, 6].astype(xp.uint32),
-        "di": pko[:, 7],
-        "dd": pko[:, 8],
-        "draw": pko[:, 9],
+        "tile_slot": ts_,
+        "flags": fl_.astype(xp.uint32),
+        "di": di_,
+        "dd": dd_,
+        "draw": dr_,
     }
     # Per-tile command ranges from run boundaries (unique scatters).
     st = cmds["tile"]
@@ -260,5 +259,7 @@ def build_commands(
     cmds["tile_start"] = tile_start
     cmds["tile_end"] = tile_end
     cmds["n_cmds"] = xp.sum((st < GRID).astype(xp.int32))
+    cmds["pair_total"] = pair_total
+    cmds["max_cmds"] = xp.max(tile_end - tile_start)
     cmds["overflow"] = pair_total > PC
     return cmds

@@ -793,42 +793,32 @@ def flatten_stage(xp, scene, layout, caps):
     a_path = ops.gather_guarded(xp, path_idx, a_slot)
 
     # --- Combine into the line soup -------------------------------------
-    # One 5-wide row scatter per emission family instead of five element
-    # scatters each (path ids are exact in f32: caps < 2^24).
-    # Per-component element scatters: a packed [LC, 4/5] row scatter was
-    # tried twice and both times drew a transposed {0,1} layout from XLA
-    # costing ~1.7x more than these five (scatter layout roulette — the
-    # row-table idiom pays off for gathers, not for scatter targets).
+    # Each expansion already produces its family's lines densely at
+    # positions [0, total): the soup is just the three family blocks at
+    # *static* offsets [0, EC), [EC, EC+SC), [EC+SC, EC+SC+AC) — a
+    # concatenation, not a scatter. (The previous element scatters at
+    # dynamic offsets cost ~17 ms apiece at 1.4M lines; downstream
+    # stages mask with line_valid, so interior gaps are free.)
     LC = caps["line_cap"]
-    lx0 = xp.zeros(LC, dtype=f32)
-    ly0 = xp.zeros(LC, dtype=f32)
-    lx1 = xp.zeros(LC, dtype=f32)
-    ly1 = xp.zeros(LC, dtype=f32)
-    lpath = xp.full(LC, n_paths_cap, dtype=xp.int32)
 
-    def place(tgt, idx, vals, valid):
-        return ops.scatter_set(xp, tgt, xp.where(valid, idx, LC), vals)
+    def family(vals_e, vals_s, vals_a, fill=f32(0.0)):
+        out = xp.concatenate([vals_e, vals_s, vals_a])
+        pad = LC - (EC + SC + AC)
+        if pad > 0:
+            out = xp.concatenate([out, xp.full(pad, fill, dtype=out.dtype)])
+        return out
 
-    je = xp.arange(EC, dtype=xp.int32)
-    lx0 = place(lx0, je, e_x0, e_valid)
-    ly0 = place(ly0, je, e_y0, e_valid)
-    lx1 = place(lx1, je, e_x1, e_valid)
-    ly1 = place(ly1, je, e_y1, e_valid)
-    lpath = place(lpath, je, e_path, e_valid)
-
-    js = xp.arange(SC, dtype=xp.int32) + e_total
-    lx0 = place(lx0, js, sl_x0, s_valid)
-    ly0 = place(ly0, js, sl_y0, s_valid)
-    lx1 = place(lx1, js, sl_x1, s_valid)
-    ly1 = place(ly1, js, sl_y1, s_valid)
-    lpath = place(lpath, js, s_path, s_valid)
-
-    ja = xp.arange(AC, dtype=xp.int32) + (e_total + s_total)
-    lx0 = place(lx0, ja, al0x, a_valid)
-    ly0 = place(ly0, ja, al0y, a_valid)
-    lx1 = place(lx1, ja, al1x, a_valid)
-    ly1 = place(ly1, ja, al1y, a_valid)
-    lpath = place(lpath, ja, a_path, a_valid)
+    lx0 = family(e_x0, sl_x0, al0x)
+    ly0 = family(e_y0, sl_y0, al0y)
+    lx1 = family(e_x1, sl_x1, al1x)
+    ly1 = family(e_y1, sl_y1, al1y)
+    sentinel = xp.int32(n_paths_cap)
+    lpath = family(
+        xp.where(e_valid, e_path, sentinel),
+        xp.where(s_valid, s_path, sentinel),
+        xp.where(a_valid, a_path, sentinel),
+        fill=sentinel,
+    )
 
     n_lines = e_total + s_total + a_total
     line_valid = lpath < n_paths_cap
@@ -881,6 +871,12 @@ def flatten_stage(xp, scene, layout, caps):
         "line_path": lpath,
         "line_valid": line_valid,
         "n_lines": n_lines,
+        # Actual-use counters for host-side capacity calibration.
+        "n_work_a": na,
+        "n_work_b": nb,
+        "e_total": e_total,
+        "s_total": s_total,
+        "a_total": a_total,
         "path_bbox": path_bbox,
         "path_draw_flags": path_draw_flags,
         "path_trans_idx": path_trans_idx,

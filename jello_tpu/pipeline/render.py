@@ -83,7 +83,8 @@ def unpack_layout(xp, packed):
     return ld
 
 
-def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None):
+def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
+                 with_stats=False):
     """Render one frame.
 
     scene:  uint32[*] packed scene buffer (padded to the size class).
@@ -197,6 +198,24 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None):
                 scene, cmds, segs, counted, info, ramps, images, layout, caps
             )
             flags.update(fine_flags)
+    if with_stats:
+        # Actual-use counters (exact for this frame) that the host
+        # fetches once per scene shape to shrink the capacity class —
+        # the inverse of the bump-failure grow protocol.
+        stats = {
+            "work_a": fl["n_work_a"],
+            "work_b": fl["n_work_b"],
+            "euler_lines": fl["e_total"],
+            "simple_lines": fl["s_total"],
+            "arc_lines": fl["a_total"],
+            "tiles": paths["n_tiles"],
+            "segs": counted["n_segs"],
+            "bd_rows": counted["r_total"],
+            "area_rows": counted["n_rows"],
+            "pairs": cmds["pair_total"],
+            "max_cmds": cmds["max_cmds"],
+        }
+        return fine_out, flags, stats
     return fine_out, flags
 
 

@@ -222,6 +222,8 @@ def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=No
     n_seg_slots = int(np.sum(seg & ~(is_stroke & is_marker)))
     n_stroke_slots = int(np.sum(regular_stroke))
     est = dict(
+        # n_path_tags is exact for this stream shape; no pow2 rounding.
+        n_tag_slots=_bucket(n_tags + 1, 1024, 8192),
         work_a_cap=_bucket(n_seg_slots + 1, 256, 1024),
         work_b_cap=_bucket(n_stroke_slots + 1, 256, 1024),
         euler_line_cap=_bucket(int(euler_lines * SAFETY), 1 << 12),
@@ -250,6 +252,51 @@ def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=No
     if base:
         caps["line_cap"] = max(caps["line_cap"], base.get("line_cap", 0))
     return caps
+
+
+def calibrate_caps(caps: dict, stats: dict, margin: float = 1.25) -> dict:
+    """Shrink the capacity class to measured actual use (+margin).
+
+    `stats` holds the exact per-frame counters fetched from the device
+    (pipeline/render.py with_stats). The Wang-formula pre-estimates run
+    1.8-3.8x above actual on real scenes, and every expansion/sort/
+    gather in the frame costs proportionally to its capacity, so one
+    measured frame pays for itself immediately. The margin covers
+    animated scenes that keep the same stream shape but move geometry;
+    underestimates still hit the overflow-retry path.
+    """
+    out = dict(caps)
+
+    def m(v):
+        return int(int(v) * margin) + 1
+
+    out["work_a_cap"] = _bucket(m(stats["work_a"]), 256, 1024)
+    out["work_b_cap"] = _bucket(m(stats["work_b"]), 256, 1024)
+    out["euler_line_cap"] = _bucket(m(stats["euler_lines"]), 1 << 12)
+    out["simple_line_cap"] = _bucket(m(stats["simple_lines"]), 1 << 10, 2048)
+    out["arc_line_cap"] = _bucket(m(stats["arc_lines"]), 1 << 10, 2048)
+    out["line_cap"] = (
+        out["euler_line_cap"] + out["simple_line_cap"] + out["arc_line_cap"]
+    )
+    out["tiles_cap"] = _bucket(m(stats["tiles"]), 1 << 12)
+    out["seg_cap"] = _bucket(m(stats["segs"]), 1 << 13)
+    out["row_cap"] = _bucket(m(stats["bd_rows"]), 1 << 12)
+    out["area_rows_cap"] = _bucket(m(stats["area_rows"]), 1 << 12)
+    out["pair_cap"] = _bucket(m(stats["pairs"]), 1 << 12)
+    out["cmds_per_tile"] = max(_pow2(m(stats["max_cmds"]), 16), 16)
+    return out
+
+
+def caps_shrank(new: dict, old: dict, threshold: float = 0.87) -> bool:
+    """True when calibration meaningfully reduced any capacity
+    (recompiling costs ~1-2 min on the tunneled fabric; don't bother
+    for a few percent)."""
+    for k, v in new.items():
+        ov = old.get(k)
+        if isinstance(v, int) and isinstance(ov, int) and ov > 0:
+            if v < ov * threshold:
+                return True
+    return False
 
 
 # Which overflow flag grows which capacities on retry.

@@ -78,21 +78,24 @@ class Renderer:
         fn = self._compiled.get(caps_key)
         if fn is None:
             fine_impl = self._fine_impl(caps)
-            # Flag names are captured at trace time (the set depends on
-            # the fine implementation); the jitted function returns them
-            # packed into one array so checking costs one transfer.
+            # Flag/stat names are captured at trace time (the set depends
+            # on the fine implementation); the jitted function returns
+            # them packed into one array so checking costs one transfer.
             keys_cell: list = []
 
             def _body(scene, layout_packed, ramps, images):
                 layout = render_mod.unpack_layout(jnp, layout_packed)
-                out, flags = render_mod.render_frame(
-                    jnp, scene, layout, ramps, images, caps, fine_impl
+                out, flags, stats = render_mod.render_frame(
+                    jnp, scene, layout, ramps, images, caps, fine_impl,
+                    with_stats=True,
                 )
                 keys = sorted(flags)
+                skeys = sorted(stats)
                 keys_cell.clear()
-                keys_cell.extend(keys)
+                keys_cell.extend([keys, skeys])
                 packed = jnp.stack(
                     [jnp.asarray(flags[k]).astype(jnp.int32) for k in keys]
+                    + [jnp.asarray(stats[k]).astype(jnp.int32) for k in skeys]
                 )
                 return out, packed
 
@@ -162,11 +165,13 @@ class Renderer:
         #    area-AA frames — the fast path;
         #  - per-tile interpreter kernel otherwise;
         #  - XLA reference fine when the atlas exceeds VMEM scratch.
-        caps = dict(caps)
+        routing = {}
         if atlas is not None and atlas.shape[1] * atlas.shape[2] > (1 << 16):
-            caps["_no_pallas_fine"] = True
+            routing["_no_pallas_fine"] = True
         elif layout.n_clips == 0 and atlas is None:
-            caps["_fine_mode"] = "v2"
+            routing["_fine_mode"] = "v2"
+        caps = dict(caps)
+        caps.update(routing)
 
         packed_layout = jnp.asarray(render_mod.pack_layout(ld_np))
         scene_dev = jnp.asarray(scene_padded)
@@ -179,7 +184,8 @@ class Renderer:
         )
 
         flags = {}
-        for _ in range(max_retries):
+        calibrated = getattr(self, "_calib_key", None) == est_key
+        for _ in range(max_retries + 2):
             caps_key = (n, ramps_arr.shape,
                         None if atlas is None else atlas.shape,
                         tuple(sorted(caps.items())))
@@ -195,20 +201,39 @@ class Renderer:
             if not check_flags:
                 flags = {}
                 break
-            flags = {
-                k: bool(v) for k, v in zip(keys_cell, np.asarray(packed_flags))
-            }
+            fkeys, skeys = keys_cell
+            vals = np.asarray(packed_flags)
+            flags = {k: bool(v) for k, v in zip(fkeys, vals[: len(fkeys)])}
+            stats = {k: int(v) for k, v in zip(skeys, vals[len(fkeys):])}
             self.last_flags = flags
-            if not any(flags.values()):
-                break
-            caps = grow_caps(caps, flags)
-            # Persist grown capacities, but never the per-frame fine-path
-            # decision (it would disable the Pallas kernel for all later
-            # frames of this Renderer).
-            persisted = dict(caps)
-            persisted.pop("_no_pallas_fine", None)
-            persisted.pop("_fine_mode", None)
-            self._caps = persisted
+            if any(flags.values()):
+                caps = grow_caps(caps, flags)
+                # Persist grown capacities, but never the per-frame
+                # fine-path decision (it would disable the Pallas kernel
+                # for all later frames of this Renderer).
+                persisted = dict(caps)
+                persisted.pop("_no_pallas_fine", None)
+                persisted.pop("_fine_mode", None)
+                self._caps = persisted
+                continue
+            if not calibrated:
+                # One-time per scene shape: shrink capacities to the
+                # measured actual use. Every expansion/sort/gather in
+                # the frame costs proportionally to its capacity, so
+                # the recompile pays for itself on the next frame.
+                calibrated = True
+                self._calib_key = est_key
+                from ..renderer.estimate import calibrate_caps, caps_shrank
+
+                new_caps = calibrate_caps(self._caps, stats)
+                if caps_shrank(new_caps, self._caps):
+                    self._caps = new_caps
+                    caps = dict(new_caps)
+                    caps.update(
+                        {k: v for k, v in routing.items()}
+                    )
+                    continue
+            break
         if flags and any(flags.values()):
             raise RuntimeError(
                 f"render overflowed after {max_retries} retries; "
