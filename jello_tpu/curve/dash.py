@@ -10,9 +10,11 @@ Arc-length evaluation uses adaptive Gauss-Legendre quadrature and
 t-at-arclength inversion uses bisection; results are behaviorally
 equivalent to (though not bit-identical with) the kurbo implementation.
 
-Known simplification vs kurbo: on closed subpaths, kurbo merges the
-final dash with the initial one when the joint falls inside a dash; we
-emit them as two separate dashes meeting at the joint.
+Closed-subpath seam handling matches kurbo's Dash iterator: when the
+subpath joint falls inside an "on" dash, the final dash is merged with
+the initial one (one continuous dash across the seam — a join, not two
+butt caps); a fully-"on" closed subpath stays closed (joins everywhere,
+no caps).
 """
 
 from __future__ import annotations
@@ -156,14 +158,17 @@ def _subpaths(path: BezPath):
         yield segs, False
 
 
-def _emit_cubic(out: BezPath, pts, first: bool):
+def _emit_cubic(dash_els: list, pts, first: bool):
     if first:
-        out.push(MoveTo(pts[0]))
-    out.push(CubicTo(pts[1], pts[2], pts[3]))
+        dash_els.append(MoveTo(pts[0]))
+    dash_els.append(CubicTo(pts[1], pts[2], pts[3]))
 
 
 def dash(path: BezPath, dash_offset: float, dash_pattern) -> BezPath:
-    """Return the dashed version of `path` as a new path of open subpaths."""
+    """Return the dashed version of `path` as a new path of open
+    subpaths (except fully-on closed subpaths, which stay closed)."""
+    from . import ClosePath
+
     pattern = [float(d) for d in dash_pattern if d >= 0.0]
     if not pattern or all(d == 0.0 for d in pattern):
         return BezPath(list(path))
@@ -174,7 +179,7 @@ def dash(path: BezPath, dash_offset: float, dash_pattern) -> BezPath:
     total = sum(pattern)
     out = BezPath()
 
-    for segs, _closed in _subpaths(path):
+    for segs, closed in _subpaths(path):
         # Initialize pattern state from dash_offset.
         off = math.fmod(dash_offset, total)
         if off < 0:
@@ -186,6 +191,19 @@ def dash(path: BezPath, dash_offset: float, dash_pattern) -> BezPath:
         remaining = pattern[idx] - off
         is_on = idx % 2 == 0
         pen_down = False
+        started_on = is_on
+
+        # Dashes are buffered per subpath so the closed-seam merge can
+        # run before emission (kurbo Dash semantics).
+        dashes: list[list] = []
+        cur: list = []
+        lifted = False
+
+        def flush():
+            nonlocal cur
+            if cur:
+                dashes.append(cur)
+                cur = []
 
         for seg in segs:
             t = 0.0
@@ -194,7 +212,7 @@ def dash(path: BezPath, dash_offset: float, dash_pattern) -> BezPath:
             while used + remaining < seg_len - 1e-12:
                 t_next = seg.t_at_arclen(remaining, t)
                 if is_on:
-                    _emit_cubic(out, seg.subsegment(t, t_next), not pen_down)
+                    _emit_cubic(cur, seg.subsegment(t, t_next), not pen_down)
                     pen_down = True
                 used += remaining
                 t = t_next
@@ -202,11 +220,32 @@ def dash(path: BezPath, dash_offset: float, dash_pattern) -> BezPath:
                 remaining = pattern[idx]
                 is_on = not is_on
                 if is_on:
+                    flush()
                     pen_down = False
+                else:
+                    lifted = True
             # Tail of the segment stays in the current dash/gap.
             if is_on and t < 1.0:
-                _emit_cubic(out, seg.subsegment(t, 1.0), not pen_down)
+                _emit_cubic(cur, seg.subsegment(t, 1.0), not pen_down)
                 pen_down = True
             remaining -= seg_len - used
+        ended_on = is_on and pen_down
+        flush()
+
+        if closed and started_on and ended_on and dashes:
+            if not lifted and len(dashes) == 1:
+                # The whole loop is one dash: keep it closed (joins
+                # everywhere, no caps).
+                dashes[0].append(ClosePath())
+            elif len(dashes) >= 2:
+                # Merge the seam-crossing final dash into the initial
+                # one: last dash continues into the first (skip its
+                # MoveTo).
+                first_dash = dashes.pop(0)
+                dashes[-1].extend(first_dash[1:])
+
+        for d in dashes:
+            for el in d:
+                out.push(el)
 
     return out

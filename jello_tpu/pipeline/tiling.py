@@ -297,71 +297,91 @@ def path_count(xp, lines, paths, caps):
         axis=1,
     )
 
-    # ---- Backdrop row deltas (column 0 of each path row) ---------------
-    # Narrow 5-column table: gathering the full 21-wide P here measured
-    # ~6x slower (transposed-layout roulette on wide row gathers).
     n_rows = xp.maximum((ymax - ymin).astype(xp.int32), 0)
-    RC = caps["row_cap"]
-    backdrop = xp.zeros(T + 1, dtype=xp.int32)
-    r_rec, r_within, r_valid, _, r_total = _expand(xp, n_rows, RC)
-    PRT = xp.stack(
-        [ymin, tiles_base.astype(f32), bb1, stride.astype(f32), delta.astype(f32)],
-        axis=1,
-    )
-    PR = ops.gather_guarded(xp, PRT, r_rec)
-    r_y = PR[:, 0].astype(xp.int32) + r_within
-    r_slot = PR[:, 1].astype(xp.int32) + (
-        r_y - PR[:, 2].astype(xp.int32)
-    ) * PR[:, 3].astype(xp.int32)
-    r_slot = xp.where(r_valid, r_slot, T)
-    backdrop = ops.scatter_add(xp, backdrop, r_slot, PR[:, 4].astype(xp.int32))
-
-    # ---- Crossings -----------------------------------------------------
     n_cross = xp.maximum((imax - imin).astype(xp.int32), 0)
-    c_rec, c_within, c_valid, _, c_total = _expand(xp, n_cross, SC)
-    PC = ops.gather_guarded(xp, P, c_rec)
-    ci = PC[:, 0] + c_within.astype(f32)
-    ca, cb, csign = PC[:, 1], PC[:, 2], PC[:, 3]
-    cy0, cx0 = PC[:, 4], PC[:, 5]
-    zf = ca * ci + cb
-    z = xp.floor(zf)
-    cy = (cy0 + ci - z).astype(xp.int32)
-    cx = (cx0 + csign * z).astype(xp.int32)
-    cbb0 = PC[:, 6].astype(xp.int32)
-    cbb1 = PC[:, 7].astype(xp.int32)
-    cbb2 = PC[:, 8].astype(xp.int32)
-    cstride = PC[:, 9].astype(xp.int32)
-    cbase = PC[:, 10].astype(xp.int32) + (cy - cbb1) * cstride - cbb0
-    last_z = xp.floor(ca * (ci - 1.0) + cb)
-    top_edge = xp.where(ci == 0.0, cy0 == PC[:, 11], last_z == z)
-    # Top-edge backdrop bumps.
-    bump_ok = top_edge & (cx + 1 < cbb2) & c_valid
-    x_bump = xp.maximum(cx + 1, cbb0)
-    bump_slot = xp.where(bump_ok, cbase + x_bump, T)
-    backdrop = ops.scatter_add(xp, backdrop, bump_slot, PC[:, 12].astype(xp.int32))
+    RC = caps["row_cap"]
 
-    tile_slot = cbase + cx
-    tile_slot = xp.where(c_valid, tile_slot, T)
+    if caps.get("_expand_pallas") and ops.is_jax(xp):
+        # Pallas streaming expansion (tpu/expand_pallas.py): contiguous
+        # chunked sweeps replace the scatter/cummax/row-gather
+        # machinery of both expansions below.
+        from ..tpu.expand_pallas import path_count_expansions
 
-    # Tile-relative segment clipping (cpu.go PathTiling), computed here
-    # PRE-SORT: all per-line parameters are already in the gathered PC
-    # rows (z, last_z, cx, cy reused from the DDA above), so fusing the
-    # stage avoids a second 21-wide row gather after the sort.
-    ls_c = {
-        "a": ca,
-        "b": cb,
-        "sign": csign,
-        "y0i": cy0,
-        "x0f": cx0,
-        "xy0x": PC[:, 14],
-        "xy0y": PC[:, 15],
-        "xy1x": PC[:, 16],
-        "xy1y": PC[:, 17],
-        "is_down": PC[:, 18] > 0.5,
-        "count": PC[:, 19],
-        "is_positive": PC[:, 20] > 0.5,
-    }
-    seg_pre = _tile_clip_segments(xp, ls_c, ci, z, last_z, cx, cy)
+        tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta, \
+            c_total, r_total = path_count_expansions(
+                xp, P,
+                xp.stack([ymin, tiles_base.astype(f32), bb1,
+                          stride.astype(f32), delta.astype(f32)], axis=1),
+                n_cross, n_rows, T, caps,
+            )
+        backdrop = xp.zeros(T + 1, dtype=xp.int32)
+        backdrop = ops.scatter_add(xp, backdrop, r_slot, r_delta)
+        backdrop = ops.scatter_add(xp, backdrop, bump_slot, bump_delta)
+    else:
+        # ---- Backdrop row deltas (column 0 of each path row) -----------
+        # Narrow 5-column table: gathering the full 21-wide P here
+        # measured ~6x slower (transposed-layout roulette on wide row
+        # gathers).
+        backdrop = xp.zeros(T + 1, dtype=xp.int32)
+        r_rec, r_within, r_valid, _, r_total = _expand(xp, n_rows, RC)
+        PRT = xp.stack(
+            [ymin, tiles_base.astype(f32), bb1, stride.astype(f32), delta.astype(f32)],
+            axis=1,
+        )
+        PR = ops.gather_guarded(xp, PRT, r_rec)
+        r_y = PR[:, 0].astype(xp.int32) + r_within
+        r_slot = PR[:, 1].astype(xp.int32) + (
+            r_y - PR[:, 2].astype(xp.int32)
+        ) * PR[:, 3].astype(xp.int32)
+        r_slot = xp.where(r_valid, r_slot, T)
+        backdrop = ops.scatter_add(xp, backdrop, r_slot, PR[:, 4].astype(xp.int32))
+
+        # ---- Crossings -------------------------------------------------
+        c_rec, c_within, c_valid, _, c_total = _expand(xp, n_cross, SC)
+        PC = ops.gather_guarded(xp, P, c_rec)
+        ci = PC[:, 0] + c_within.astype(f32)
+        ca, cb, csign = PC[:, 1], PC[:, 2], PC[:, 3]
+        cy0, cx0 = PC[:, 4], PC[:, 5]
+        zf = ca * ci + cb
+        z = xp.floor(zf)
+        cy = (cy0 + ci - z).astype(xp.int32)
+        cx = (cx0 + csign * z).astype(xp.int32)
+        cbb0 = PC[:, 6].astype(xp.int32)
+        cbb1 = PC[:, 7].astype(xp.int32)
+        cbb2 = PC[:, 8].astype(xp.int32)
+        cstride = PC[:, 9].astype(xp.int32)
+        cbase = PC[:, 10].astype(xp.int32) + (cy - cbb1) * cstride - cbb0
+        last_z = xp.floor(ca * (ci - 1.0) + cb)
+        top_edge = xp.where(ci == 0.0, cy0 == PC[:, 11], last_z == z)
+        # Top-edge backdrop bumps.
+        bump_ok = top_edge & (cx + 1 < cbb2) & c_valid
+        x_bump = xp.maximum(cx + 1, cbb0)
+        bump_slot = xp.where(bump_ok, cbase + x_bump, T)
+        backdrop = ops.scatter_add(xp, backdrop, bump_slot, PC[:, 12].astype(xp.int32))
+
+        tile_slot = cbase + cx
+        tile_slot = xp.where(c_valid, tile_slot, T)
+
+        # Tile-relative segment clipping (cpu.go PathTiling), computed
+        # here PRE-SORT: all per-line parameters are already in the
+        # gathered PC rows (z, last_z, cx, cy reused from the DDA
+        # above), so fusing the stage avoids a second 21-wide row
+        # gather after the sort.
+        ls_c = {
+            "a": ca,
+            "b": cb,
+            "sign": csign,
+            "y0i": cy0,
+            "x0f": cx0,
+            "xy0x": PC[:, 14],
+            "xy0y": PC[:, 15],
+            "xy1x": PC[:, 16],
+            "xy1y": PC[:, 17],
+            "is_down": PC[:, 18] > 0.5,
+            "count": PC[:, 19],
+            "is_positive": PC[:, 20] > 0.5,
+        }
+        seg_pre = _tile_clip_segments(xp, ls_c, ci, z, last_z, cx, cy)
 
     # Sort crossings by tile slot (stable), replacing atomic slice
     # alloc. The payload rides the compare-exchange network directly

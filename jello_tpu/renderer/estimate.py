@@ -54,6 +54,7 @@ def estimate_caps(layout, width: int, height: int, base=None) -> dict:
     caps.setdefault("blend_depth", 8)
     caps.setdefault("fine_seg_chunk", 8)
     caps.setdefault("cmds_per_tile", 64)
+    caps.setdefault("legacy_tiles_cap", 2048)
     caps.update(
         n_tag_slots=max(n_slots, caps.get("n_tag_slots", 0)),
         euler_line_cap=max(euler, caps.get("euler_line_cap", 0)),
@@ -76,6 +77,7 @@ def estimate_caps(layout, width: int, height: int, base=None) -> dict:
         _pow2(caps["euler_line_cap"] + caps["simple_line_cap"] + caps["arc_line_cap"], 1),
         caps.get("line_cap", 0),
     )
+    _apply_expand_floors(caps)
     return caps
 
 
@@ -229,8 +231,15 @@ def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=No
         euler_line_cap=_bucket(int(euler_lines * SAFETY), 1 << 12),
         simple_line_cap=_bucket(int(simple_lines * SAFETY), 1 << 10, 2048),
         arc_line_cap=_bucket(int(arc_lines * SAFETY), 1 << 10, 2048),
-        seg_cap=_bucket(int(max(crossings * SAFETY, 512)), 1 << 13),
-        row_cap=_bucket(int(max(crossings * SAFETY, 512)), 1 << 12),
+        # The Pallas expansions clamp per-record counts to >= 1 (window
+        # bound; tpu/expand_pallas.py), so every line owns a slot even
+        # when it produces no crossing/row: size for crossings + lines.
+        seg_cap=_bucket(
+            int(max((crossings + euler_lines + simple_lines + arc_lines)
+                    * SAFETY, 512)), 1 << 13),
+        row_cap=_bucket(
+            int(max((crossings + euler_lines + simple_lines + arc_lines)
+                    * SAFETY, 512)), 1 << 12),
         tiles_cap=_bucket(int(tiles * SAFETY + 256), 1 << 12),
         pair_cap=_bucket(int(tiles * SAFETY + 256), 1 << 12),
         area_rows_cap=_bucket(int(min(crossings, tiles) * SAFETY + 256), 1 << 12),
@@ -251,7 +260,18 @@ def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=No
     )
     if base:
         caps["line_cap"] = max(caps["line_cap"], base.get("line_cap", 0))
+    _apply_expand_floors(caps)
     return caps
+
+
+def _apply_expand_floors(caps: dict) -> None:
+    """seg/row capacities must cover one clamped slot per *line-cap*
+    slot (incl. family padding) plus the real expansion outputs
+    (tpu/expand_pallas.py's count>=1 window bound). Pre-calibration
+    this is deliberately fat; the measured-use calibration replaces it
+    with exact totals."""
+    caps["seg_cap"] = _bucket(caps["line_cap"] + caps["seg_cap"], 1, 8192)
+    caps["row_cap"] = _bucket(caps["line_cap"] + caps["row_cap"], 1, 8192)
 
 
 def calibrate_caps(caps: dict, stats: dict, margin: float = 1.25) -> dict:
@@ -308,6 +328,7 @@ GROW_ON_FLAG = {
     "blend_depth_overflow": ("blend_depth",),
     "cmd_slab_overflow": ("cmds_per_tile",),
     "area_rows_overflow": ("area_rows_cap",),
+    "legacy_overflow": ("legacy_tiles_cap",),
 }
 
 

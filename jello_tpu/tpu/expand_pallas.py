@@ -1,0 +1,282 @@
+"""Pallas expand-transform kernels: data-dependent expansion as a
+chunked streaming sweep.
+
+The geometry pipeline repeatedly expands R records into sum(counts)
+outputs (lines -> tile crossings, lines -> backdrop rows, Euler records
+-> lines; reference: the indirect dispatches of path_count.wgsl /
+path_tiling.wgsl and flatten's line emission). The XLA formulation
+(pipeline/flatten.py::expand_by_counts) costs one scatter + cummax +
+cumsum + a wide row gather per expansion — each a random-access op over
+megarow arrays, the dominant cost of the frame on TPU.
+
+This kernel streams the same computation with only contiguous memory
+traffic:
+
+  - XLA precomputes incl = cumsum(max(counts, 1)). Clamping counts to
+    >= 1 makes every record own at least one output slot, so the
+    records owning any C consecutive outputs are <= C consecutive table
+    rows — each grid step needs ONE aligned sublane-window DMA of the
+    parameter table, no matter how counts are distributed. (Zero-count
+    records own one dead output each, flushed to a sentinel later;
+    capacity stats account for them.)
+  - Per chunk, each output's owning record is found with a (W, C)
+    comparison matrix against the windowed inclusive prefix (#{incl <=
+    j} — a vectorized lower_bound), and ALL record parameters land on
+    lanes with one MXU matmul: win[W, 128]^T-contracted against the
+    one-hot (W, C) -> params (128, C). The per-output transform then
+    runs as (1, C) lane-vector arithmetic.
+  - Outputs leave through a (No, C) output block per chunk (row p =
+    output field p), which XLA slices back into 1-D streams.
+
+The transform body is a plug-in, so one kernel shape serves the
+crossing/clip expansion, the backdrop-row expansion, and the Euler line
+expansion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Chunk geometry. C outputs per grid step; the table window holds
+# C + 16 rows (8 alignment + 8 slack around the window start).
+EXPAND_CHUNK = 512
+_WIN_PAD = 16
+
+# Reserved parameter-table columns (appended after the caller's).
+# incl (inclusive prefix of clamped counts) and the raw count.
+COL_INCL = 0  # relative to the end: win[:, Wt], win[:, Wt+1]
+
+
+def build_expand_table(xp, cols, counts, out_cap, chunk=EXPAND_CHUNK):
+    """XLA-side preparation for expand_call.
+
+    cols: list of [R] f32 arrays (parameter columns; values must be
+        exactly representable in f32 — integers < 2^24).
+    counts: [R] i32 outputs per record (>= 0).
+    Returns (table [Rp, 128] f32, win_start [n_chunks] i32,
+             total1, n_chunks) where total1 counts clamped (>=1) slots.
+    """
+    R = counts.shape[0]
+    counts1 = xp.maximum(counts, 1)
+    incl = xp.cumsum(counts1.astype(xp.int64) if not _is_jax(xp) else counts1)
+    total1 = incl[R - 1]
+    n_chunks = out_cap // chunk
+    assert out_cap % chunk == 0
+
+    cols = list(cols) + [incl.astype(xp.float32), counts.astype(xp.float32)]
+    assert len(cols) <= 128
+    table = xp.stack(cols, axis=1)  # [R, n_cols]
+    ncol = table.shape[1]
+    W = chunk + _WIN_PAD
+    # Pad rows so every window DMA is in bounds; padded incl = +inf so
+    # padded rows never win the ownership count.
+    pad = xp.zeros((W, ncol), dtype=xp.float32)
+    if _is_jax(xp):
+        pad = pad.at[:, len(cols) - 2].set(xp.float32(3e38))
+    else:
+        pad[:, len(cols) - 2] = 3e38
+    table = xp.concatenate([table, pad], axis=0)
+    # Lane-pad columns to 128.
+    if ncol < 128:
+        table = xp.concatenate(
+            [table, xp.zeros((table.shape[0], 128 - ncol), dtype=xp.float32)],
+            axis=1,
+        )
+
+    # Window starts: owner of output c*chunk, 8-aligned with one row of
+    # backward slack.
+    starts = xp.searchsorted(incl, xp.arange(n_chunks, dtype=incl.dtype) * chunk,
+                             side="right").astype(xp.int32)
+    win_start = xp.maximum(starts - 8, 0) // 8 * 8
+    return table, win_start.astype(xp.int32), total1, n_chunks
+
+
+def _is_jax(xp):
+    return xp.__name__.startswith("jax")
+
+
+def make_expand_call(n_cols, n_out, n_chunks, compute, chunk=EXPAND_CHUNK,
+                     interpret=False):
+    """Build the pallas_call.
+
+    compute(p, j, within, valid) -> list of n_out (1, C) f32 arrays,
+      where p(k) returns parameter column k as a (1, C) array, j is the
+      global output index (f32), within the index within the record,
+      valid a {0,1} f32 mask (0 for clamped dead slots / tail).
+    """
+    C = chunk
+    W = C + _WIN_PAD
+    col_incl = n_cols
+    col_cnt = n_cols + 1
+
+    def kernel(win_start_s, tab_hbm, out_ref, win, sem):
+        c = pl.program_id(0)
+        ws = pl.multiple_of(win_start_s[c], 8)
+        dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(ws, W), :], win, sem)
+        dma.start()
+        dma.wait()
+
+        jf = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + c * C
+        ).astype(jnp.float32)
+        incl_col = win[:, col_incl : col_incl + 1]  # (W, 1)
+        # Vectorized lower_bound: local owner index = #{incl <= j}.
+        lam = jnp.sum(
+            (incl_col <= jf).astype(jnp.int32), axis=0, keepdims=True
+        )  # (1, C) i32
+
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+        onehot = (iota_w == lam).astype(jnp.float32)  # (W, C)
+        params = jax.lax.dot_general(
+            win[...], onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (128, C): row k = column k of the table, per output
+
+        def p(k):
+            return params[k : k + 1, :]
+
+        incl_o = p(col_incl)
+        cnt_o = p(col_cnt)
+        cnt1_o = jnp.maximum(cnt_o, 1.0)
+        within = jf - (incl_o - cnt1_o)
+        # within < 0 happens for outputs past the last real record
+        # (ownership resolves to an inf-prefix pad row).
+        valid = ((within >= 0.0) & (within < cnt_o)).astype(jnp.float32)
+
+        outs = compute(p, jf, within, valid)
+        for k in range(n_out):
+            out_ref[k : k + 1, :] = outs[k]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # table (HBM)
+        ],
+        out_specs=pl.BlockSpec((n_out, C), lambda c, s: (0, c)),
+        scratch_shapes=[
+            pltpu.VMEM((W, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, n_chunks * C), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _crossing_compute(T):
+    """Transform body for the lines -> tile crossings expansion: the DDA
+    walk of path_count.wgsl fused with path_tiling.wgsl's tile-relative
+    segment clipping (column layout = tiling.py's P table)."""
+
+    def compute(p, j, within, valid):
+        from ..pipeline.tiling import _tile_clip_segments
+
+        imin = p(0)
+        a, b, sign = p(1), p(2), p(3)
+        y0i, x0f = p(4), p(5)
+        bb0, bb1, bb2 = p(6), p(7), p(8)
+        stride, tiles_base = p(9), p(10)
+        s0y, delta = p(11), p(12)
+
+        ci = imin + within
+        z = jnp.floor(a * ci + b)
+        cy = y0i + ci - z
+        cx = x0f + sign * z
+        cbase = tiles_base + (cy - bb1) * stride - bb0
+        last_z = jnp.floor(a * (ci - 1.0) + b)
+        top_edge = jnp.where(ci == 0.0, (y0i == s0y).astype(jnp.float32),
+                             (last_z == z).astype(jnp.float32))
+        ok = valid > 0.0
+        bump_ok = (top_edge > 0.0) & (cx + 1.0 < bb2) & ok
+        x_bump = jnp.maximum(cx + 1.0, bb0)
+        bump_slot = jnp.where(bump_ok, cbase + x_bump, jnp.float32(T))
+        bump_delta = jnp.where(bump_ok, delta, 0.0)
+        tile_slot = jnp.where(ok, cbase + cx, jnp.float32(T))
+
+        ls_c = {
+            "a": a, "b": b, "sign": sign, "y0i": y0i, "x0f": x0f,
+            "xy0x": p(14), "xy0y": p(15), "xy1x": p(16), "xy1y": p(17),
+            "is_down": p(18) > 0.5, "count": p(19),
+            "is_positive": p(20) > 0.5,
+        }
+        seg = _tile_clip_segments(jnp, ls_c, ci, z, last_z, cx, cy)
+        # Dead/clamped slots can compute NaN/inf from pad-row params;
+        # they must not leak into payloads (NaN * 0 poisons coverage
+        # sums downstream).
+        def mask(v):
+            return jnp.where(ok, v, 0.0)
+
+        return [
+            tile_slot,
+            mask(seg["seg_x0"]), mask(seg["seg_y0"]),
+            mask(seg["seg_x1"]), mask(seg["seg_y1"]),
+            jnp.where(ok, seg["seg_y_edge"], 1e9),
+            bump_slot, jnp.where(bump_ok, delta, 0.0),
+        ]
+
+    return compute
+
+
+def _row_compute(T):
+    """Transform body for the lines -> backdrop-row expansion
+    (backdrop_dyn.wgsl's winding deltas at each crossed tile row)."""
+
+    def compute(p, j, within, valid):
+        ymin, tiles_base, bb1, stride, delta = p(0), p(1), p(2), p(3), p(4)
+        r_y = ymin + within
+        r_slot = tiles_base + (r_y - bb1) * stride
+        ok = valid > 0.0
+        return [
+            jnp.where(ok, r_slot, jnp.float32(T)),
+            jnp.where(ok, delta, 0.0),
+        ]
+
+    return compute
+
+
+def path_count_expansions(xp, P, PRT, n_cross, n_rows, T, caps):
+    """Run both path_count expansions as Pallas streaming sweeps.
+
+    P:   [L, 21] f32 per-line DDA/clip parameter table (tiling.py).
+    PRT: [L, 5] f32 per-line backdrop-row parameters.
+    Returns (tile_slot i32[SC], seg_pre dict of f32[SC], bump_slot
+    i32[SC], bump_delta i32[SC], r_slot i32[RC], r_delta i32[RC],
+    c_total, r_total) where the totals count clamped (>=1) slots.
+    """
+    SC = caps["seg_cap"]
+    RC = caps["row_cap"]
+    interpret = bool(caps.get("_expand_interpret", False))
+
+    cols = [P[:, k] for k in range(P.shape[1])]
+    tab, ws, c_total, n_chunks = build_expand_table(xp, cols, n_cross, SC)
+    call = make_expand_call(len(cols), 8, n_chunks,
+                            _crossing_compute(T), interpret=interpret)
+    out = call(ws, tab)
+    tile_slot = out[0].astype(xp.int32)
+    seg_pre = {
+        "seg_x0": out[1], "seg_y0": out[2],
+        "seg_x1": out[3], "seg_y1": out[4],
+        "seg_y_edge": out[5],
+    }
+    bump_slot = out[6].astype(xp.int32)
+    bump_delta = out[7].astype(xp.int32)
+
+    rcols = [PRT[:, k] for k in range(PRT.shape[1])]
+    rtab, rws, r_total, rn_chunks = build_expand_table(xp, rcols, n_rows, RC)
+    rcall = make_expand_call(len(rcols), 2, rn_chunks,
+                             _row_compute(T), interpret=interpret)
+    rout = rcall(rws, rtab)
+    r_slot = rout[0].astype(xp.int32)
+    r_delta = rout[1].astype(xp.int32)
+    return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta,
+            c_total, r_total)

@@ -153,19 +153,29 @@ def _extend(t, mode):
     return jnp.where(mode == 0, pad, jnp.where(mode == 1, rep, refl))
 
 
-def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1):
+def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
+                     n_programs=None):
+    """Per-tile interpreter kernel. Programs map to tiles through the
+    prefetched tile_ids vector (identity for the full-grid path; a
+    compacted legacy-tile list for the hybrid path, where the
+    record-stream kernel handles every clip/image-free tile). A
+    program whose tile id is >= GRID is a no-op pad."""
     GRID = caps["tile_grid_cap"]
     MC = caps["cmds_per_tile"]
     BD = caps["blend_depth"]
     MAX_STOPS = caps.get("max_stops", 2)
+    if n_programs is None:
+        n_programs = GRID
     if img_shape is not None:
         IHWP_STATIC = -(-(img_shape[0] * img_shape[1]) // 128) * 128
     else:
         IHWP_STATIC = 128
 
-    def kernel(counts_smem, scalars_smem, cmd_ref, rows_hbm, ramps_ref, img_ref,
+    def kernel(counts_smem, tile_ids_smem, scalars_smem, cmd_ref, rows_hbm,
+               ramps_ref, img_ref,
                out_ref, ovf_ref, rgba, stack, area, area_dma, img_buf, sem):
-        t = pl.program_id(0)
+        i = pl.program_id(0)
+        t = tile_ids_smem[i]
         wit = counts_smem[counts_smem.shape[0] - 1]
         base_r = scalars_smem[0]
         base_g = scalars_smem[1]
@@ -185,7 +195,7 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1):
         rgba[2:3, :] = jnp.full((1, 256), base_b)
         rgba[3:4, :] = jnp.full((1, 256), base_a)
 
-        n_cmds = counts_smem[t]
+        n_cmds = counts_smem[i]
 
         def sample_ramp(ramp_id, tpos):
             """tpos (1,256) in [0,1] -> (4, 256) premultiplied color.
@@ -472,18 +482,18 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1):
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # counts(+wit), base_color
-        grid=(GRID,),
+        num_scalar_prefetch=3,  # counts(+wit), tile_ids, base_color
+        grid=(n_programs,),
         in_specs=[
-            pl.BlockSpec((1, MC, 16), lambda t, c, s: (t, 0, 0)),  # cmd slab
+            pl.BlockSpec((1, MC, 16), lambda t, c, i_, s: (t, 0, 0)),  # cmd slab
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # area rows
             # Whole stop table VMEM-resident (a few KB typical, ~2 MB max).
-            pl.BlockSpec((n_ramp_rows, 128), lambda t, c, s: (0, 0)),
+            pl.BlockSpec((n_ramp_rows, 128), lambda t, c, i_, s: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # images
         ],
         out_specs=(
-            pl.BlockSpec((1, 4, 256), lambda t, c, s: (t, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda t, c, s: (t, 0, 0)),
+            pl.BlockSpec((1, 4, 256), lambda t, c, i_, s: (t, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda t, c, i_, s: (t, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((4, 256), jnp.float32),      # rgba
@@ -499,8 +509,8 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1):
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((GRID, 4, 256), jnp.float32),
-            jax.ShapeDtypeStruct((GRID, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_programs, 4, 256), jnp.float32),
+            jax.ShapeDtypeStruct((n_programs, 1, 128), jnp.int32),
         ),
         interpret=interpret,
     )
@@ -545,9 +555,10 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
         [counts, jnp.asarray(layout["width_in_tiles"], dtype=jnp.int32).reshape(1)]
     )
     scalars = jnp.asarray(layout["base_color"], dtype=jnp.float32)
+    tile_ids = jnp.arange(caps["tile_grid_cap"], dtype=jnp.int32)
 
     call = make_fine_kernel(caps, img_shape, interpret=interpret, n_ramp_rows=NR)
-    out, ovf = call(counts, scalars, slab, area_blk, stops_pad, img_flat)
+    out, ovf = call(counts, tile_ids, scalars, slab, area_blk, stops_pad, img_flat)
     fine_out = jnp.transpose(out, (1, 0, 2))  # [4, GRID, 256]
     flags = {
         "cmd_slab_overflow": slab_overflow,

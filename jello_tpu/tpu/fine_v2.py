@@ -382,9 +382,14 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
 
 
 def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
-            interpret=False):
-    """Record-stream fine pass. Requires a clip-free frame; image tiles
-    must be pre-flagged (flag bit 1) for the interpreter merge pass.
+            interpret=False, precomputed=None):
+    """Record-stream fine pass. Tiles containing clip/image records must
+    be pre-flagged (flag bit 1) and merged by the interpreter
+    (fine_hybrid); with no such tiles this is the whole fine stage.
+
+    precomputed: optional (area_blk, area_row_rec, rec) shared with the
+    interpreter merge pass so the coverage sweep and record packing run
+    once per frame.
 
     Returns ((compact [GRID+C,4,256] un-premultiplied, tile2rank [GRID]),
     flags)."""
@@ -395,11 +400,16 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     GRID = caps["tile_grid_cap"]
     xp = jnp
 
-    area_blk, area_row_rec, rows_overflow = compute_area_rows(
-        xp, cmds, counted, caps
-    )
-    cmds = dict(cmds)
-    cmds["area_row"] = area_row_rec
+    if precomputed is None:
+        area_blk, area_row_rec, rows_overflow = compute_area_rows(
+            xp, cmds, counted, caps
+        )
+        cmds = dict(cmds)
+        cmds["area_row"] = area_row_rec
+    else:
+        area_blk, area_row_rec, rows_overflow = precomputed[:3]
+        cmds = dict(cmds)
+        cmds["area_row"] = area_row_rec
 
     # Stop table, lane-padded; row count static per size class.
     NR, W = ramps.shape[0], ramps.shape[1]
@@ -407,7 +417,9 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     stops_pad = xp.zeros((NR, 128), dtype=xp.float32)
     stops_pad = stops_pad.at[:, :W].set(ramps)
 
-    rec = build_records(xp, cmds, scene, info, caps)
+    rec = precomputed[3] if precomputed is not None else build_records(
+        xp, cmds, scene, info, caps
+    )
     PC = rec.shape[0]
     n_chunks = (PC + C - 1) // C
     PCpad = n_chunks * C

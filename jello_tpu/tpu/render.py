@@ -61,15 +61,18 @@ class Renderer:
         if caps.get("aa_mode", "area") != "area":
             # MSAA currently renders through the reference fine path.
             return None
+        if caps.get("_no_pallas_fine"):
+            return None
         if caps.get("_fine_mode") == "v2":
+            # Clip-free, image-free: pure record-stream kernel.
             from .fine_v2 import fine_v2
 
             return fine_v2
-        if caps.get("_no_pallas_fine"):
-            return None
-        from .fine_pallas import fine_pallas
+        # Record-stream kernel + per-tile interpreter for clip/image
+        # tiles (fine_hybrid module doc).
+        from .fine_hybrid import fine_hybrid
 
-        return fine_pallas
+        return fine_hybrid
 
     def _get_compiled(self, caps_key, caps):
         import jax
@@ -170,6 +173,10 @@ class Renderer:
             routing["_no_pallas_fine"] = True
         elif layout.n_clips == 0 and atlas is None:
             routing["_fine_mode"] = "v2"
+        if self.use_pallas:
+            # Streaming Pallas expansions in path_count
+            # (tpu/expand_pallas.py).
+            routing["_expand_pallas"] = True
         caps = dict(caps)
         caps.update(routing)
 

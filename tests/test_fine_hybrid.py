@@ -1,0 +1,82 @@
+"""Hybrid fine pass (record-stream kernel + legacy-tile interpreter) in
+interpret mode vs the numpy reference fine — the UseCPU cross-check for
+the production routing of frames with clips and images."""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+import jello_tpu as jt
+from jello_tpu.cpu import render_numpy
+from jello_tpu.cpu.pipeline import build_image_atlas, build_layout_dict
+from jello_tpu.pipeline import render as render_mod
+from jello_tpu.pipeline.gradient import stops_table_or_empty
+from jello_tpu.renderer.params import RenderParams
+from jello_tpu.renderer.resolve import Resolver
+
+
+def _run_hybrid(scene, params, caps):
+    from jello_tpu.tpu.fine_hybrid import fine_hybrid
+    from jello_tpu.tpu.fine_v2 import assemble_compact
+
+    layout, ramps, images, scene_u32 = Resolver().resolve(scene.encoding)
+    ld = build_layout_dict(layout, params)
+    atlas = build_image_atlas(images)
+    ramps_arr = stops_table_or_empty(ramps)
+    n = 1 << (max(len(scene_u32), 1024) - 1).bit_length()
+    sp = np.zeros(n, np.uint32)
+    sp[: len(scene_u32)] = scene_u32
+
+    fine_impl = functools.partial(fine_hybrid, interpret=True)
+    out, flags = render_mod.render_frame(
+        jnp,
+        jnp.asarray(sp),
+        {k: jnp.asarray(v) for k, v in ld.items()},
+        jnp.asarray(ramps_arr),
+        None if atlas is None else jnp.asarray(atlas),
+        caps,
+        fine_impl,
+    )
+    assert not any(bool(np.asarray(v)) for v in flags.values()), {
+        k: np.asarray(v) for k, v in flags.items()
+    }
+    compact, tile2rank = out
+    img = assemble_compact(np, np.asarray(compact), np.asarray(tile2rank), ld)
+    return np.asarray(img)
+
+
+def test_hybrid_matches_reference_full_scene():
+    """Clips + blends + images + gradients: legacy tiles through the
+    interpreter, the rest through the record-stream kernel."""
+    from .test_full_scene import full_scene, PARAMS
+
+    scene = full_scene()
+    ref, flags, caps = render_numpy(scene, PARAMS)
+    assert not any(bool(v) for v in flags.values())
+    img = _run_hybrid(scene, PARAMS, caps)
+    assert np.abs(img - ref).max() < 8e-3
+
+
+def test_hybrid_image_only_tiles():
+    """An image draw over solid fills: only the image's tiles take the
+    interpreter path; pixels elsewhere come from the record stream."""
+    rng = np.random.default_rng(7)
+    pix = (rng.random((8, 8, 4)) * 255).astype(np.uint8)
+    pix[..., 3] = 255
+    image = jt.Image(pixels=pix)
+
+    scene = jt.Scene()
+    ident = jt.Affine.identity()
+    full = jt.BezPath().move_to(0, 0).line_to(128, 0).line_to(128, 128).line_to(0, 128).close()
+    scene.fill(jt.Fill.NON_ZERO, ident, jt.SolidBrush(jt.Color.rgba(0.2, 0.4, 0.8, 1)), None, full)
+    tri = jt.BezPath().move_to(10, 10).line_to(100, 30).line_to(40, 110).close()
+    scene.fill(jt.Fill.NON_ZERO, ident, jt.SolidBrush(jt.Color.rgba(0.9, 0.2, 0.1, 0.8)), None, tri)
+    sq = jt.BezPath().move_to(60, 60).line_to(100, 60).line_to(100, 100).line_to(60, 100).close()
+    scene.fill(jt.Fill.NON_ZERO, ident, jt.ImageBrush(image), None, sq)
+
+    params = RenderParams(width=128, height=128, base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+    img = _run_hybrid(scene, params, caps)
+    assert np.abs(img - ref).max() < 8e-3
