@@ -482,21 +482,38 @@ def flatten_stage(xp, scene, layout, caps):
     NWB = caps["work_b_cap"]
     wl_a, _, wla_valid, _, na = expand_by_counts(xp, act_a.astype(xp.int32), NWA)
     wl_b, _, wlb_valid, _, nb = expand_by_counts(xp, act_b.astype(xp.int32), NWB)
-    gA = lambda arr: ops.gather_guarded(xp, arr, wl_a)
-    gB = lambda arr: ops.gather_guarded(xp, arr, wl_b)
-    PA_w = [gA(PA[i]) for i in range(8)]
-    PB_w = [gB(P[i]) for i in range(8)]
-    rec_a = lockstep_euler_pass(
-        xp, PA_w, gA(off_a), gA(scale), wla_valid, IT, IT
-    )
-    rec_b = lockstep_euler_pass(
-        xp, PB_w, gB(off_b), gB(scale), wlb_valid, IT, IT
-    )
-    overflow_euler = rec_a[3] | rec_b[3] | (na > NWA) | (nb > NWB)
 
     ident = [f32(1.0), f32(0.0), f32(0.0), f32(1.0), f32(0.0), f32(0.0)]
     # Per-pass line transform: identity for fills (already device space).
     TA = [xp.where(is_stroke, T[i], ident[i] * xp.ones(N, f32)) for i in range(6)]
+    fpath = path_idx.astype(f32)
+
+    # One packed [N, 21] table per pass + one row gather each replaces
+    # ~21 independent element gathers per pass (gathers cost per row,
+    # not per byte).
+    tabA_N = xp.stack(
+        list(PA)
+        + [off_a, scale, tstart_ax, tstart_ay, tend_ax, tend_ay]
+        + list(TA) + [fpath],
+        axis=1,
+    )
+    tabB_N = xp.stack(
+        list(P)
+        + [off_b, scale, tstart_bx, tstart_by, tend_bx, tend_by]
+        + list(T) + [fpath],
+        axis=1,
+    )
+    rowsA = ops.gather_guarded(xp, tabA_N, wl_a)
+    rowsB = ops.gather_guarded(xp, tabB_N, wl_b)
+    PA_w = [rowsA[:, i] for i in range(8)]
+    PB_w = [rowsB[:, i] for i in range(8)]
+    rec_a = lockstep_euler_pass(
+        xp, PA_w, rowsA[:, 8], rowsA[:, 9], wla_valid, IT, IT
+    )
+    rec_b = lockstep_euler_pass(
+        xp, PB_w, rowsB[:, 8], rowsB[:, 9], wlb_valid, IT, IT
+    )
+    overflow_euler = rec_a[3] | rec_b[3] | (na > NWA) | (nb > NWB)
 
     # --- Cap / join geometry (simple line slots + arc records) ----------
     p3x, p3y = P[6], P[7]
@@ -655,82 +672,91 @@ def flatten_stage(xp, scene, layout, caps):
 
     # Euler lines.
     EC = caps["euler_line_cap"]
-    # Records come back iteration-major [IT, NW]; flatten worklist-major
-    # so a work item's records are contiguous in emission order.
-    slot_major = lambda r: xp.transpose(r).reshape(-1)
-    recs_n = xp.concatenate([slot_major(rec_a[2]), slot_major(rec_b[2])])
-    recs_t0 = xp.concatenate([slot_major(rec_a[0]), slot_major(rec_b[0])])
-    recs_t1 = xp.concatenate([slot_major(rec_a[1]), slot_major(rec_b[1])])
-    rec_idx, within, e_valid, excl, e_total = expand_by_counts(
-        xp, recs_n, EC
-    )
-    e_pass = (rec_idx >= NWA * IT).astype(xp.int32)
-    e_work = xp.where(e_pass == 0, rec_idx // IT, (rec_idx - NWA * IT) // IT)
-    work_global = xp.where(e_pass == 0, e_work, NWA + e_work)
+    table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
 
-    # Pack all per-work-item parameters into one row table so the line
-    # expansion does a single row gather instead of ~22 scalar gathers
-    # (the expansion is gather-bound).
-    fpath = path_idx.astype(xp.float32)
-    a_cols = list(PA_w) + [
-        gA(off_a), gA(scale),
-        gA(tstart_ax), gA(tstart_ay), gA(tend_ax), gA(tend_ay),
-    ] + [gA(TA[i]) for i in range(6)] + [gA(fpath)]
-    b_cols = list(PB_w) + [
-        gB(off_b), gB(scale),
-        gB(tstart_bx), gB(tstart_by), gB(tend_bx), gB(tend_by),
-    ] + [gB(T[i]) for i in range(6)] + [gB(fpath)]
-    table = xp.concatenate(
-        [xp.stack(a_cols, axis=1), xp.stack(b_cols, axis=1)], axis=0
-    )  # [NWA+NWB, 21]
+    if caps.get("_expand_pallas") and ops.is_jax(xp) and IT <= 32:
+        # Streaming Pallas expansion: the per-work records ride the
+        # table as 3*IT columns; ownership + chaining resolve in-kernel
+        # (tpu/expand_pallas.flatten_euler_expansion).
+        from ..tpu.expand_pallas import flatten_euler_expansion
 
-    row = ops.gather_guarded(xp, table, work_global)
-    P8l = tuple(row[:, i] for i in range(8))
-    off_l = row[:, 8]
-    scale_l = row[:, 9]
-    tsx_l = row[:, 10]
-    tsy_l = row[:, 11]
-    tex_l = row[:, 12]
-    tey_l = row[:, 13]
-    Tl = [row[:, 14 + i] for i in range(6)]
-    e_path = row[:, 20].astype(xp.int32)
-    # Same packing trick for the per-record fields: one row gather
-    # instead of three element gathers over the [NW*IT] record arrays
-    # (plus one more for the group-start lookup below).
-    recs_pack = xp.stack(
-        [recs_t0, recs_t1, recs_n.astype(xp.float32), excl.astype(xp.float32)],
-        axis=1,
-    )
-    rrow = ops.gather_guarded(xp, recs_pack, rec_idx)
-    t0_l = rrow[:, 0]
-    t1_l = rrow[:, 1]
-    n_l = rrow[:, 2]
+        wn = xp.concatenate(
+            [xp.sum(rec_a[2], axis=0), xp.sum(rec_b[2], axis=0)]
+        ).astype(xp.int32)
+        rt0 = xp.concatenate([rec_a[0], rec_b[0]], axis=1)
+        rt1 = xp.concatenate([rec_a[1], rec_b[1]], axis=1)
+        rn = xp.concatenate([rec_a[2], rec_b[2]], axis=1)
+        e_x0, e_y0, e_x1, e_y1, e_path, e_valid, e_total = (
+            flatten_euler_expansion(
+                xp, table, rt0, rt1, rn, wn, EC, IT, n_paths_cap, caps
+            )
+        )
+        e_real = xp.sum(wn)
+    else:
+        # XLA expansion over the flattened [NW*IT] record stream.
+        # Records come back iteration-major [IT, NW]; flatten
+        # worklist-major so a work item's records are contiguous in
+        # emission order.
+        slot_major = lambda r: xp.transpose(r).reshape(-1)
+        recs_n = xp.concatenate([slot_major(rec_a[2]), slot_major(rec_b[2])])
+        recs_t0 = xp.concatenate([slot_major(rec_a[0]), slot_major(rec_b[0])])
+        recs_t1 = xp.concatenate([slot_major(rec_a[1]), slot_major(rec_b[1])])
+        rec_idx, within, e_valid, excl, e_total = expand_by_counts(
+            xp, recs_n, EC
+        )
+        e_pass = (rec_idx >= NWA * IT).astype(xp.int32)
+        e_work = xp.where(e_pass == 0, rec_idx // IT, (rec_idx - NWA * IT) // IT)
+        work_global = xp.where(e_pass == 0, e_work, NWA + e_work)
 
-    lp1x, lp1y = euler_line_points(
-        xp, P8l, t0_l, t1_l, within, n_l, off_l, scale_l, tex_l, tey_l
-    )
-    # lp0 chaining: previous line's end within the same work-item group
-    # (groups are contiguous in the flattened record order).
-    group_first_rec = xp.where(
-        e_pass == 0, e_work * IT, NWA * IT + e_work * IT
-    )
-    group_start_line = ops.gather_guarded(xp, recs_pack, group_first_rec)[
-        :, 3
-    ].astype(xp.int32)
-    j = xp.arange(EC, dtype=xp.int32)
-    is_first = j == group_start_line
-    prev1x = xp.concatenate([lp1x[:1] * 0, lp1x[:-1]])
-    prev1y = xp.concatenate([lp1y[:1] * 0, lp1y[:-1]])
-    lp0x = xp.where(is_first, tsx_l, prev1x)
-    lp0y = xp.where(is_first, tsy_l, prev1y)
-    # Negative-offset passes swap line direction (flatten.go:488-498).
-    swap = off_l < 0.0
-    e_x0 = xp.where(swap, lp1x, lp0x)
-    e_y0 = xp.where(swap, lp1y, lp0y)
-    e_x1 = xp.where(swap, lp0x, lp1x)
-    e_y1 = xp.where(swap, lp0y, lp1y)
-    e_x0, e_y0 = _apply_transform(Tl, e_x0, e_y0)
-    e_x1, e_y1 = _apply_transform(Tl, e_x1, e_y1)
+        row = ops.gather_guarded(xp, table, work_global)
+        P8l = tuple(row[:, i] for i in range(8))
+        off_l = row[:, 8]
+        scale_l = row[:, 9]
+        tsx_l = row[:, 10]
+        tsy_l = row[:, 11]
+        tex_l = row[:, 12]
+        tey_l = row[:, 13]
+        Tl = [row[:, 14 + i] for i in range(6)]
+        e_path = row[:, 20].astype(xp.int32)
+        # Same packing trick for the per-record fields: one row gather
+        # instead of three element gathers over the [NW*IT] record
+        # arrays (plus one more for the group-start lookup below).
+        recs_pack = xp.stack(
+            [recs_t0, recs_t1, recs_n.astype(xp.float32),
+             excl.astype(xp.float32)],
+            axis=1,
+        )
+        rrow = ops.gather_guarded(xp, recs_pack, rec_idx)
+        t0_l = rrow[:, 0]
+        t1_l = rrow[:, 1]
+        n_l = rrow[:, 2]
+
+        lp1x, lp1y = euler_line_points(
+            xp, P8l, t0_l, t1_l, within, n_l, off_l, scale_l, tex_l, tey_l
+        )
+        # lp0 chaining: previous line's end within the same work-item
+        # group (groups are contiguous in the flattened record order).
+        group_first_rec = xp.where(
+            e_pass == 0, e_work * IT, NWA * IT + e_work * IT
+        )
+        group_start_line = ops.gather_guarded(xp, recs_pack, group_first_rec)[
+            :, 3
+        ].astype(xp.int32)
+        j = xp.arange(EC, dtype=xp.int32)
+        is_first = j == group_start_line
+        prev1x = xp.concatenate([lp1x[:1] * 0, lp1x[:-1]])
+        prev1y = xp.concatenate([lp1y[:1] * 0, lp1y[:-1]])
+        lp0x = xp.where(is_first, tsx_l, prev1x)
+        lp0y = xp.where(is_first, tsy_l, prev1y)
+        # Negative-offset passes swap line direction (flatten.go:488-498).
+        swap = off_l < 0.0
+        e_x0 = xp.where(swap, lp1x, lp0x)
+        e_y0 = xp.where(swap, lp1y, lp0y)
+        e_x1 = xp.where(swap, lp0x, lp1x)
+        e_y1 = xp.where(swap, lp0y, lp1y)
+        e_x0, e_y0 = _apply_transform(Tl, e_x0, e_y0)
+        e_x1, e_y1 = _apply_transform(Tl, e_x1, e_y1)
+        e_real = e_total
 
     # Simple lines.
     SC = caps["simple_line_cap"]
@@ -875,6 +901,7 @@ def flatten_stage(xp, scene, layout, caps):
         "n_work_a": na,
         "n_work_b": nb,
         "e_total": e_total,
+        "e_real": e_real,
         "s_total": s_total,
         "a_total": a_total,
         "path_bbox": path_bbox,

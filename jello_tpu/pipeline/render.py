@@ -205,12 +205,15 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
         stats = {
             "work_a": fl["n_work_a"],
             "work_b": fl["n_work_b"],
-            "euler_lines": fl["e_total"],
+            # Capacity-independent actuals: the clamped expansion totals
+            # depend on the capacity they were measured under, which
+            # would bake pre-calibration fat into the calibrated class.
+            "euler_lines": fl["e_real"],
             "simple_lines": fl["s_total"],
             "arc_lines": fl["a_total"],
             "tiles": paths["n_tiles"],
-            "segs": counted["n_segs"],
-            "bd_rows": counted["r_total"],
+            "segs": counted["real_cross"],
+            "bd_rows": counted["real_bd_rows"],
             "area_rows": counted["n_rows"],
             "pairs": cmds["pair_total"],
             "max_cmds": cmds["max_cmds"],

@@ -297,7 +297,7 @@ def path_count(xp, lines, paths, caps):
         axis=1,
     )
 
-    n_rows = xp.maximum((ymax - ymin).astype(xp.int32), 0)
+    n_rows_per_line = xp.maximum((ymax - ymin).astype(xp.int32), 0)
     n_cross = xp.maximum((imax - imin).astype(xp.int32), 0)
     RC = caps["row_cap"]
 
@@ -312,7 +312,7 @@ def path_count(xp, lines, paths, caps):
                 xp, P,
                 xp.stack([ymin, tiles_base.astype(f32), bb1,
                           stride.astype(f32), delta.astype(f32)], axis=1),
-                n_cross, n_rows, T, caps,
+                n_cross, n_rows_per_line, T, caps,
             )
         backdrop = xp.zeros(T + 1, dtype=xp.int32)
         backdrop = ops.scatter_add(xp, backdrop, r_slot, r_delta)
@@ -323,7 +323,7 @@ def path_count(xp, lines, paths, caps):
         # measured ~6x slower (transposed-layout roulette on wide row
         # gathers).
         backdrop = xp.zeros(T + 1, dtype=xp.int32)
-        r_rec, r_within, r_valid, _, r_total = _expand(xp, n_rows, RC)
+        r_rec, r_within, r_valid, _, r_total = _expand(xp, n_rows_per_line, RC)
         PRT = xp.stack(
             [ymin, tiles_base.astype(f32), bb1, stride.astype(f32), delta.astype(f32)],
             axis=1,
@@ -451,6 +451,10 @@ def path_count(xp, lines, paths, caps):
         "n_rows": n_rows,
         "n_segs": c_total,
         "r_total": r_total,
+        # Capacity-independent actuals for calibration (the clamped
+        # totals above include one slot per line-cap slot).
+        "real_cross": xp.sum(n_cross),
+        "real_bd_rows": xp.sum(n_rows_per_line),
         "overflow": overflow,
     }
 

@@ -270,6 +270,13 @@ def _apply_expand_floors(caps: dict) -> None:
     (tpu/expand_pallas.py's count>=1 window bound). Pre-calibration
     this is deliberately fat; the measured-use calibration replaces it
     with exact totals."""
+    caps["euler_line_cap"] = _bucket(
+        caps["euler_line_cap"] + caps["work_a_cap"] + caps["work_b_cap"],
+        1, 8192,
+    )
+    caps["line_cap"] = (
+        caps["euler_line_cap"] + caps["simple_line_cap"] + caps["arc_line_cap"]
+    )
     caps["seg_cap"] = _bucket(caps["line_cap"] + caps["seg_cap"], 1, 8192)
     caps["row_cap"] = _bucket(caps["line_cap"] + caps["row_cap"], 1, 8192)
 
@@ -292,15 +299,22 @@ def calibrate_caps(caps: dict, stats: dict, margin: float = 1.25) -> dict:
 
     out["work_a_cap"] = _bucket(m(stats["work_a"]), 256, 1024)
     out["work_b_cap"] = _bucket(m(stats["work_b"]), 256, 1024)
-    out["euler_line_cap"] = _bucket(m(stats["euler_lines"]), 1 << 12)
+    # The Pallas expansions clamp counts to >= 1, so each stream's
+    # capacity covers the real outputs plus one slot per *input* slot
+    # of the calibrated class (capacity-aware floors: the stats above
+    # are capacity-independent actuals).
+    out["euler_line_cap"] = _bucket(
+        m(stats["euler_lines"]) + out["work_a_cap"] + out["work_b_cap"],
+        1 << 12,
+    )
     out["simple_line_cap"] = _bucket(m(stats["simple_lines"]), 1 << 10, 2048)
     out["arc_line_cap"] = _bucket(m(stats["arc_lines"]), 1 << 10, 2048)
     out["line_cap"] = (
         out["euler_line_cap"] + out["simple_line_cap"] + out["arc_line_cap"]
     )
     out["tiles_cap"] = _bucket(m(stats["tiles"]), 1 << 12)
-    out["seg_cap"] = _bucket(m(stats["segs"]), 1 << 13)
-    out["row_cap"] = _bucket(m(stats["bd_rows"]), 1 << 12)
+    out["seg_cap"] = _bucket(m(stats["segs"]) + out["line_cap"], 1 << 13)
+    out["row_cap"] = _bucket(m(stats["bd_rows"]) + out["line_cap"], 1 << 12)
     out["area_rows_cap"] = _bucket(m(stats["area_rows"]), 1 << 12)
     out["pair_cap"] = _bucket(m(stats["pairs"]), 1 << 12)
     out["cmds_per_tile"] = max(_pow2(m(stats["max_cmds"]), 16), 16)

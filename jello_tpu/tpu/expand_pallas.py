@@ -244,6 +244,97 @@ def _row_compute(T):
     return compute
 
 
+def _euler_compute(IT, sentinel_path):
+    """Transform body for the Euler-record -> line expansion: the
+    per-work-item records ride the table as 3*IT columns (t0/t1/n per
+    lockstep iteration); the owning record is found with a static
+    prefix walk over the iterations, and the line endpoint math
+    (euler_line_points) runs on kernel-safe transcendentals
+    (tpu/kmath.py). Chaining (line start = previous line's end within
+    the work item) re-evaluates at within-1 instead of communicating
+    across lanes."""
+
+    def compute(p, j, within, valid):
+        from ..pipeline.flatten import euler_line_points
+        from .kmath import kernel_xp
+
+        kxp = kernel_xp()
+        P8 = tuple(p(k) for k in range(8))
+        off, scale = p(8), p(9)
+        tsx, tsy, tex, tey = p(10), p(11), p(12), p(13)
+        T6 = [p(14 + k) for k in range(6)]
+        path = p(20)
+
+        def rec_at(w):
+            zero = jnp.zeros_like(w)
+            acc, t0, t1, n, wr = zero, zero, zero, zero, zero
+            for it in range(IT):
+                n_it = p(21 + 2 * IT + it)
+                hi = acc + n_it
+                sel = (w >= acc) & (w < hi)
+                t0 = jnp.where(sel, p(21 + it), t0)
+                t1 = jnp.where(sel, p(21 + IT + it), t1)
+                n = jnp.where(sel, n_it, n)
+                wr = jnp.where(sel, w - acc, wr)
+                acc = hi
+            return t0, t1, n, wr
+
+        t0, t1, n, wr = rec_at(within)
+        lx1, ly1 = euler_line_points(
+            kxp, P8, t0, t1, wr, n, off, scale, tex, tey
+        )
+        wprev = jnp.maximum(within - 1.0, 0.0)
+        t0p, t1p, np_, wrp = rec_at(wprev)
+        px, py = euler_line_points(
+            kxp, P8, t0p, t1p, wrp, np_, off, scale, tex, tey
+        )
+        first = within < 0.5
+        lp0x = jnp.where(first, tsx, px)
+        lp0y = jnp.where(first, tsy, py)
+        swap = off < 0.0
+        ex0 = jnp.where(swap, lx1, lp0x)
+        ey0 = jnp.where(swap, ly1, lp0y)
+        ex1 = jnp.where(swap, lp0x, lx1)
+        ey1 = jnp.where(swap, lp0y, ly1)
+        dx0 = T6[0] * ex0 + T6[2] * ey0 + T6[4]
+        dy0 = T6[1] * ex0 + T6[3] * ey0 + T6[5]
+        dx1 = T6[0] * ex1 + T6[2] * ey1 + T6[4]
+        dy1 = T6[1] * ex1 + T6[3] * ey1 + T6[5]
+        ok = valid > 0.0
+
+        def mask(v):
+            return jnp.where(ok, v, 0.0)
+
+        pout = jnp.where(ok, path, jnp.float32(sentinel_path))
+        return [mask(dx0), mask(dy0), mask(dx1), mask(dy1), pout, valid]
+
+    return compute
+
+
+def flatten_euler_expansion(xp, table21, rec_t0, rec_t1, rec_n, counts,
+                            EC, IT, n_paths_cap, caps):
+    """Euler record -> line expansion as one Pallas sweep.
+
+    table21: [R, 21] per-work-item parameter table (flatten_stage's
+        combined pass-a/pass-b table).
+    rec_t0/rec_t1/rec_n: [IT, R] f32 lockstep records.
+    counts: [R] i32 per-work-item line totals (sum of rec_n).
+    Returns (x0, y0, x1, y1 f32[EC], path i32[EC], valid bool[EC],
+    e_total incl. clamped slots)."""
+    interpret = bool(caps.get("_expand_interpret", False))
+    cols = [table21[:, k] for k in range(21)]
+    cols += [rec_t0[it] for it in range(IT)]
+    cols += [rec_t1[it] for it in range(IT)]
+    cols += [rec_n[it] for it in range(IT)]
+    tab, ws, e_total, n_chunks = build_expand_table(xp, cols, counts, EC)
+    call = make_expand_call(len(cols), 6, n_chunks,
+                            _euler_compute(IT, n_paths_cap),
+                            interpret=interpret)
+    out = call(ws, tab)
+    return (out[0], out[1], out[2], out[3],
+            out[4].astype(xp.int32), out[5] > 0.0, e_total)
+
+
 def path_count_expansions(xp, P, PRT, n_cross, n_rows, T, caps):
     """Run both path_count expansions as Pallas streaming sweeps.
 

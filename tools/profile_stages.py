@@ -59,6 +59,8 @@ def main():
     r = Renderer()
     out, _ = r.render_device(scene, params)
     caps = dict(r._caps)
+    if r.use_pallas:
+        caps["_expand_pallas"] = True
     print("calibrated caps:", {k: v for k, v in sorted(caps.items())}, flush=True)
 
     res = Resolver()
