@@ -41,19 +41,19 @@ def build_layout_dict(layout, params: RenderParams):
     }
 
 
-def build_image_atlas(images):
-    """Stack images into a padded [N, H, W, 4] f32 atlas (values /255,
-    no sRGB decode — the reference samples Rgba8Unorm textures)."""
-    if not images:
+def build_image_atlas(atlas):
+    """Materialize the resolver's shelf-packed ImageAtlas into one
+    [AH, AW, 4] f32 plane (values /255, no sRGB decode — the reference
+    samples Rgba8Unorm textures; packing scheme of resolve.go:128-149).
+    AH/AW are already 8/128-quantized by the packer."""
+    if atlas is None or not len(atlas):
         return None
-    H = max(img.height for img in images)
-    W = max(img.width for img in images)
-    atlas = np.zeros((len(images), H, W, 4), dtype=np.float32)
-    for i, img in enumerate(images):
-        atlas[i, : img.height, : img.width] = (
+    plane = np.zeros((atlas.height, atlas.width, 4), dtype=np.float32)
+    for img, (ax, ay) in zip(atlas.images, atlas.placements):
+        plane[ay : ay + img.height, ax : ax + img.width] = (
             np.asarray(img.pixels, dtype=np.float32) / 255.0
         )
-    return atlas
+    return plane
 
 
 def render(scene, params: RenderParams, resolver: Resolver | None = None,

@@ -97,7 +97,16 @@ def sort_segments_by_rank(xp, counted, slot2rank, caps):
 
 def compute_area_rows(xp, cmds, counted, caps):
     """Returns (area_rows [AR+CH, 256] f32 rank-indexed, area_row [PC]
-    per-record row ids (-1 when rowless), overflow)."""
+    per-record row ids (-1 when rowless), overflow).
+
+    On device (and whenever MSAA is requested on the Pallas path) the
+    streaming coverage kernel takes over (tpu/coverage_pallas.py); in
+    MSAA modes its rows are RESOLVED coverage, consumed directly by the
+    fine kernels."""
+    if caps.get("_coverage_pallas") and ops.is_jax(xp):
+        from ..tpu.coverage_pallas import compute_area_rows_pallas
+
+        return compute_area_rows_pallas(xp, cmds, counted, caps)
     AR = caps["area_rows_cap"]
     CH = COVERAGE_CHUNK
     f32 = xp.float32

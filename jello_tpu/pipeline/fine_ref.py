@@ -397,7 +397,9 @@ def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):
         # IMAGE
         if images is not None and images.shape[0] > 0:
             m = run & (kind == CMD_IMAGE)
-            img_idx = info_u(7).astype(xp.int32)
+            axy = info_u(7)
+            ax = (axy & 0xFFFF).astype(xp.int32)[:, None]
+            ay = (axy >> 16).astype(xp.int32)[:, None]
             wh = info_u(8)
             iw = (wh >> 16).astype(f32)[:, None]
             ih = (wh & 0xFFFF).astype(f32)[:, None]
@@ -410,18 +412,17 @@ def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):
             y1i = xp.ceil(uy).astype(xp.int32)
             fx = ux - xp.floor(ux)
             fy = uy - xp.floor(uy)
-            IH, IW = images.shape[1], images.shape[2]
-            imgs_row = images[xp.clip(img_idx, 0, images.shape[0] - 1)]
+            # images: [AH, AW, 4] shelf-packed atlas plane.
+            AH, AW = images.shape[0], images.shape[1]
+            atlas_flat = images.reshape(AH * AW, 4)
+            iwm1 = (iw - 1.0).astype(xp.int32)
+            ihm1 = (ih - 1.0).astype(xp.int32)
 
             def ld(yi, xi):
-                yi = xp.clip(yi, 0, IH - 1)
-                xi = xp.clip(xi, 0, IW - 1)
-                flat = yi * IW + xi
-                rowf = imgs_row.reshape(imgs_row.shape[0], IH * IW, 4)
-                if ops.is_jax(xp):
-                    px4 = xp.take_along_axis(rowf, flat[:, :, None], axis=1)
-                else:
-                    px4 = _np.take_along_axis(rowf, flat[:, :, None], axis=1)
+                yi = ay + xp.clip(yi, 0, ihm1)
+                xi = ax + xp.clip(xi, 0, iwm1)
+                flat = yi * AW + xi
+                px4 = ops.gather_guarded(xp, atlas_flat, flat)
                 # premultiply
                 return xp.stack(
                     [

@@ -200,18 +200,61 @@ class _RampCache:
         return out
 
 
+class ImageAtlas:
+    """Shelf-packed image atlas (the reference's atlas scheme,
+    resolve.go:128-149): one [height, width] plane; each image draw's
+    data is patched with its (x, y) placement packed as (y << 16) | x.
+    """
+
+    def __init__(self):
+        self.images = []       # Image objects, dedup'd by pixel identity
+        self.placements = []   # (ax, ay) per image
+        self.width = 0
+        self.height = 0
+
+    def __len__(self):
+        return len(self.images)
+
+    def pack(self):
+        """Shelf-pack by decreasing height. Width quantized to 128 and
+        height to 8 so the packed plane is kernel-tileable as-is."""
+        if not self.images:
+            return
+        order = sorted(range(len(self.images)),
+                       key=lambda i: -self.images[i].height)
+        W = 128
+        for img in self.images:
+            while img.width > W:
+                W *= 2
+        x = y = shelf_h = 0
+        place = [None] * len(self.images)
+        for i in order:
+            img = self.images[i]
+            if x + img.width > W:
+                y += shelf_h
+                x = 0
+                shelf_h = 0
+            place[i] = (x, y)
+            x += img.width
+            shelf_h = max(shelf_h, img.height)
+        self.placements = place
+        self.width = W
+        self.height = -(-(y + shelf_h) // 8) * 8
+
+
 class Resolver:
     def __init__(self):
         self._ramp_cache = _RampCache()
 
     def resolve(self, enc: Encoding):
-        """Returns (layout, ramps, images, packed_scene_u32)."""
+        """Returns (layout, ramps, atlas: ImageAtlas | None,
+        packed_scene_u32)."""
         self._ramp_cache.maintain()
 
-        # Resolve patches: assign ramp ids and image indices.
+        # Resolve patches: assign ramp ids and image atlas placements.
         ramp_patches = []  # (draw_data_offset, packed_word)
-        image_patches = []
-        images = []
+        image_patches = []  # (draw_data_offset, image_idx)
+        atlas = ImageAtlas()
         image_ids: dict[int, int] = {}
         for patch in enc.resources.patches:
             if isinstance(patch, RampPatch):
@@ -224,12 +267,18 @@ class Resolver:
                 if pid in image_ids:
                     idx = image_ids[pid]
                 else:
-                    idx = len(images)
+                    idx = len(atlas.images)
                     image_ids[pid] = idx
-                    images.append(patch.image)
+                    atlas.images.append(patch.image)
                 image_patches.append((patch.draw_data_offset, idx))
             else:
                 raise TypeError(patch)
+        atlas.pack()
+        image_patches = [
+            (off, (atlas.placements[idx][1] << 16) | atlas.placements[idx][0])
+            for off, idx in image_patches
+        ]
+        images = atlas if atlas.images else None
 
         # Patch the draw data stream (vectorized word scatter).
         draw_data = np.frombuffer(bytes(enc.draw_data), dtype=np.uint32).copy()

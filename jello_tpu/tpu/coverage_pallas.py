@@ -1,0 +1,293 @@
+"""Pallas coverage kernel: per-rank fill coverage as a streaming
+segmented sum.
+
+Replaces the XLA chunked coverage loop (pipeline/coverage.py) on
+device. The rank-sorted segment stream (segments of coverage-row r are
+contiguous, rows non-decreasing) streams through VMEM in C-segment
+blocks; each block's per-row sums come from ONE MXU matmul against the
+local-row one-hot (a segmented sum — no cumsum, no scatter), rows
+spanning block boundaries accumulate through a carry, and completed
+rows leave with one contiguous window write. Rows are written by every
+block that touches them; the last write (the completing one) wins —
+grid steps execute in order on TPU.
+
+Antialiasing modes (fine.wgsl's fine_area vs fine_msaa8/16 as ONE
+kernel shape):
+  - area: sums are the analytic trapezoid winding (fine.wgsl:824-864);
+    the output row is raw winding + backdrop, and the fine kernels
+    apply the fill rule per record (unchanged semantics).
+  - msaa8/msaa16: sums are exact per-sample winding (the zero-width
+    limit of the area math, pipeline/fine_ref.py::_seg_winding)
+    against the reference's sample patterns (renderer/mask.go); the
+    output row is the RESOLVED coverage mean_s(rule(round(w_s + bd)))
+    in [0,1], and the fine kernels consume it directly (resolved mode).
+    This replaces the reference's LUT + SWAR shared-memory scheme
+    (fine.wgsl:125-711) with exact winding — same pixels, vector math.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..pipeline import ops
+from ..pipeline.coverage import rank_records, sort_segments_by_rank
+
+_SLACK = 16
+
+
+def _chunk_for_mode(aa):
+    if aa == "msaa16":
+        return 128
+    if aa == "msaa8":
+        return 256
+    return 512
+
+
+def make_coverage_kernel(AR_out, n_chunks, C, offsets, interpret=False):
+    """offsets: None for area mode, else list of (ox, oy) sample
+    offsets (static floats)."""
+    CS = C + _SLACK
+    S = 1 if offsets is None else len(offsets)
+
+    def kernel(stream_ref, bd_ref, out_hbm, stage, outbuf, carry, crow_s,
+               bdwin, sem_bd, sem_out):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            crow_s[0] = -1
+            carry[...] = jnp.zeros((S, 1, 256), jnp.float32)
+
+        blk = stream_ref[...]  # (C, 8)
+        sx0 = blk[:, 0:1]
+        sy0 = blk[:, 1:2]
+        sx1 = blk[:, 2:3]
+        sy1 = blk[:, 3:4]
+        sye = blk[:, 4:5]
+        rows_f = blk[:, 5:6]
+        valid = blk[:, 6:7]
+
+        rows_i = rows_f.astype(jnp.int32)  # (C, 1)
+        row0 = rows_i[0, 0]
+        row_last = rows_i[C - 1, 0]
+        local = rows_i - row0  # (C, 1), in [0, C)
+
+        # Backdrop/rule window for the rows this block can complete.
+        row0_8 = pl.multiple_of((row0 // 8) * 8, 8)
+        d = row0 - row0_8
+        dma_bd = pltpu.make_async_copy(
+            bd_ref.at[pl.ds(row0_8, CS + 8), :], bdwin, sem_bd
+        )
+        dma_bd.start()
+
+        # Pixel-center coordinates.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+        px = (lane % 16).astype(jnp.float32)
+        py = (lane // 16).astype(jnp.float32)
+
+        # Local-row one-hot (C, CS): M[j, r] = (local_j == r); the
+        # segmented sum is one MXU contraction over j per sample.
+        iota_cs = jax.lax.broadcasted_iota(jnp.int32, (C, CS), 1)
+        M = (iota_cs == local).astype(jnp.float32)
+
+        merge = (crow_s[0] == row0).astype(jnp.float32)
+        rowmask0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (CS, 1), 0) == 0
+        ).astype(jnp.float32)
+
+        dx = sx1 - sx0
+        dy = sy1 - sy0
+
+        def seg_sum(contrib):
+            return jax.lax.dot_general(
+                M, contrib, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (CS, 256)
+
+        if offsets is None:
+            # Analytic trapezoid area per pixel (fine.wgsl:824-864).
+            y = sy0 - py
+            y0c = jnp.clip(y, 0.0, 1.0)
+            y1c = jnp.clip(y + dy, 0.0, 1.0)
+            dyc = y0c - y1c
+            safe_dy = jnp.where(dy == 0.0, 1.0, dy)
+            t0 = (y0c - y) / safe_dy
+            t1 = (y1c - y) / safe_dy
+            startx = sx0 - px
+            x0 = startx + t0 * dx
+            x1 = startx + t1 * dx
+            xmin0 = jnp.minimum(x0, x1)
+            xmax0 = jnp.maximum(x0, x1)
+            xmin = jnp.minimum(xmin0, 1.0) - 1.0e-6
+            b = jnp.minimum(xmax0, 1.0)
+            cc = jnp.maximum(b, 0.0)
+            dd = jnp.maximum(xmin, 0.0)
+            a = (b + 0.5 * (dd * dd - cc * cc) - xmin) / (xmax0 - xmin)
+            contrib = jnp.where(dyc != 0.0, a * dyc, 0.0)
+            contrib = contrib + jnp.sign(dx) * jnp.clip(py - sye + 1.0, 0.0, 1.0)
+            contrib = contrib * valid
+            sums = seg_sum(contrib)
+            sums = jnp.where(rowmask0 > 0.5,
+                             sums + merge * carry[0, :, :], sums)
+            stage[0, :, :] = sums
+        else:
+            sgn_dy = jnp.sign(dy)
+            sgn_dx = jnp.sign(dx)
+            safe_dy = jnp.where(dy == 0.0, 1.0, dy)
+            for s, (ox, oy) in enumerate(offsets):
+                xs = px + ox
+                ys = py + oy
+                covered = ((sy0 <= ys) != (sy1 <= ys)).astype(jnp.float32)
+                t = (ys - sy0) / safe_dy
+                xi = sx0 + t * dx
+                left = (xi < xs).astype(jnp.float32)
+                w = covered * left * (-sgn_dy)
+                w = w + sgn_dx * (ys >= sye).astype(jnp.float32)
+                w = w * valid
+                sums = seg_sum(w)
+                sums = jnp.where(rowmask0 > 0.5,
+                                 sums + merge * carry[s, :, :], sums)
+                stage[s, :, :] = sums
+
+        dma_bd.wait()
+
+        # bdwin rows [d, d+CS) -> (CS, 1): dynamic rotate (sublane
+        # slices must start 8-aligned, rotates are unconstrained).
+        WB = CS + 8
+
+        bdwin_v = bdwin[...]
+
+        def win_col(col):
+            rolled = pltpu.roll(bdwin_v, WB - d, 0)
+            return rolled[0:CS, col : col + 1]
+
+        bd_col = win_col(0)  # (CS, 1)
+
+        if offsets is None:
+            out_rows = stage[0, :, :] + bd_col
+        else:
+            # Boolean vector selects don't lower; blend f32 masks.
+            eo_f = win_col(1)  # 0/1
+            acc = jnp.zeros((CS, 256), jnp.float32)
+            for s in range(S):
+                wi = jnp.round(stage[s, :, :] + bd_col).astype(jnp.int32)
+                in_eo = ((wi & 1) != 0).astype(jnp.float32)
+                in_nz = (wi != 0).astype(jnp.float32)
+                acc = acc + eo_f * in_eo + (1.0 - eo_f) * in_nz
+            out_rows = acc * (1.0 / S)
+
+        # Write the window; rows still open get rewritten (complete) by
+        # a later block. The out array is 3-D (rows, 1, 256) so the
+        # leading dim is outside the (8, 128) tiling and the DMA offset
+        # needs no sublane alignment.
+        outbuf[:, 0, :] = out_rows
+        out_dma = pltpu.make_async_copy(
+            outbuf,
+            out_hbm.at[pl.ds(jnp.minimum(row0, AR_out - 1), CS)],
+            sem_out,
+        )
+        out_dma.start()
+        out_dma.wait()
+
+        # Carry = the last (open) row's per-sample sums; extracted with
+        # a one-hot contraction (no dynamic sublane slice).
+        last_local = row_last - row0
+        oh_last = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1) == last_local
+        ).astype(jnp.float32)
+        for s in range(S):
+            carry[s, :, :] = jax.lax.dot_general(
+                oh_last, stage[s, :, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        crow_s[0] = row_last
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((C, 8), lambda c: (c, 0)),             # stream
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # bd table
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((S, CS, 256), jnp.float32),      # per-sample sums
+            pltpu.VMEM((CS, 1, 256), jnp.float32),      # out staging
+            pltpu.VMEM((S, 1, 256), jnp.float32),       # carry
+            pltpu.SMEM((1,), jnp.int32),                # carry row
+            pltpu.VMEM((CS + 8, 128), jnp.float32),     # bd window
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((AR_out + CS, 1, 256), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def compute_area_rows_pallas(xp, cmds, counted, caps):
+    """Drop-in device replacement for coverage.compute_area_rows.
+
+    Returns (area_rows [AR + CS, 256], area_row_rec [PC], overflow).
+    In MSAA modes the rows are RESOLVED coverage (the fine kernels must
+    consume them directly); in area mode they are raw winding +
+    backdrop, exactly like the XLA pass."""
+    from ..pipeline.fine_ref import sample_offsets
+    from ..pipeline.coarse import CMD_BEGIN_CLIP
+
+    AR = caps["area_rows_cap"]
+    aa = caps.get("aa_mode", "area")
+    offsets = sample_offsets(aa)
+    C = _chunk_for_mode(aa)
+    interpret = bool(caps.get("_expand_interpret", False))
+
+    area_row_rec, slot2rank, bd_tgt, n_rows = rank_records(xp, cmds, caps)
+    row, valid_f, segs = sort_segments_by_rank(xp, counted, slot2rank, caps)
+    SC = row.shape[0]
+    SCpad = -(-SC // C) * C
+    n_chunks = SCpad // C
+
+    stream = xp.stack(
+        [
+            segs["seg_x0"], segs["seg_y0"], segs["seg_x1"], segs["seg_y1"],
+            segs["seg_y_edge"], row.astype(xp.float32), valid_f,
+            xp.zeros(SC, xp.float32),
+        ],
+        axis=1,
+    )
+    if SCpad != SC:
+        # Padding rides the last real row (clamped sentinel) with
+        # valid = 0 (this module is device-only: xp is jnp).
+        pad = jnp.zeros((SCpad - SC, 8), dtype=jnp.float32)
+        pad = pad.at[:, 5].set(jnp.float32(AR - 1))
+        stream = xp.concatenate([stream, pad], axis=0)
+
+    # Per-row backdrop + fill-rule table ([ARpad, 128]: col 0 backdrop,
+    # col 1 even-odd flag of the consuming rule — clip rows resolve
+    # nonzero; see fine_pallas's use_eo).
+    eo_rec = ((cmds["flags"] & 1) != 0) & (cmds["kind"] != CMD_BEGIN_CLIP)
+    ARpad = AR + C + 2 * _SLACK
+    bd_vec = xp.zeros(ARpad, xp.float32)
+    bd_vec = ops.scatter_set(
+        xp, bd_vec, bd_tgt, cmds["backdrop"].astype(xp.float32)
+    )
+    eo_vec = xp.zeros(ARpad, xp.float32)
+    eo_vec = ops.scatter_set(xp, eo_vec, bd_tgt, eo_rec.astype(xp.float32))
+    bd_tab = xp.zeros((ARpad, 128), dtype=xp.float32)
+    bd_tab = bd_tab.at[:, 0].set(bd_vec)
+    bd_tab = bd_tab.at[:, 1].set(eo_vec)
+
+    call = make_coverage_kernel(AR, n_chunks, C, offsets, interpret=interpret)
+    area = call(stream.reshape(SCpad, 8), bd_tab)
+    area = area.reshape(area.shape[0], 256)
+
+    overflow = n_rows > AR
+    return area, area_row_rec, overflow

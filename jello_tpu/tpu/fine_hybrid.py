@@ -118,20 +118,11 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     scalars = xp.asarray(layout["base_color"], dtype=xp.float32)
 
     # Stop table / atlas packing mirrors fine_pallas.fine_pallas.
+    from .fine_pallas import atlas_planar
+
     stops_pad = xp.zeros((NR, 128), dtype=xp.float32)
     stops_pad = stops_pad.at[:, :W].set(ramps)
-    img_shape = None
-    if images is not None:
-        NI, IH, IW = images.shape[0], images.shape[1], images.shape[2]
-        img_shape = (int(IH), int(IW))
-        IHWP = -(-(IH * IW) // 128) * 128
-        img_flat = xp.zeros((NI * 8, IHWP), dtype=xp.float32)
-        planar = xp.transpose(images.reshape(NI, IH * IW, 4), (0, 2, 1))
-        img_flat = img_flat.at[
-            (xp.arange(NI * 4) // 4) * 8 + xp.arange(NI * 4) % 4, : IH * IW
-        ].set(planar.reshape(NI * 4, IH * IW))
-    else:
-        img_flat = xp.zeros((8, 128), dtype=xp.float32)
+    img_flat, img_shape = atlas_planar(images)
 
     call = make_fine_kernel(
         caps_s, img_shape, interpret=interpret, n_ramp_rows=NR, n_programs=LT
@@ -139,7 +130,8 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     legacy_out, ovf = call(
         counts, legacy_ids, scalars, slab, area_blk, stops_pad, img_flat
     )
-    flags["blend_depth_overflow"] = xp.any(ovf > 0)
+    flags["blend_depth_overflow"] = xp.any((ovf & 1) > 0)
+    flags["image_region_overflow"] = xp.any((ovf & 2) > 0)
 
     # Merge: overwrite legacy tiles' compact rows.
     ranks = ops.gather_guarded(xp, tile2rank, xp.clip(legacy_ids, 0, GRID - 1))

@@ -28,7 +28,7 @@ Record layout (u32 words):
   rad:    5 extend, 6..11 xform, 12 focal_x, 13 radius, 14 kind_flags,
           15 ramp_row
   sweep:  5 extend, 6..11 xform, 12 t0, 13 t1, 15 ramp_row
-  image:  6..11 xform, 12 img_base (idx*IH*IW), 13 wh_packed
+  image:  6..11 xform, 12 atlas placement (ay<<16|ax), 13 wh_packed
   end_clip: 5 blend_word, 6 alpha f32 bits
 """
 
@@ -110,9 +110,9 @@ def build_records(xp, cmds, scene, info, caps):
     w[9] = xp.where(is_xf, info_u(4), z)
     w[10] = xp.where(is_xf, info_u(5), z)
     w[11] = xp.where(is_xf, info_u(6), z)
-    x12 = xp.where(is_rad | is_sweep, info_u(7), z)
-    x12 = xp.where(is_img, info_u(7) * 8, x12)
-    w[12] = x12
+    # word 12 for images: the atlas placement (ay<<16|ax) patched by
+    # the resolver (resolve.go:128-149's index scheme, offsets here).
+    w[12] = xp.where(is_rad | is_sweep | is_img, info_u(7), z)
     w[13] = xp.where(is_rad | is_sweep | is_img, info_u(8), z)
     w[14] = xp.where(is_rad, info_u(9), z)
     w[15] = ramp_row
@@ -164,19 +164,25 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
     MC = caps["cmds_per_tile"]
     BD = caps["blend_depth"]
     MAX_STOPS = caps.get("max_stops", 2)
+    # MSAA rows arrive fully resolved from the coverage kernel; area
+    # rows are raw winding and take the per-record fill rule here.
+    RESOLVED_COV = caps.get("aa_mode", "area") != "area"
     if n_programs is None:
         n_programs = GRID
-    if img_shape is not None:
-        IHWP_STATIC = -(-(img_shape[0] * img_shape[1]) // 128) * 128
-    else:
-        IHWP_STATIC = 128
+    # Image region window: one 16x16 tile maps (under the inverse
+    # transform) into at most REGH x (REGW-128) source texels for
+    # scale factors down to ~0.25; stronger minification raises the
+    # region-overflow flag and the frame falls back to the XLA fine.
+    REGH, REGW = 64, 256
 
     def kernel(counts_smem, tile_ids_smem, scalars_smem, cmd_ref, rows_hbm,
                ramps_ref, img_ref,
-               out_ref, ovf_ref, rgba, stack, area, area_dma, img_buf, sem):
+               out_ref, ovf_ref, rgba, stack, area, area_dma, img_buf,
+               img_ovf, sem):
         i = pl.program_id(0)
         t = tile_ids_smem[i]
         wit = counts_smem[counts_smem.shape[0] - 1]
+        img_ovf[0] = 0
         base_r = scalars_smem[0]
         base_g = scalars_smem[1]
         base_b = scalars_smem[2]
@@ -268,10 +274,13 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                 dma.start()
                 dma.wait()
                 a = area_dma[pl.ds(area_row - start8, 1), :]  # (1, 256)
-                eo = jnp.abs(a - 2.0 * jnp.round(0.5 * a))
-                nz = jnp.minimum(jnp.abs(a), 1.0)
-                use_eo = even_odd & (kind != CMD_END_CLIP)
-                area[...] = jnp.where(use_eo, eo, nz)
+                if RESOLVED_COV:
+                    area[...] = jnp.clip(a, 0.0, 1.0)
+                else:
+                    eo = jnp.abs(a - 2.0 * jnp.round(0.5 * a))
+                    nz = jnp.minimum(jnp.abs(a), 1.0)
+                    use_eo = even_odd & (kind != CMD_END_CLIP)
+                    area[...] = jnp.where(use_eo, eo, nz)
 
 
             @pl.when(~suppressed & is_fillish & (seg_count == 0))
@@ -376,55 +385,84 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                 def _():
                     m0, m1, m2, m3 = rf(6), rf(7), rf(8), rf(9)
                     xl, yl = rf(10), rf(11)
-                    img_base = ru(12).astype(jnp.int32)
+                    axy = ru(12)
+                    ax = (axy & 0xFFFF).astype(jnp.int32)
+                    ay = (axy >> 16).astype(jnp.int32)
                     wh = ru(13)
                     # u32 -> f32 is not directly lowerable; go via i32.
-                    iw = jnp.astype((wh >> 16).astype(jnp.int32), jnp.float32)
-                    ih = jnp.astype((wh & 0xFFFF).astype(jnp.int32), jnp.float32)
-                    IH, IW = img_shape
+                    iwi = (wh >> 16).astype(jnp.int32)
+                    ihi = (wh & 0xFFFF).astype(jnp.int32)
+                    iw = jnp.astype(iwi, jnp.float32)
+                    ih = jnp.astype(ihi, jnp.float32)
+                    AH, AW = img_shape
                     ux = m0 * gx + m2 * gy + xl
                     uy = m1 * gx + m3 * gy + yl
                     inb = (ux < iw) & (uy < ih) & (ux >= 0.0) & (uy >= 0.0)
-                    x0i = jnp.floor(ux)
-                    y0i = jnp.floor(uy)
-                    fx = ux - x0i
-                    fy = uy - y0i
+                    x0f = jnp.floor(ux)
+                    y0f = jnp.floor(uy)
+                    fx = ux - x0f
+                    fy = uy - y0f
 
-                    IHWP = -(-(IH * IW) // 128) * 128
+                    def clampx(v):
+                        return jnp.clip(v.astype(jnp.int32), 0, iwi - 1)
+
+                    def clampy(v):
+                        return jnp.clip(v.astype(jnp.int32), 0, ihi - 1)
+
+                    # Atlas region touched by this tile (+bilinear
+                    # margin), aligned for the DMA window.
+                    rx0 = ax + jnp.min(clampx(x0f), axis=1, keepdims=True)[0, 0]
+                    ry0 = ay + jnp.min(clampy(y0f), axis=1, keepdims=True)[0, 0]
+                    rx1 = ax + jnp.max(clampx(jnp.ceil(ux)), axis=1,
+                                       keepdims=True)[0, 0]
+                    ry1 = ay + jnp.max(clampy(jnp.ceil(uy)), axis=1,
+                                       keepdims=True)[0, 0]
+                    x_lo = pl.multiple_of(
+                        jnp.clip((rx0 // 128) * 128, 0, AW - REGW), 128)
+                    y_lo = pl.multiple_of(
+                        jnp.clip((ry0 // 8) * 8, 0, AH - REGH), 8)
+                    region_bad = ((rx1 - x_lo) >= REGW) | ((ry1 - y_lo) >= REGH)
+
                     dma = pltpu.make_async_copy(
-                        img_ref.at[pl.ds(pl.multiple_of(img_base, 8), 8), :],
+                        img_ref.at[:, pl.ds(y_lo, REGH), pl.ds(x_lo, REGW)],
                         img_buf, sem,
                     )
                     dma.start()
                     dma.wait()
 
+                    iota_h = jax.lax.broadcasted_iota(jnp.int32, (REGH, 256), 0)
+                    iota_w = jax.lax.broadcasted_iota(jnp.int32, (REGW, 256), 0)
+
                     def tap(yi, xi):
-                        yi = jnp.clip(yi.astype(jnp.int32), 0, IH - 1)
-                        xi = jnp.clip(xi.astype(jnp.int32), 0, IW - 1)
-                        flat = yi * IW + xi  # (1,256)
-                        rows = jax.lax.broadcasted_iota(
-                            jnp.int32, (IHWP, 256), 0
-                        )
-                        onehot = jnp.astype(rows == flat, jnp.float32)
-                        img_rows = img_buf[0:4, :]
-                        t4 = jax.lax.dot_general(
-                            img_rows, onehot, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
+                        # Separable one-hot taps: column gather on the
+                        # MXU, then a row mask-reduce (VPU).
+                        lr = ay + clampy(yi) - y_lo       # (1, 256)
+                        lc = ax + clampx(xi) - x_lo
+                        ohc = jnp.astype(iota_w == lc, jnp.float32)  # (REGW,256)
+                        ohr = jnp.astype(iota_h == lr, jnp.float32)  # (REGH,256)
+                        ch4 = []
+                        for chn in range(4):
+                            m1c = jax.lax.dot_general(
+                                img_buf[chn], ohc, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # (REGH, 256)
+                            ch4.append(jnp.sum(ohr * m1c, axis=0,
+                                               keepdims=True))  # (1, 256)
                         # Premultiply per tap (fine.wgsl applies
                         # premul_alpha to each textureLoad *before*
                         # bilinear mixing).
                         return jnp.concatenate(
-                            [t4[0:1] * t4[3:4], t4[1:2] * t4[3:4],
-                             t4[2:3] * t4[3:4], t4[3:4]], axis=0)
+                            [ch4[0] * ch4[3], ch4[1] * ch4[3],
+                             ch4[2] * ch4[3], ch4[3]], axis=0)
 
-                    aq = tap(y0i, x0i)
-                    bq = tap(jnp.ceil(uy), x0i)
-                    cq = tap(y0i, jnp.ceil(ux))
+                    aq = tap(y0f, x0f)
+                    bq = tap(jnp.ceil(uy), x0f)
+                    cq = tap(y0f, jnp.ceil(ux))
                     dq = tap(jnp.ceil(uy), jnp.ceil(ux))
                     fg = (aq + (bq - aq) * fy) * (1 - fx) + (cq + (dq - cq) * fy) * fx
-                    inbf = jnp.astype(inb, jnp.float32)
-                    blend_over_px(fg * inbf, area[...] * inbf)
+                    okf = jnp.astype(inb & ~region_bad, jnp.float32)
+                    blend_over_px(fg * okf, area[...] * okf)
+                    img_ovf[0] = img_ovf[0] | region_bad.astype(jnp.int32)
 
             # ---- clips ----
             is_begin = kind == CMD_BEGIN_CLIP
@@ -473,7 +511,12 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
 
         carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False))
         carry = jax.lax.fori_loop(0, n_cmds, body, carry)
-        ovf_ref[0] = jnp.full((1, 128), jnp.astype(carry[3], jnp.int32))
+        # Bit 0: blend-stack depth overflow; bit 1: image region window
+        # exceeded (host falls back to the XLA fine for the frame).
+        ovf_ref[0] = jnp.full(
+            (1, 128),
+            jnp.astype(carry[3], jnp.int32) | (img_ovf[0] << 1),
+        )
 
         cur = rgba[...]
         a_inv = 1.0 / jnp.maximum(cur[3:4, :], 1e-6)
@@ -500,7 +543,8 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
             pltpu.VMEM((BD, 4, 256), jnp.float32),  # blend stack
             pltpu.VMEM((1, 256), jnp.float32),      # area
             pltpu.VMEM((8, 256), jnp.float32),      # area row DMA window
-            pltpu.VMEM((8, IHWP_STATIC), jnp.float32),  # image planes
+            pltpu.VMEM((4, REGH, REGW), jnp.float32),  # atlas region
+            pltpu.SMEM((1,), jnp.int32),            # image region overflow
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -516,6 +560,18 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
     )
 
 
+def atlas_planar(images):
+    """[AH, AW, 4] atlas plane -> channel-planar [4, AHp, AWp] padded to
+    at least one region window (fine kernel DMA source)."""
+    if images is None:
+        return jnp.zeros((4, 64, 256), dtype=jnp.float32), None
+    AH, AW = int(images.shape[0]), int(images.shape[1])
+    AHp, AWp = max(AH, 64), max(AW, 256)
+    planar = jnp.zeros((4, AHp, AWp), dtype=jnp.float32)
+    planar = planar.at[:, :AH, :AW].set(jnp.transpose(images, (2, 0, 1)))
+    return planar, (AHp, AWp)
+
+
 def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, interpret=False):
     """Drop-in replacement for fine_ref.fine (jnp), Pallas-accelerated.
 
@@ -523,10 +579,6 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
     caps = dict(caps)
     caps.setdefault("cmds_per_tile", 64)
     caps.setdefault("area_rows_cap", 1 << 14)
-    img_shape = None
-    if images is not None:
-        img_shape = (int(images.shape[1]), int(images.shape[2]))
-        caps["img_hw"] = img_shape
 
     area_blk, area_row_rec, rows_overflow = compute_area_rows(
         jnp, cmds, counted, caps
@@ -540,16 +592,7 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
     caps["max_stops"] = (W - 1) // 5
     stops_pad = jnp.zeros((NR, 128), dtype=jnp.float32)
     stops_pad = stops_pad.at[:, :W].set(ramps)
-    if images is None:
-        img_flat = jnp.zeros((8, 128), dtype=jnp.float32)
-    else:
-        NI, IH, IW = images.shape[0], images.shape[1], images.shape[2]
-        IHWP = -(-(IH * IW) // 128) * 128
-        img_flat = jnp.zeros((NI * 8, IHWP), dtype=jnp.float32)
-        planar = jnp.transpose(images.reshape(NI, IH * IW, 4), (0, 2, 1))
-        img_flat = img_flat.at[
-            (jnp.arange(NI * 4) // 4) * 8 + jnp.arange(NI * 4) % 4, : IH * IW
-        ].set(planar.reshape(NI * 4, IH * IW))
+    img_flat, img_shape = atlas_planar(images)
 
     counts = jnp.concatenate(
         [counts, jnp.asarray(layout["width_in_tiles"], dtype=jnp.int32).reshape(1)]
@@ -563,6 +606,7 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
     flags = {
         "cmd_slab_overflow": slab_overflow,
         "area_rows_overflow": rows_overflow,
-        "blend_depth_overflow": jnp.any(ovf > 0),
+        "blend_depth_overflow": jnp.any((ovf & 1) > 0),
+        "image_region_overflow": jnp.any((ovf & 2) > 0),
     }
     return fine_out, flags

@@ -152,11 +152,14 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
             ohc, cov_win[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-        )  # (C, 256) raw winding
-        eo = jnp.abs(a - 2.0 * jnp.round(0.5 * a))
-        nz = jnp.minimum(jnp.abs(a), 1.0)
-        even_odd = (flags & 1) != 0
-        cov = jnp.where(even_odd, eo, nz)
+        )  # (C, 256) raw winding (area) / resolved coverage (MSAA)
+        if caps.get("aa_mode", "area") != "area":
+            cov = jnp.clip(a, 0.0, 1.0)
+        else:
+            eo = jnp.abs(a - 2.0 * jnp.round(0.5 * a))
+            nz = jnp.minimum(jnp.abs(a), 1.0)
+            even_odd = (flags & 1) != 0
+            cov = jnp.where(even_odd, eo, nz)
         cov = jnp.where(has_row, cov, 1.0)  # seg-less fills cover fully
         cov = cov * live_f
 

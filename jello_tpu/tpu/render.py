@@ -58,10 +58,13 @@ class Renderer:
     def _fine_impl(self, caps):
         if not self.use_pallas:
             return None
-        if caps.get("aa_mode", "area") != "area":
-            # MSAA currently renders through the reference fine path.
-            return None
         if caps.get("_no_pallas_fine"):
+            return None
+        if caps.get("aa_mode", "area") != "area" and not caps.get(
+            "_coverage_pallas"
+        ):
+            # MSAA through the Pallas path needs the resolving coverage
+            # kernel; otherwise fall back to the XLA reference fine.
             return None
         if caps.get("_fine_mode") == "v2":
             # Clip-free, image-free: pure record-stream kernel.
@@ -169,14 +172,14 @@ class Renderer:
         #  - per-tile interpreter kernel otherwise;
         #  - XLA reference fine when the atlas exceeds VMEM scratch.
         routing = {}
-        if atlas is not None and atlas.shape[1] * atlas.shape[2] > (1 << 16):
-            routing["_no_pallas_fine"] = True
-        elif layout.n_clips == 0 and atlas is None:
+        if layout.n_clips == 0 and atlas is None:
             routing["_fine_mode"] = "v2"
         if self.use_pallas:
             # Streaming Pallas expansions in path_count
-            # (tpu/expand_pallas.py).
+            # (tpu/expand_pallas.py) + the streaming coverage kernel
+            # (tpu/coverage_pallas.py).
             routing["_expand_pallas"] = True
+            routing["_coverage_pallas"] = True
         caps = dict(caps)
         caps.update(routing)
 
@@ -213,6 +216,13 @@ class Renderer:
             flags = {k: bool(v) for k, v in zip(fkeys, vals[: len(fkeys)])}
             stats = {k: int(v) for k, v in zip(skeys, vals[len(fkeys):])}
             self.last_flags = flags
+            if flags.get("image_region_overflow"):
+                # An image draw minifies beyond the fine kernel's
+                # region window; the frame renders through the XLA
+                # reference fine instead (no capacity to grow).
+                caps = dict(caps)
+                caps["_no_pallas_fine"] = True
+                continue
             if any(flags.values()):
                 caps = grow_caps(caps, flags)
                 # Persist grown capacities, but never the per-frame

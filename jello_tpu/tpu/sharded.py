@@ -56,13 +56,33 @@ def build_commands_stage(scene, layout, caps):
         xp, scene, layout, dm, tag, dd, di, draw_bbox, paths, counted,
         fl["path_draw_flags"], caps,
     )
-    return cmds, segs, info
+    # Per-draw scene/info word table for the record packer (mirrors
+    # pipeline/render.py).
+    from ..pipeline import ops as _ops
+
+    cmds["dtab"] = xp.stack(
+        [_ops.gather_guarded(xp, scene, dd + k).astype(xp.uint32)
+         for k in range(4)]
+        + [_ops.gather_guarded(xp, info, di + k).astype(xp.uint32)
+           for k in range(1, 10)],
+        axis=1,
+    )
+    return cmds, segs, info, counted
 
 
-def make_sharded_render(mesh: Mesh, caps: dict, with_images: bool = False):
+def make_sharded_render(mesh: Mesh, caps: dict, with_images: bool = False,
+                        pallas_fine: bool = False, interpret: bool = False):
     """Build the jitted multi-chip render step for a mesh with a 'tiles'
     axis. Returns fn(scene, layout, ramps[, images]) -> (fine_out, flags)
-    with fine_out sharded over the tile grid."""
+    with fine_out sharded over the tile grid.
+
+    pallas_fine=True runs the per-tile interpreter kernel
+    (tpu/fine_pallas.py) inside the shard: the command slab and counts
+    shard along the tile axis (static shapes), coverage rows / stop
+    table / atlas stay replicated, and each device's kernel grid covers
+    its own tile stripe (tile ids = stripe base + arange). interpret=True
+    validates the same program on a CPU mesh (the driver's multichip
+    dryrun)."""
     axis = "tiles"
     n_dev = mesh.shape[axis]
     GRID = caps["tile_grid_cap"]
@@ -82,12 +102,72 @@ def make_sharded_render(mesh: Mesh, caps: dict, with_images: bool = False):
         ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis)
         return out, ovf
 
+    def fine_shard_pallas(slab, counts, area_blk, stops, img_flat, scalars,
+                          wit):
+        from .fine_pallas import make_fine_kernel
+
+        base = jax.lax.axis_index(axis) * local
+        tile_ids = (base + jnp.arange(local, dtype=jnp.int32))
+        counts_l = jnp.concatenate([counts, wit.reshape(1)])
+        caps_k = dict(caps)
+        caps_k["max_stops"] = (stops.shape[1] - 1) // 5 if stops.shape[1] >= 6 else 2
+        img_shape = None if img_flat is None else (
+            int(img_flat.shape[1]), int(img_flat.shape[2]))
+        call = make_fine_kernel(
+            caps_k, img_shape, interpret=interpret,
+            n_ramp_rows=stops.shape[0], n_programs=local,
+        )
+        out, ovf = call(counts_l, tile_ids, scalars, slab, area_blk,
+                        stops,
+                        img_flat if img_flat is not None
+                        else jnp.zeros((4, 64, 256), jnp.float32))
+        ovf_any = jax.lax.pmax(jnp.max(ovf), axis)
+        return jnp.transpose(out, (1, 0, 2)), ovf_any
+
     def run(scene, layout, ramps, images=None):
-        cmds, segs, info = build_commands_stage(scene, layout, caps)
+        cmds, segs, info, counted = build_commands_stage(scene, layout, caps)
+        overflow_pairs = cmds["overflow"]
+        if pallas_fine:
+            from ..pipeline.coverage import compute_area_rows
+            from .fine_pallas import atlas_planar, build_cmd_slab
+
+            area_blk, area_row_rec, rows_ovf = compute_area_rows(
+                jnp, cmds, counted, caps)
+            cmds2 = dict(cmds)
+            cmds2["area_row"] = area_row_rec
+            # Lane-padded stop table (pipeline/gradient.py rows).
+            NRr, Wr = ramps.shape
+            stops = jnp.zeros((NRr, 128), jnp.float32).at[:, :Wr].set(ramps)
+            img_flat, _ = atlas_planar(images)
+            caps_s = dict(caps)
+            caps_s["max_stops"] = (Wr - 1) // 5
+            slab, counts, slab_ovf = build_cmd_slab(
+                jnp, cmds2, scene, info, caps_s)
+            slab = slab.reshape(GRID, caps["cmds_per_tile"], 16)
+            scalars = jnp.asarray(layout["base_color"], dtype=jnp.float32)
+            wit = jnp.asarray(layout["width_in_tiles"], dtype=jnp.int32)
+            sharded_fine = jax.shard_map(
+                fine_shard_pallas,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
+                out_specs=(P(None, axis, None), P()),
+                check_vma=False,
+            )
+            out, ovf = sharded_fine(
+                slab, counts, area_blk, stops, img_flat, scalars, wit)
+            flags = {
+                "pairs_overflow": overflow_pairs,
+                "cmd_slab_overflow": slab_ovf,
+                "area_rows_overflow": rows_ovf,
+                "blend_depth_overflow": (ovf & 1) > 0,
+                "image_region_overflow": (ovf & 2) > 0,
+            }
+            return out, flags
+
         tile_start = cmds.pop("tile_start")
         tile_end = cmds.pop("tile_end")
         cmds.pop("n_cmds")
-        overflow_pairs = cmds.pop("overflow")
+        cmds.pop("overflow")
         sharded_fine = jax.shard_map(
             fine_shard,
             mesh=mesh,
@@ -154,7 +234,9 @@ def dryrun(n_devices: int):
     ramps_arr = np.zeros((1, 11), dtype=np.float32)  # empty stop table
 
     ld = {k: jnp.asarray(v) for k, v in ld_np.items()}
-    run = make_sharded_render(mesh, caps)
+    # The production configuration: per-tile interpreter kernel inside
+    # the shard (interpret=True emulates Mosaic on the CPU mesh).
+    run = make_sharded_render(mesh, caps, pallas_fine=True, interpret=True)
     out, flags = run(jnp.asarray(scene_padded), ld, jnp.asarray(ramps_arr))
     out.block_until_ready()
     # Cross-check against the single-device path.
