@@ -21,23 +21,89 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 
-def parity_check(configs=(1, 2, 3, 4)):
-    """Render configs on the device and compare pixels to the numpy
-    oracle (the UseCPU cross-check discipline, wgpu.go:454-513).
-    Returns {config: max_abs_err}."""
-    import jax
+def parity_check():
+    """Render feature-covering small scenes on the device and compare
+    pixels to the numpy oracle (the UseCPU cross-check discipline,
+    wgpu.go:454-513). Small sizes keep the compile+fetch cost practical
+    on the tunneled fabric. Returns {name: max_abs_err}."""
+    import numpy as np
 
+    import jello_tpu as jt
     from jello_tpu.cpu import render_numpy
-    from jello_tpu.scenes import CONFIGS
+    from jello_tpu.renderer.params import AaConfig, RenderParams
     from jello_tpu.tpu import Renderer
 
+    ident = jt.Affine.identity()
+    rng = np.random.default_rng(11)
+
+    def fills():
+        s = jt.Scene()
+        p = jt.BezPath().move_to(30, 40).cubic_to(90, 10, 150, 220, 200, 240).close()
+        s.fill(jt.Fill.NON_ZERO, ident, jt.SolidBrush(jt.Color.rgba(1, 0, 0, 1)), None, p)
+        t = jt.BezPath().move_to(10, 10).line_to(200, 30).line_to(60, 200).close()
+        s.fill(jt.Fill.EVEN_ODD, ident, jt.SolidBrush(jt.Color.rgba(0, 0, 1, 0.5)), None, t)
+        return s, RenderParams(width=256, height=256, base_color=jt.Color.rgba(1, 1, 1, 1))
+
+    def strokes():
+        s = jt.Scene()
+        st = jt.Stroke(width=6.0, join=jt.Join.ROUND,
+                       start_cap=jt.Cap.ROUND, end_cap=jt.Cap.ROUND)
+        w = jt.BezPath().move_to(20, 200).cubic_to(80, 120, 160, 260, 240, 180)
+        s.stroke(st, ident, jt.SolidBrush(jt.Color.rgba(0, 0.5, 0, 1)), None, w)
+        st2 = jt.Stroke(width=2.0, dash_pattern=(8, 4))
+        s.stroke(st2, ident, jt.SolidBrush(jt.Color.rgba(0.2, 0.2, 0.2, 1)), None,
+                 jt.BezPath().move_to(10, 40).line_to(240, 60))
+        return s, RenderParams(width=256, height=256, base_color=jt.Color.rgba(1, 1, 1, 1))
+
+    def gradients():
+        s = jt.Scene()
+        stops = (jt.ColorStop(0.0, jt.Color.rgba(1, 0, 0, 1)),
+                 jt.ColorStop(1.0, jt.Color.rgba(0, 0, 1, 1)))
+        g = jt.GradientBrush(jt.LinearGradient((0, 0), (256, 256), stops))
+        full = jt.BezPath().move_to(0, 0).line_to(256, 0).line_to(256, 256).line_to(0, 256).close()
+        s.fill(jt.Fill.NON_ZERO, ident, g, None, full)
+        rstops = (jt.ColorStop(0.0, jt.Color.rgba(1, 1, 0, 1)),
+                  jt.ColorStop(1.0, jt.Color.rgba(0, 1, 1, 0.3)))
+        rg = jt.GradientBrush(
+            jt.RadialGradient((128, 128), 20.0, (140, 140), 90.0, rstops))
+        c = jt.BezPath().move_to(50, 128)
+        c.cubic_to(50, 60, 206, 60, 206, 128)
+        c.cubic_to(206, 196, 50, 196, 50, 128)
+        c.close()
+        s.fill(jt.Fill.NON_ZERO, ident, rg, None, c)
+        return s, RenderParams(width=256, height=256, base_color=jt.Color.rgba(1, 1, 1, 1))
+
+    def clips_images():
+        s = jt.Scene()
+        pix = (rng.random((16, 16, 4)) * 255).astype(np.uint8)
+        pix[..., 3] = 255
+        img = jt.Image(pixels=pix)
+        sq = jt.BezPath().move_to(20, 20).line_to(120, 20).line_to(120, 120).line_to(20, 120).close()
+        s.fill(jt.Fill.NON_ZERO, ident, jt.ImageBrush(img), None, sq)
+        clip = jt.BezPath().move_to(60, 60).line_to(220, 80).line_to(140, 220).close()
+        s.push_layer(jt.BlendMode(jt.Mix.MULTIPLY, jt.Compose.SRC_OVER), 0.8, ident, clip)
+        t = jt.BezPath().move_to(40, 100).line_to(230, 120).line_to(120, 230).close()
+        s.fill(jt.Fill.NON_ZERO, ident, jt.SolidBrush(jt.Color.rgba(0.9, 0.4, 0.1, 1)), None, t)
+        s.pop_layer()
+        return s, RenderParams(width=256, height=256, base_color=jt.Color.rgba(1, 1, 1, 1))
+
+    def msaa8():
+        s, p = fills()
+        return s, RenderParams(width=256, height=256,
+                               base_color=jt.Color.rgba(1, 1, 1, 1),
+                               antialiasing_method=AaConfig.MSAA8)
+
+    cases = {
+        "fills": fills, "strokes": strokes, "gradients": gradients,
+        "clips_images": clips_images, "msaa8": msaa8,
+    }
     errs = {}
-    for c in configs:
-        scene, params = CONFIGS[c]()
+    for name, make in cases.items():
+        scene, params = make()
         r = Renderer()
         img_dev = r.render(scene, params)
         img_ref, flags, _ = render_numpy(scene, params)
-        errs[c] = float(abs(img_dev - img_ref).max())
+        errs[name] = float(abs(img_dev - img_ref).max())
     return errs
 
 

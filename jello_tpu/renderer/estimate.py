@@ -281,7 +281,7 @@ def _apply_expand_floors(caps: dict) -> None:
     caps["row_cap"] = _bucket(caps["line_cap"] + caps["row_cap"], 1, 8192)
 
 
-def calibrate_caps(caps: dict, stats: dict, margin: float = 1.25) -> dict:
+def calibrate_caps(caps: dict, stats: dict, margin: float = 1.15) -> dict:
     """Shrink the capacity class to measured actual use (+margin).
 
     `stats` holds the exact per-frame counters fetched from the device

@@ -236,6 +236,14 @@ def make_coverage_kernel(AR_out, n_chunks, C, offsets, interpret=False):
 def compute_area_rows_pallas(xp, cmds, counted, caps):
     """Drop-in device replacement for coverage.compute_area_rows.
 
+    Coverage accumulates in SLOT-rank order — the dense rank of
+    (path, tile) slots with segments, in slot order, which is exactly
+    the order the crossing sort already produced — so the per-rank
+    re-sort of the segment stream disappears (rank = a run-boundary
+    cumsum over the sorted stream). The finished table is then permuted
+    into RECORD-rank order (one [AR]-row gather — rows, not segments)
+    for the fine kernels' windowed reads.
+
     Returns (area_rows [AR + CS, 256], area_row_rec [PC], overflow).
     In MSAA modes the rows are RESOLVED coverage (the fine kernels must
     consume them directly); in area mode they are raw winding +
@@ -244,21 +252,37 @@ def compute_area_rows_pallas(xp, cmds, counted, caps):
     from ..pipeline.coarse import CMD_BEGIN_CLIP
 
     AR = caps["area_rows_cap"]
+    T = caps["tiles_cap"]
+    GRID = caps["tile_grid_cap"]
     aa = caps.get("aa_mode", "area")
     offsets = sample_offsets(aa)
     C = _chunk_for_mode(aa)
     interpret = bool(caps.get("_expand_interpret", False))
 
+    # Record-rank side (what the fine kernels index by).
     area_row_rec, slot2rank, bd_tgt, n_rows = rank_records(xp, cmds, caps)
-    row, valid_f, segs = sort_segments_by_rank(xp, counted, slot2rank, caps)
-    SC = row.shape[0]
+
+    # Slot-rank of each sorted segment: run boundaries of the
+    # slot-sorted stream (non-decreasing by construction).
+    slot = counted["sorted_slot"]
+    SC = slot.shape[0]
+    prev = xp.concatenate([xp.full(1, -1, slot.dtype), slot[:-1]])
+    first = (slot != prev) & (slot < T)
+    srank = xp.clip(xp.cumsum(first.astype(xp.int32)) - 1, 0, AR - 1)
+    valid_f = (slot < T).astype(xp.float32)
+    n_rows_sr = xp.sum(first.astype(xp.int32))
+
+    # Slot -> slot-rank (for bd/eo targets and the permutation).
+    has = (counted["seg_count"] > 0).astype(xp.int32)
+    sr_of_slot = ops.exclusive_cumsum(xp, has)
+
+    segs = counted["segs"]
     SCpad = -(-SC // C) * C
     n_chunks = SCpad // C
-
     stream = xp.stack(
         [
             segs["seg_x0"], segs["seg_y0"], segs["seg_x1"], segs["seg_y1"],
-            segs["seg_y_edge"], row.astype(xp.float32), valid_f,
+            segs["seg_y_edge"], srank.astype(xp.float32), valid_f,
             xp.zeros(SC, xp.float32),
         ],
         axis=1,
@@ -270,24 +294,46 @@ def compute_area_rows_pallas(xp, cmds, counted, caps):
         pad = pad.at[:, 5].set(jnp.float32(AR - 1))
         stream = xp.concatenate([stream, pad], axis=0)
 
-    # Per-row backdrop + fill-rule table ([ARpad, 128]: col 0 backdrop,
-    # col 1 even-odd flag of the consuming rule — clip rows resolve
-    # nonzero; see fine_pallas's use_eo).
-    eo_rec = ((cmds["flags"] & 1) != 0) & (cmds["kind"] != CMD_BEGIN_CLIP)
+    # Per-row backdrop + fill-rule table in slot-rank space
+    # ([ARpad, 128]: col 0 backdrop, col 1 even-odd flag of the
+    # consuming rule — clip rows resolve nonzero; see fine_pallas).
+    tile = cmds["tile"]
+    segc = cmds["seg_count"]
+    owns = (tile < GRID) & (segc > 0)
+    rec_sr = ops.gather_guarded(
+        xp, sr_of_slot, xp.clip(cmds["tile_slot"], 0, T - 1)
+    )
     ARpad = AR + C + 2 * _SLACK
+    tgt_sr = xp.where(owns, xp.minimum(rec_sr, ARpad - 1), ARpad)
+    eo_rec = ((cmds["flags"] & 1) != 0) & (cmds["kind"] != CMD_BEGIN_CLIP)
     bd_vec = xp.zeros(ARpad, xp.float32)
     bd_vec = ops.scatter_set(
-        xp, bd_vec, bd_tgt, cmds["backdrop"].astype(xp.float32)
+        xp, bd_vec, tgt_sr, cmds["backdrop"].astype(xp.float32)
     )
     eo_vec = xp.zeros(ARpad, xp.float32)
-    eo_vec = ops.scatter_set(xp, eo_vec, bd_tgt, eo_rec.astype(xp.float32))
+    eo_vec = ops.scatter_set(xp, eo_vec, tgt_sr, eo_rec.astype(xp.float32))
     bd_tab = xp.zeros((ARpad, 128), dtype=xp.float32)
     bd_tab = bd_tab.at[:, 0].set(bd_vec)
     bd_tab = bd_tab.at[:, 1].set(eo_vec)
 
     call = make_coverage_kernel(AR, n_chunks, C, offsets, interpret=interpret)
-    area = call(stream.reshape(SCpad, 8), bd_tab)
-    area = area.reshape(area.shape[0], 256)
+    area_sr = call(stream.reshape(SCpad, 8), bd_tab)
+    area_sr = area_sr.reshape(area_sr.shape[0], 256)
 
-    overflow = n_rows > AR
+    # Permute slot-rank rows into record-rank order (rows, not
+    # segments: [AR] gather).
+    needs = area_row_rec >= 0
+    NROWS = area_sr.shape[0]
+    # Default to row 0 (always written): unwritten pallas-out rows are
+    # uninitialized, and a NaN row poisons the fine kernels' one-hot
+    # matmuls even when masked (NaN * 0 = NaN).
+    src_of = xp.zeros(NROWS, dtype=xp.int32)
+    # EndClip records share their BeginClip's rank AND slot, so
+    # duplicate scatters write identical values.
+    src_of = ops.scatter_set(
+        xp, src_of, xp.where(needs, area_row_rec, NROWS), rec_sr
+    )
+    area = ops.gather_guarded(xp, area_sr, src_of)
+
+    overflow = (n_rows > AR) | (n_rows_sr > AR)
     return area, area_row_rec, overflow

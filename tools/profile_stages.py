@@ -61,6 +61,7 @@ def main():
     caps = dict(r._caps)
     if r.use_pallas:
         caps["_expand_pallas"] = True
+        caps["_coverage_pallas"] = True
     print("calibrated caps:", {k: v for k, v in sorted(caps.items())}, flush=True)
 
     res = Resolver()
