@@ -29,10 +29,15 @@ class Scene:
         self._encoding = Encoding()
         self._debug_trace = debug_trace
         self._trace: list[str] = []
+        # Mutation counter: lets renderers cache the resolved scene
+        # (the reference engine's resident-resource analog) and
+        # invalidate on any Scene-level mutation.
+        self._rev = 0
 
     def reset(self):
         self._encoding.reset()
         self._trace.clear()
+        self._rev += 1
 
     def trace_log(self) -> str:
         return "\n".join(self._trace)
@@ -53,6 +58,7 @@ class Scene:
         clip: BezPath,
     ):
         self._log("push_layer", blend, alpha, clip_transform, clip.elements)
+        self._rev += 1
         t = transform_from_affine(clip_transform)
         self._encoding.encode_transform(t)
         self._encoding.encode_fill_style(Fill.NON_ZERO)
@@ -65,6 +71,7 @@ class Scene:
 
     def pop_layer(self):
         self._log("pop_layer")
+        self._rev += 1
         self._encoding.encode_end_clip()
 
     def fill(
@@ -76,6 +83,7 @@ class Scene:
         path: BezPath,
     ):
         self._log("fill", style, transform, brush, brush_transform, path.elements)
+        self._rev += 1
         t = transform_from_affine(transform)
         self._encoding.encode_transform(t)
         self._encoding.encode_fill_style(style)
@@ -98,6 +106,7 @@ class Scene:
         # GPU-side stroke expansion (scene.go:150-186); dashing is always
         # expanded on the host.
         self._log("stroke", style, transform, brush, brush_transform, shape.elements)
+        self._rev += 1
         t = transform_from_affine(transform)
         self._encoding.encode_transform(t)
         self._encoding.encode_stroke_style(style)
@@ -112,8 +121,10 @@ class Scene:
             self._encoding.encode_brush(brush, 1.0)
 
     def append(self, other: "Scene", transform: Affine):
+        self._rev += 1
         self._encoding.append(other._encoding, transform_from_affine(transform))
 
     def apply_transform(self, transform: Affine):
         """Transform everything already drawn (e.g. HiDPI scaling)."""
+        self._rev += 1
         self._encoding.apply_transform(transform_from_affine(transform))

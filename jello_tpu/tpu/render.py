@@ -134,36 +134,60 @@ class Renderer:
         import jax.numpy as jnp
 
         enc = scene.encoding if hasattr(scene, "encoding") else scene
-        layout, ramps, images, scene_u32 = self._resolver.resolve(enc)
-        ld_np = build_layout_dict(layout, params)
-        # Re-estimate capacities only when the stream shape changed;
-        # animated same-structure scenes keep their settled class.
-        est_key = (layout.n_path_tags, layout.n_paths, len(scene_u32),
-                   params.width, params.height)
-        if getattr(self, "_est_key", None) != est_key or self._caps is None:
-            self._caps = estimate_caps_from_scene(
-                scene_u32, layout, params.width, params.height, self._caps
-            )
-            self._est_key = est_key
+        # Resolve cache: re-rendering an unmodified Scene (animation
+        # loops, benchmarks) skips the host resolve/pad/upload entirely
+        # (~50 ms/frame at 10k paths) — the Scene-level analog of the
+        # reference engine's resident resources (wgpu.go:108-117).
+        # Invalidation: the Scene mutation counter + render params.
+        rev = getattr(scene, "_rev", None)
+        rkey = None
+        if rev is not None:
+            rkey = (id(scene), rev, params.width, params.height,
+                    params.antialiasing_method.value, params.base_color)
+        cached = getattr(self, "_resolve_cache", None)
+        if rkey is not None and cached is not None and cached[0] == rkey:
+            (_, _scene_ref, layout, ld_np, est_key, n, scene_dev,
+             ramps_arr, atlas, packed_layout) = cached
+        else:
+            layout, ramps, images, scene_u32 = self._resolver.resolve(enc)
+            ld_np = build_layout_dict(layout, params)
+            est_key = (layout.n_path_tags, layout.n_paths, len(scene_u32),
+                       params.width, params.height)
+            # Pad the scene buffer to its size class.
+            n = _pow2(max(len(scene_u32), 1024))
+            scene_padded = np.zeros(n, dtype=np.uint32)
+            scene_padded[: len(scene_u32)] = scene_u32
+            from ..pipeline.gradient import stops_table_or_empty
+
+            ramps_arr = stops_table_or_empty(ramps)
+            # Bucket the row count to its power-of-two size class so
+            # gradient cache growth doesn't recompile every frame.
+            nr = _pow2(ramps_arr.shape[0])
+            if nr != ramps_arr.shape[0]:
+                ramps_arr = np.concatenate(
+                    [ramps_arr,
+                     np.zeros((nr - ramps_arr.shape[0], ramps_arr.shape[1]),
+                              dtype=np.float32)]
+                )
+            atlas = build_image_atlas(images)
+            scene_dev = jnp.asarray(scene_padded)
+            packed_layout = jnp.asarray(render_mod.pack_layout(ld_np))
+            # Re-estimate capacities only when the stream shape
+            # changed; animated same-structure scenes keep their
+            # settled class.
+            if getattr(self, "_est_key", None) != est_key or self._caps is None:
+                self._caps = estimate_caps_from_scene(
+                    scene_u32, layout, params.width, params.height, self._caps
+                )
+                self._est_key = est_key
+            if rkey is not None:
+                # Hold a reference to the scene so id() stays unique.
+                self._resolve_cache = (rkey, scene, layout, ld_np, est_key,
+                                       n, scene_dev, ramps_arr, atlas,
+                                       packed_layout)
+
         self._caps["aa_mode"] = params.antialiasing_method.value
         caps = self._caps
-
-        # Pad the scene buffer to its size class.
-        n = _pow2(max(len(scene_u32), 1024))
-        scene_padded = np.zeros(n, dtype=np.uint32)
-        scene_padded[: len(scene_u32)] = scene_u32
-        from ..pipeline.gradient import stops_table_or_empty
-
-        ramps_arr = stops_table_or_empty(ramps)
-        # Bucket the row count to its power-of-two size class so gradient
-        # cache growth doesn't recompile every frame.
-        nr = _pow2(ramps_arr.shape[0])
-        if nr != ramps_arr.shape[0]:
-            ramps_arr = np.concatenate(
-                [ramps_arr, np.zeros((nr - ramps_arr.shape[0], ramps_arr.shape[1]),
-                                     dtype=np.float32)]
-            )
-        atlas = build_image_atlas(images)
 
         # Per-frame fine-path routing (host-static; never persisted into
         # self._caps):
@@ -183,8 +207,6 @@ class Renderer:
         caps = dict(caps)
         caps.update(routing)
 
-        packed_layout = jnp.asarray(render_mod.pack_layout(ld_np))
-        scene_dev = jnp.asarray(scene_padded)
         # Ramps/atlas change rarely; keep them device-resident between
         # frames (the reference engine's persistent resources,
         # wgpu.go:108-117).
