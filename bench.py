@@ -1,11 +1,15 @@
-"""Benchmark: renders the tiger-profile 1080p scene (BASELINE config 5)
-on the default JAX backend and prints one JSON line.
+"""Benchmark: renders the five BASELINE.json configs on the default JAX
+backend and prints ONE JSON line.
 
-Metric: ms/frame (device execution, steady state, post-compile).
-vs_baseline: ratio of the 2 ms/frame driver target to the measured time
-(>1.0 means faster than target).
+Headline metric: config-5 (tiger-profile 1080p) ms/frame, device
+execution, steady state, post-compile. vs_baseline: ratio of the
+2 ms/frame driver target to the measured time (>1.0 = faster than
+target). `extra` carries all five configs, the MSAA modes on config 4,
+the on-device pixel-parity gate (the UseCPU cross-check discipline of
+the reference, wgpu.go:454-513 — always on), and compile metrics.
 
 Usage: python bench.py [--config N] [--paths N] [--iters N]
+       [--quick] (headline config only, parity skipped)
 """
 
 from __future__ import annotations
@@ -23,11 +27,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 def parity_check():
     """Render feature-covering small scenes on the device and compare
-    pixels to the numpy oracle (the UseCPU cross-check discipline,
-    wgpu.go:454-513). Small sizes keep the compile+fetch cost practical
-    on the tunneled fabric. Returns {name: max_abs_err}."""
-    import numpy as np
-
+    pixels to the numpy oracle. Small sizes keep the compile+fetch cost
+    practical on the tunneled fabric. Returns {name: max_abs_err}."""
     import jello_tpu as jt
     from jello_tpu.cpu import render_numpy
     from jello_tpu.renderer.params import AaConfig, RenderParams
@@ -93,9 +94,15 @@ def parity_check():
                                base_color=jt.Color.rgba(1, 1, 1, 1),
                                antialiasing_method=AaConfig.MSAA8)
 
+    def msaa16():
+        s, p = fills()
+        return s, RenderParams(width=256, height=256,
+                               base_color=jt.Color.rgba(1, 1, 1, 1),
+                               antialiasing_method=AaConfig.MSAA16)
+
     cases = {
         "fills": fills, "strokes": strokes, "gradients": gradients,
-        "clips_images": clips_images, "msaa8": msaa8,
+        "clips_images": clips_images, "msaa8": msaa8, "msaa16": msaa16,
     }
     errs = {}
     for name, make in cases.items():
@@ -107,73 +114,115 @@ def parity_check():
     return errs
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=5)
-    ap.add_argument("--paths", type=int, default=10000)
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--parity", action="store_true",
-                    help="also run the on-device pixel parity gate (configs 1-4)")
-    args = ap.parse_args()
-
+def bench_one(scene, params, iters, label=""):
+    """Measure one (scene, params): returns dict with amortized
+    ms/frame, blocking single-frame ms, warmup seconds, compile count."""
     import jax
 
-    from jello_tpu.renderer.params import RenderParams  # noqa: F401
-    from jello_tpu.scenes import CONFIGS
     from jello_tpu.tpu import Renderer
 
-    if args.config == 5:
-        scene, params = CONFIGS[5](n_paths=args.paths)
-    else:
-        scene, params = CONFIGS[args.config]()
-
     r = Renderer()
-    # Warmup: compile + capacity-retry settle.
     t0 = time.time()
     fine_out, ld = r.render_device(scene, params)
+    # The fetch inside render_device already forced compile+execute for
+    # new executables; block for the settled-class run.
     jax.block_until_ready(fine_out)
     warm = time.time() - t0
 
-    # Steady state: dispatch a batch of frames, block once (host<->device
-    # sync latency is not part of the per-frame cost).
     times = []
     for _ in range(3):
         t0 = time.time()
         outs = []
-        for _ in range(args.iters):
+        for _ in range(iters):
             fine_out, _ = r.render_device(scene, params, check_flags=False)
             outs.append(fine_out)
         jax.block_until_ready(outs)
-        times.append((time.time() - t0) / args.iters)
+        times.append((time.time() - t0) / iters)
     ms = float(min(times) * 1000.0)
 
-    # Blocking single-frame latency (includes the host<->device sync;
-    # on the tunneled setup this is dominated by ~100-200 ms RTT).
     t0 = time.time()
     fine_out, _ = r.render_device(scene, params, check_flags=False)
     jax.block_until_ready(fine_out)
     blocking_ms = (time.time() - t0) * 1000.0
 
     mpx = params.width * params.height / 1e6
+    return {
+        "ms": round(ms, 3),
+        "mpx_per_s": round(mpx / (ms / 1000.0), 1),
+        "blocking_ms": round(blocking_ms, 1),
+        "warmup_s": round(warm, 1),
+        "n_compiles": len(r.compile_log),
+        "compile_s": [round(s, 1) for _, s in r.compile_log],
+        "flags": {k: bool(v) for k, v in r.last_flags.items() if v},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=5)
+    ap.add_argument("--paths", type=int, default=10000)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--quick", action="store_true",
+                    help="headline config only; skip parity + other configs")
+    ap.add_argument("--no-parity", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from jello_tpu.renderer.params import AaConfig, RenderParams  # noqa: F401
+    from jello_tpu.scenes import CONFIGS
+
+    t_start = time.time()
+    extra = {"backend": jax.default_backend()}
+
+    def make(cfg):
+        if cfg == 5:
+            return CONFIGS[5](n_paths=args.paths)
+        return CONFIGS[cfg]()
+
+    # Headline config first (so a timeout still yields the main metric).
+    scene, params = make(args.config)
+    head = bench_one(scene, params, args.iters)
+
+    if not args.quick:
+        configs = {}
+        for cfg in (1, 2, 3, 4, 5):
+            if cfg == args.config:
+                configs[str(cfg)] = head
+                continue
+            s, p = make(cfg)
+            configs[str(cfg)] = bench_one(s, p, args.iters)
+        # MSAA modes on config 4 (clips/blends @1080p).
+        s, p = make(4)
+        for mode, aa in (("msaa8", AaConfig.MSAA8), ("msaa16", AaConfig.MSAA16)):
+            p2 = RenderParams(width=p.width, height=p.height,
+                              base_color=p.base_color, antialiasing_method=aa)
+            configs["4_" + mode] = bench_one(s, p2, max(2, args.iters // 2))
+        extra["configs"] = configs
+        if not args.no_parity:
+            extra["parity_max_err"] = {
+                k: round(v, 6) for k, v in parity_check().items()
+            }
+
+    ms = head["ms"]
+    mpx = params.width * params.height / 1e6
+    extra.update({
+        "warmup_s": head["warmup_s"],
+        "n_compiles": head["n_compiles"],
+        "compile_s": head["compile_s"],
+        "mpx_per_s": head["mpx_per_s"],
+        "blocking_single_frame_ms": head["blocking_ms"],
+        "width": params.width,
+        "height": params.height,
+        "bench_total_s": round(time.time() - t_start, 1),
+    })
     result = {
         "metric": f"config{args.config}_ms_frame",
-        "value": round(ms, 3),
+        "value": ms,
         "unit": "ms",
         "vs_baseline": round(2.0 / ms, 4),
-        "extra": {
-            "backend": jax.default_backend(),
-            "warmup_s": round(warm, 1),
-            "mpx_per_s": round(mpx / (ms / 1000.0), 1),
-            "blocking_single_frame_ms": round(blocking_ms, 1),
-            "width": params.width,
-            "height": params.height,
-            "flags": r.last_flags,
-        },
+        "extra": extra,
     }
-    if args.parity:
-        result["extra"]["parity_max_err"] = {
-            str(k): round(v, 6) for k, v in parity_check().items()
-        }
     print(json.dumps(result))
     return 0
 

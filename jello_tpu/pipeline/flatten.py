@@ -351,70 +351,28 @@ def _fix_tangent(xp, tx, ty):
     )
 
 
-def flatten_stage(xp, scene, layout, caps):
-    """Run the full flatten stage.
+def slot_geometry(xp, tags, tags_next, pts_raw, pts_next_raw, seg_type0,
+                  seg_type0_next, is_stroke, is_stroke_next, style_flags,
+                  linewidth, miter_limit, T, path_idx, active, n_paths_cap):
+    """Per-slot flatten geometry: segment normalization, stroke offset
+    frames, caps/joins/miter spikes, round-join/cap arc records and the
+    two Euler work tables (flatten.go:330-690, vectorized per tag slot).
 
-    scene: uint32 scene buffer.
-    layout: dict of (traced) scalars — path_tag_base, path_data_base,
-        draw_tag_base, style_base, transform_base, n_path_tags, n_paths.
-    caps: dict of *static* capacities — n_tag_slots, max_emits,
-        max_iters, euler_line_cap, simple_line_cap, arc_line_cap,
-        line_cap, n_paths_cap.
+    xp-generic and shape-generic: runs on [N] arrays under XLA/numpy in
+    flatten_stage and on (1, C) lane vectors inside the flatten geometry
+    megakernel (tpu/flatten_geom_pallas.py) with kmath transcendentals.
+    `miter_limit` arrives decoded (each caller does its own f16->f32).
 
-    Returns a dict with the line soup, per-path bboxes/flags and
-    overflow indicators.
+    All output coordinates are DEVICE space except the arc
+    begin/end/center (arc lines rotate in local space at expansion
+    time). Returns a dict of per-slot columns; tabA/tabB are the
+    21-column Euler work tables of the lockstep walk.
     """
     f32 = xp.float32
-    N = caps["n_tag_slots"]
-    IT = caps["max_iters"]
-
-    tags = decode_tag_stream(xp, scene, layout["path_tag_base"], N)
-    monoids = exclusive_monoids(xp, tags)
-    active = xp.arange(N, dtype=xp.int32) < layout["n_path_tags"]
-
-    trans_idx = (monoids["trans_idx"] - 1).astype(xp.uint32)
-    style_idx = (monoids["style_idx"] - 2).astype(xp.uint32)
-    path_idx = monoids["path_idx"].astype(xp.int32)
-    seg_off = monoids["path_seg_offset"].astype(xp.int32)
-
-    style_flags = ops.gather_guarded(
-        xp, scene, layout["style_base"] + style_idx.astype(xp.int32)
-    )
-    linewidth = ops.bitcast_u32_f32(
-        xp,
-        ops.gather_guarded(
-            xp, scene, layout["style_base"] + style_idx.astype(xp.int32) + 1
-        ),
-    )
-
-    # Per-path draw flags / transform index, written at path-marker slots
-    # (flatten.go:675-683).
-    n_paths_cap = caps["n_paths_cap"]
-    marker = active & ((tags & PATH_TAG_PATH) != 0)
-    df = xp.where(
-        (style_flags & FLAGS_FILL_BIT) == 0,
-        xp.uint32(0),
-        xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
-    )
-    tgt_idx = xp.where(marker, path_idx, n_paths_cap)
-    path_draw_flags = ops.scatter_set(
-        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, df
-    )
-    path_trans_idx = ops.scatter_set(
-        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, trans_idx
-    )
-
-    # Segment decode.
-    base_words = layout["path_data_base"] + seg_off
-    raw = _read_points(xp, scene, base_words, tags)
-    pts_raw, seg_type0 = raw[:8], raw[8]
-    is_stroke = (style_flags & xp.uint32(FLAGS_STYLE_BIT)) != 0
     P, seg_type, is_marker, is_open = _normalize_segment(
         xp, pts_raw, seg_type0, tags, is_stroke
     )
     seg_mask = active & (seg_type0 != 0)
-
-    T = _transform_read(xp, scene, layout["transform_base"], trans_idx)
     offset = (0.5 * linewidth).astype(f32)
 
     # Stroke scale factor (flatten.go:366).
@@ -431,10 +389,12 @@ def flatten_stage(xp, scene, layout, caps):
         dx, dy = _apply_transform(T, P[2 * k], P[2 * k + 1])
         PD.extend([dx, dy])
 
-    # Stroke tangent frame.
-    nxt = lambda a: xp.concatenate([a[1:], a[:1]])
-    tags_next = nxt(tags)
-    P_next = [nxt(a) for a in P]
+    # Stroke tangent frame (next slot's points arrive raw and get the
+    # same normalization; identical values to shifting the normalized
+    # arrays).
+    P_next, _, _, _ = _normalize_segment(
+        xp, pts_next_raw, seg_type0_next, tags_next, is_stroke_next
+    )
     tan_px, tan_py = cubic_end_tangent_arrays(xp, P)
     tan_nx, tan_ny = cubic_start_tangent_arrays(xp, P_next)
     tan_sx, tan_sy = cubic_start_tangent_arrays(xp, P)
@@ -474,47 +434,6 @@ def flatten_stage(xp, scene, layout, caps):
     tend_bx = P[6] - npx
     tend_by = P[7] - npy
 
-    # Compact the euler work to actual segment slots before the
-    # lockstep walk: the loop body is transcendental-heavy, so running
-    # it over style/transform/marker slots (pass A) or fill slots
-    # (pass B — strokes only) wastes most of the VPU.
-    NWA = caps["work_a_cap"]
-    NWB = caps["work_b_cap"]
-    wl_a, _, wla_valid, _, na = expand_by_counts(xp, act_a.astype(xp.int32), NWA)
-    wl_b, _, wlb_valid, _, nb = expand_by_counts(xp, act_b.astype(xp.int32), NWB)
-
-    ident = [f32(1.0), f32(0.0), f32(0.0), f32(1.0), f32(0.0), f32(0.0)]
-    # Per-pass line transform: identity for fills (already device space).
-    TA = [xp.where(is_stroke, T[i], ident[i] * xp.ones(N, f32)) for i in range(6)]
-    fpath = path_idx.astype(f32)
-
-    # One packed [N, 21] table per pass + one row gather each replaces
-    # ~21 independent element gathers per pass (gathers cost per row,
-    # not per byte).
-    tabA_N = xp.stack(
-        list(PA)
-        + [off_a, scale, tstart_ax, tstart_ay, tend_ax, tend_ay]
-        + list(TA) + [fpath],
-        axis=1,
-    )
-    tabB_N = xp.stack(
-        list(P)
-        + [off_b, scale, tstart_bx, tstart_by, tend_bx, tend_by]
-        + list(T) + [fpath],
-        axis=1,
-    )
-    rowsA = ops.gather_guarded(xp, tabA_N, wl_a)
-    rowsB = ops.gather_guarded(xp, tabB_N, wl_b)
-    PA_w = [rowsA[:, i] for i in range(8)]
-    PB_w = [rowsB[:, i] for i in range(8)]
-    rec_a = lockstep_euler_pass(
-        xp, PA_w, rowsA[:, 8], rowsA[:, 9], wla_valid, IT, IT
-    )
-    rec_b = lockstep_euler_pass(
-        xp, PB_w, rowsB[:, 8], rowsB[:, 9], wlb_valid, IT, IT
-    )
-    overflow_euler = rec_a[3] | rec_b[3] | (na > NWA) | (nb > NWB)
-
     # --- Cap / join geometry (simple line slots + arc records) ----------
     p3x, p3y = P[6], P[7]
     p0x, p0y = P[0], P[1]
@@ -530,7 +449,6 @@ def flatten_stage(xp, scene, layout, caps):
 
     # Miter.
     hyp = xp.sqrt(cr * cr + dd * dd)
-    miter_limit = f16_to_f32(xp, (style_flags & MITER_LIMIT_MASK).astype(xp.uint32))
     miter_cond = (2.0 * hyp < (hyp + dd) * miter_limit * miter_limit) & (cr != 0.0)
     is_backside = cr > 0.0
     fp_last_x = xp.where(is_backside, back1x, front0x)
@@ -601,7 +519,7 @@ def flatten_stage(xp, scene, layout, caps):
     cap_square = cap_style == FLAGS_CAP_BITS_SQUARE
 
     # --- Three generic simple-line slots --------------------------------
-    zero = xp.zeros(N, dtype=f32)
+    zero = xp.zeros_like(P[0])
 
     def sel3(jc, cc, default=zero):
         return xp.where(join_slot, jc, xp.where(cap_slot, cc, default))
@@ -650,7 +568,7 @@ def flatten_stage(xp, scene, layout, caps):
     arc_cx = xp.where(join_slot, p3x, cap_px)
     arc_cy = xp.where(join_slot, p3y, cap_py)
     arc_angle = xp.where(
-        join_slot, xp.abs(xp.arctan2(cr, dd)), f32(_np.pi) * xp.ones(N, f32)
+        join_slot, xp.abs(xp.arctan2(cr, dd)), zero + f32(_np.pi)
     )
     # Line count (flatten.go:305-325).
     tol = f32(fm.FLATTEN_TOL)
@@ -665,6 +583,146 @@ def flatten_stage(xp, scene, layout, caps):
     arc_n = xp.maximum(xp.ceil(arc_angle / arc_theta), f32(1.0))
     arc_n = xp.where(arc_valid, arc_n, zero)
 
+    # Device-space simple lines (transform applied per slot; exact same
+    # formula/order as transforming after the expansion gather).
+    s_lines = []
+    for sv, sc_ in ((s0_valid, s0), (s1_valid, s1), (s2_valid, s2)):
+        x0t, y0t = _apply_transform(T, sc_[0], sc_[1])
+        x1t, y1t = _apply_transform(T, sc_[2], sc_[3])
+        s_lines.append((sv, x0t, y0t, x1t, y1t))
+
+    fpath = path_idx.astype(f32)
+    ident = [f32(1.0), f32(0.0), f32(0.0), f32(1.0), f32(0.0), f32(0.0)]
+    # Per-pass line transform: identity for fills (already device space).
+    TA = [xp.where(is_stroke, T[i], zero + ident[i]) for i in range(6)]
+    tabA = list(PA) + [off_a, scale, tstart_ax, tstart_ay, tend_ax,
+                       tend_ay] + list(TA) + [fpath]
+    tabB = list(P) + [off_b, scale, tstart_bx, tstart_by, tend_bx,
+                      tend_by] + list(T) + [fpath]
+    return {
+        "tabA": tabA,
+        "tabB": tabB,
+        "act_a": act_a,
+        "act_b": act_b,
+        "s_lines": s_lines,
+        "arc_valid": arc_valid,
+        "arc_n": arc_n,
+        "arc_theta": arc_theta,
+        "arc_bx": arc_bx, "arc_by": arc_by,
+        "arc_ex": arc_ex, "arc_ey": arc_ey,
+        "arc_cx": arc_cx, "arc_cy": arc_cy,
+        "is_marker": is_marker,
+    }
+
+
+def flatten_stage(xp, scene, layout, caps):
+    """Run the full flatten stage.
+
+    scene: uint32 scene buffer.
+    layout: dict of (traced) scalars — path_tag_base, path_data_base,
+        draw_tag_base, style_base, transform_base, n_path_tags, n_paths.
+    caps: dict of *static* capacities — n_tag_slots, max_emits,
+        max_iters, euler_line_cap, simple_line_cap, arc_line_cap,
+        line_cap, n_paths_cap.
+
+    Returns a dict with the line soup, per-path bboxes/flags and
+    overflow indicators.
+    """
+    f32 = xp.float32
+    N = caps["n_tag_slots"]
+    IT = caps["max_iters"]
+
+    tags = decode_tag_stream(xp, scene, layout["path_tag_base"], N)
+    monoids = exclusive_monoids(xp, tags)
+    active = xp.arange(N, dtype=xp.int32) < layout["n_path_tags"]
+
+    trans_idx = (monoids["trans_idx"] - 1).astype(xp.uint32)
+    style_idx = (monoids["style_idx"] - 2).astype(xp.uint32)
+    path_idx = monoids["path_idx"].astype(xp.int32)
+    seg_off = monoids["path_seg_offset"].astype(xp.int32)
+
+    style_flags = ops.gather_guarded(
+        xp, scene, layout["style_base"] + style_idx.astype(xp.int32)
+    )
+    linewidth = ops.bitcast_u32_f32(
+        xp,
+        ops.gather_guarded(
+            xp, scene, layout["style_base"] + style_idx.astype(xp.int32) + 1
+        ),
+    )
+
+    # Per-path draw flags / transform index, written at path-marker slots
+    # (flatten.go:675-683).
+    n_paths_cap = caps["n_paths_cap"]
+    marker = active & ((tags & PATH_TAG_PATH) != 0)
+    df = xp.where(
+        (style_flags & FLAGS_FILL_BIT) == 0,
+        xp.uint32(0),
+        xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
+    )
+    tgt_idx = xp.where(marker, path_idx, n_paths_cap)
+    path_draw_flags = ops.scatter_set(
+        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, df
+    )
+    path_trans_idx = ops.scatter_set(
+        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, trans_idx
+    )
+
+    # Segment decode.
+    base_words = layout["path_data_base"] + seg_off
+    raw = _read_points(xp, scene, base_words, tags)
+    pts_raw, seg_type0 = raw[:8], raw[8]
+    is_stroke = (style_flags & xp.uint32(FLAGS_STYLE_BIT)) != 0
+    T = _transform_read(xp, scene, layout["transform_base"], trans_idx)
+    miter_limit = f16_to_f32(
+        xp, (style_flags & MITER_LIMIT_MASK).astype(xp.uint32)
+    )
+
+    nxt = lambda a: xp.concatenate([a[1:], a[:1]])
+    g = slot_geometry(
+        xp, tags, nxt(tags), pts_raw, [nxt(a) for a in pts_raw],
+        seg_type0, nxt(seg_type0), is_stroke, nxt(is_stroke),
+        style_flags, linewidth, miter_limit, T, path_idx, active,
+        n_paths_cap,
+    )
+    act_a, act_b = g["act_a"], g["act_b"]
+
+    # Compact the euler work to actual segment slots before the
+    # lockstep walk: the loop body is transcendental-heavy, so running
+    # it over style/transform/marker slots (pass A) or fill slots
+    # (pass B - strokes only) wastes most of the VPU.
+    NWA = caps["work_a_cap"]
+    NWB = caps["work_b_cap"]
+    wl_a, _, wla_valid, _, na = expand_by_counts(xp, act_a.astype(xp.int32), NWA)
+    wl_b, _, wlb_valid, _, nb = expand_by_counts(xp, act_b.astype(xp.int32), NWB)
+
+    # One packed [N, 21] table per pass + one row gather each replaces
+    # ~21 independent element gathers per pass (gathers cost per row,
+    # not per byte).
+    tabA_N = xp.stack(g["tabA"], axis=1)
+    tabB_N = xp.stack(g["tabB"], axis=1)
+    rowsA = ops.gather_guarded(xp, tabA_N, wl_a)
+    rowsB = ops.gather_guarded(xp, tabB_N, wl_b)
+    # Lockstep walk placement: inside a Pallas kernel (the default on
+    # the Pallas path — tpu/lockstep_pallas.py) or as the XLA
+    # while_loop below.
+    use_lockstep_pallas = (
+        caps.get("_expand_pallas")
+        and ops.is_jax(xp)
+        and IT <= 32
+        and not caps.get("_no_lockstep_pallas")
+    )
+    if not use_lockstep_pallas:
+        PA_w = [rowsA[:, i] for i in range(8)]
+        PB_w = [rowsB[:, i] for i in range(8)]
+        rec_a = lockstep_euler_pass(
+            xp, PA_w, rowsA[:, 8], rowsA[:, 9], wla_valid, IT, IT
+        )
+        rec_b = lockstep_euler_pass(
+            xp, PB_w, rowsB[:, 8], rowsB[:, 9], wlb_valid, IT, IT
+        )
+        overflow_euler = rec_a[3] | rec_b[3] | (na > NWA) | (nb > NWB)
+
     # =====================================================================
     # Expansions
     # =====================================================================
@@ -674,7 +732,16 @@ def flatten_stage(xp, scene, layout, caps):
     EC = caps["euler_line_cap"]
     table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
 
-    if caps.get("_expand_pallas") and ops.is_jax(xp) and IT <= 32:
+    if use_lockstep_pallas:
+        from ..tpu.lockstep_pallas import flatten_lockstep_expansion
+
+        wvalid = xp.concatenate([wla_valid, wlb_valid])
+        (e_x0, e_y0, e_x1, e_y1, e_path, e_valid, e_total, e_real,
+         ovf_ls) = flatten_lockstep_expansion(
+            xp, table, wvalid, IT, EC, n_paths_cap, caps
+        )
+        overflow_euler = ovf_ls | (na > NWA) | (nb > NWB)
+    elif caps.get("_expand_pallas") and ops.is_jax(xp) and IT <= 32:
         # Streaming Pallas expansion: the per-work records ride the
         # table as 3*IT columns; ownership + chaining resolve in-kernel
         # (tpu/expand_pallas.flatten_euler_expansion).
@@ -758,43 +825,42 @@ def flatten_stage(xp, scene, layout, caps):
         e_x1, e_y1 = _apply_transform(Tl, e_x1, e_y1)
         e_real = e_total
 
-    # Simple lines.
+    # Simple lines (device-space already; one packed row gather).
     SC = caps["simple_line_cap"]
     s_counts = xp.concatenate(
-        [
-            s0_valid.astype(xp.int32),
-            s1_valid.astype(xp.int32),
-            s2_valid.astype(xp.int32),
-        ]
+        [sl[0].astype(xp.int32) for sl in g["s_lines"]]
     )
-    s_x0 = xp.concatenate([s0[0], s1[0], s2[0]])
-    s_y0 = xp.concatenate([s0[1], s1[1], s2[1]])
-    s_x1 = xp.concatenate([s0[2], s1[2], s2[2]])
-    s_y1 = xp.concatenate([s0[3], s1[3], s2[3]])
+    fpath = path_idx.astype(f32)
+    stab = xp.stack(
+        [xp.concatenate([g["s_lines"][k][c] for k in range(3)])
+         for c in range(1, 5)]
+        + [xp.concatenate([fpath, fpath, fpath])],
+        axis=1,
+    )  # [3N, 5]
     s_rec, _, s_valid, _, s_total = expand_by_counts(xp, s_counts, SC)
-    s_slot = s_rec % N
-    Ts = [ops.gather_guarded(xp, T[i], s_slot) for i in range(6)]
-    sl_x0, sl_y0 = _apply_transform(
-        Ts, ops.gather_guarded(xp, s_x0, s_rec), ops.gather_guarded(xp, s_y0, s_rec)
-    )
-    sl_x1, sl_y1 = _apply_transform(
-        Ts, ops.gather_guarded(xp, s_x1, s_rec), ops.gather_guarded(xp, s_y1, s_rec)
-    )
-    s_path = ops.gather_guarded(xp, path_idx, s_slot)
+    srow = ops.gather_guarded(xp, stab, s_rec)
+    sl_x0, sl_y0, sl_x1, sl_y1 = (srow[:, 0], srow[:, 1], srow[:, 2],
+                                  srow[:, 3])
+    s_path = srow[:, 4].astype(xp.int32)
 
-    # Arc lines.
+    # Arc lines (one packed [N, 15] row gather instead of 14 element
+    # gathers).
     AC = caps["arc_line_cap"]
+    arc_n = g["arc_n"]
     a_rec, a_i, a_valid, a_excl, a_total = expand_by_counts(xp, arc_n, AC)
-    a_slot = a_rec
-    Ta = [ops.gather_guarded(xp, T[i], a_slot) for i in range(6)]
-    a_n = ops.gather_guarded(xp, arc_n, a_slot)
-    a_theta = ops.gather_guarded(xp, arc_theta, a_slot)
-    a_cx = ops.gather_guarded(xp, arc_cx, a_slot)
-    a_cy = ops.gather_guarded(xp, arc_cy, a_slot)
-    a_bx = ops.gather_guarded(xp, arc_bx, a_slot)
-    a_by = ops.gather_guarded(xp, arc_by, a_slot)
-    a_ex = ops.gather_guarded(xp, arc_ex, a_slot)
-    a_ey = ops.gather_guarded(xp, arc_ey, a_slot)
+    atab = xp.stack(
+        [g["arc_bx"], g["arc_by"], g["arc_ex"], g["arc_ey"],
+         g["arc_cx"], g["arc_cy"], g["arc_theta"], arc_n]
+        + list(T) + [fpath],
+        axis=1,
+    )
+    arow = ops.gather_guarded(xp, atab, a_rec)
+    a_bx, a_by, a_ex, a_ey = (arow[:, 0], arow[:, 1], arow[:, 2],
+                              arow[:, 3])
+    a_cx, a_cy, a_theta, a_n = (arow[:, 4], arow[:, 5], arow[:, 6],
+                                arow[:, 7])
+    Ta = [arow[:, 8 + i] for i in range(6)]
+    a_path = arow[:, 14].astype(xp.int32)
     r0x = a_bx - a_cx
     r0y = a_by - a_cy
 
@@ -816,7 +882,6 @@ def flatten_stage(xp, scene, layout, caps):
     beginx, beginy = _apply_transform(Ta, a_bx, a_by)
     al0x = xp.where(a_if == 0.0, beginx, al0x)
     al0y = xp.where(a_if == 0.0, beginy, al0y)
-    a_path = ops.gather_guarded(xp, path_idx, a_slot)
 
     # --- Combine into the line soup -------------------------------------
     # Each expansion already produces its family's lines densely at

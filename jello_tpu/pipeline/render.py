@@ -20,27 +20,6 @@ from . import flatten as flatten_mod
 from . import tiling
 
 
-DEFAULT_CAPS = dict(
-    n_tag_slots=1024,
-    max_iters=32,
-    euler_line_cap=1 << 14,
-    simple_line_cap=1 << 12,
-    arc_line_cap=1 << 12,
-    line_cap=1 << 15,
-    n_paths_cap=256,
-    n_draws_cap=256,
-    n_clips_cap=64,
-    info_cap=1 << 12,
-    tiles_cap=1 << 14,
-    seg_cap=1 << 16,
-    row_cap=1 << 14,
-    pair_cap=1 << 14,
-    tile_grid_cap=1 << 12,
-    blend_depth=8,
-    fine_seg_chunk=8,
-)
-
-
 LAYOUT_INT_FIELDS = (
     "path_tag_base",
     "path_data_base",
@@ -96,7 +75,7 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
     ramps:  f32[NR, W] gradient stop-table rows (pipeline/gradient.py).
     images: f32[NI, IH, IW, 4] image atlas (non-premultiplied linear)
         or None.
-    caps:   static capacity dict (see DEFAULT_CAPS).
+    caps:   static capacity dict (sole authority: renderer/estimate.py).
 
     Returns (fine_out [4, GRID, 256], flags dict of overflow booleans).
     """
