@@ -66,11 +66,40 @@ def f16_to_f32(xp, bits_u16):
 
 
 def decode_tag_stream(xp, scene, path_tag_base, n_slots):
-    """Per-byte tag values for slots [0, n_slots)."""
+    """Per-byte tag values for slots [0, n_slots).
+
+    The tag stream is contiguous, so under jax this is one
+    dynamic_slice + an elementwise byte unpack — no gather at all
+    (element gathers cost ~10 ns/row on the TPU fabric; a slice is
+    bandwidth-only)."""
+    if ops.is_jax(xp):
+        import jax
+
+        nw = n_slots // 4
+        # Tail pad keeps the slice in bounds for any base (OOB slots
+        # are masked by `active` in the callers).
+        ext = xp.concatenate([scene, xp.zeros(nw, dtype=scene.dtype)])
+        words = jax.lax.dynamic_slice(ext, (path_tag_base,), (nw,))
+        shifts = (xp.arange(4, dtype=xp.uint32) << 3)[None, :]
+        return ((words[:, None] >> shifts) & 0xFF).reshape(n_slots)
     word_idx = path_tag_base + (xp.arange(n_slots, dtype=xp.int32) >> 2)
     words = ops.gather_guarded(xp, scene, word_idx)
     shift = (xp.arange(n_slots, dtype=xp.uint32) & 3) << 3
     return (words >> shift) & 0xFF
+
+
+def shifted_scene_table(xp, scene):
+    """[Ws, 8] u32 row table: row w = scene[w : w+8].
+
+    Eight shifted copies (elementwise, bandwidth-only) turn every
+    "k words at a dynamic offset" decode — segment points, transforms,
+    styles — into ONE row gather each (cost ∝ rows, width ~free),
+    replacing 8/6/2 independent element gathers per slot
+    (ARCHITECTURE.md "row-table idiom")."""
+    pad = xp.zeros(8, dtype=scene.dtype)
+    ext = xp.concatenate([scene, pad])
+    W = scene.shape[0]
+    return xp.stack([ext[k : k + W] for k in range(8)], axis=1)
 
 
 def exclusive_monoids(xp, tags):
@@ -81,7 +110,7 @@ def exclusive_monoids(xp, tags):
     return out
 
 
-def _read_points(xp, scene, base_words, tag):
+def _read_points(xp, scene, base_words, tag, S8=None):
     """Read and normalize a path segment to cubic control points.
 
     Returns (p0x..p3y, seg_type) after cap-marker remapping and
@@ -91,13 +120,15 @@ def _read_points(xp, scene, base_words, tag):
     is_f32 = (tag & PATH_TAG_F32_BIT) != 0
     seg_type = (tag & PATH_TAG_SEG_TYPE_MASK).astype(xp.int32)
 
-    # One batched gather for all 8 candidate words per segment (the
-    # per-op cost of 8 separate element gathers dominates their size on
-    # TPU; see ARCHITECTURE.md "row-table idiom").
     N = base_words.shape[0]
-    offs = xp.arange(8, dtype=xp.int32)[:, None]
-    idx = (base_words[None, :].astype(xp.int32) + offs).reshape(-1)
-    W = ops.gather_guarded(xp, scene, idx).reshape(8, N)
+    if S8 is not None:
+        # One N-row gather of the shifted row table (cost ∝ N rows)
+        # instead of an 8N-element batched gather (cost ∝ 8N rows).
+        W = ops.gather_guarded(xp, S8, base_words).T
+    else:
+        offs = xp.arange(8, dtype=xp.int32)[:, None]
+        idx = (base_words[None, :].astype(xp.int32) + offs).reshape(-1)
+        W = ops.gather_guarded(xp, scene, idx).reshape(8, N)
 
     def rdf(off):
         return ops.bitcast_u32_f32(xp, W[off])
@@ -164,8 +195,11 @@ def _normalize_segment(xp, pts, seg_type, tag, is_stroke):
     return (p0x, p0y, o1x, o1y, o2x, o2y, o3x, o3y), seg_type, is_marker, is_open
 
 
-def _transform_read(xp, scene, transform_base, trans_idx):
+def _transform_read(xp, scene, transform_base, trans_idx, S8=None):
     base = transform_base + trans_idx.astype(xp.int32) * 6
+    if S8 is not None:
+        rows = ops.gather_guarded(xp, S8, base)
+        return [ops.bitcast_u32_f32(xp, rows[:, i]) for i in range(6)]
     t = [
         ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, base + i))
         for i in range(6)
@@ -641,15 +675,23 @@ def flatten_stage(xp, scene, layout, caps):
     path_idx = monoids["path_idx"].astype(xp.int32)
     seg_off = monoids["path_seg_offset"].astype(xp.int32)
 
-    style_flags = ops.gather_guarded(
-        xp, scene, layout["style_base"] + style_idx.astype(xp.int32)
-    )
-    linewidth = ops.bitcast_u32_f32(
-        xp,
-        ops.gather_guarded(
-            xp, scene, layout["style_base"] + style_idx.astype(xp.int32) + 1
-        ),
-    )
+    S8 = shifted_scene_table(xp, scene) if ops.is_jax(xp) else None
+    if S8 is not None:
+        srow = ops.gather_guarded(
+            xp, S8, layout["style_base"] + style_idx.astype(xp.int32)
+        )
+        style_flags = srow[:, 0]
+        linewidth = ops.bitcast_u32_f32(xp, srow[:, 1])
+    else:
+        style_flags = ops.gather_guarded(
+            xp, scene, layout["style_base"] + style_idx.astype(xp.int32)
+        )
+        linewidth = ops.bitcast_u32_f32(
+            xp,
+            ops.gather_guarded(
+                xp, scene, layout["style_base"] + style_idx.astype(xp.int32) + 1
+            ),
+        )
 
     # Per-path draw flags / transform index, written at path-marker slots
     # (flatten.go:675-683).
@@ -670,10 +712,10 @@ def flatten_stage(xp, scene, layout, caps):
 
     # Segment decode.
     base_words = layout["path_data_base"] + seg_off
-    raw = _read_points(xp, scene, base_words, tags)
+    raw = _read_points(xp, scene, base_words, tags, S8=S8)
     pts_raw, seg_type0 = raw[:8], raw[8]
     is_stroke = (style_flags & xp.uint32(FLAGS_STYLE_BIT)) != 0
-    T = _transform_read(xp, scene, layout["transform_base"], trans_idx)
+    T = _transform_read(xp, scene, layout["transform_base"], trans_idx, S8=S8)
     miter_limit = f16_to_f32(
         xp, (style_flags & MITER_LIMIT_MASK).astype(xp.uint32)
     )

@@ -63,7 +63,7 @@ def unpack_layout(xp, packed):
 
 
 def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
-                 with_stats=False):
+                 with_stats=False, stats_only=False):
     """Render one frame.
 
     scene:  uint32[*] packed scene buffer (padded to the size class).
@@ -164,6 +164,30 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
         "segs_overflow": counted["overflow"],
         "pairs_overflow": cmds["overflow"],
     }
+    # Actual-use counters (exact for this frame). Capacity-independent
+    # where the clamped expansion totals would bake pre-calibration fat
+    # into the calibrated class. Consumed two ways: fetched from the
+    # device once per scene shape (with_stats), or computed on the HOST
+    # under numpy before the first compile (stats_only — fine is the
+    # one stage whose host cost is prohibitive at scale and whose
+    # numbers capacity sizing doesn't need).
+    stats = {
+        "work_a": fl["n_work_a"],
+        "work_b": fl["n_work_b"],
+        "euler_lines": fl["e_real"],
+        "simple_lines": fl["s_total"],
+        "arc_lines": fl["a_total"],
+        "tiles": paths["n_tiles"],
+        "segs": counted["real_cross"],
+        "bd_rows": counted["real_bd_rows"],
+        "cross_lines": counted["real_cross_lines"],
+        "row_lines": counted["real_bd_lines"],
+        "area_rows": counted["n_rows"],
+        "pairs": cmds["pair_total"],
+        "max_cmds": cmds["max_cmds"],
+    }
+    if stats_only:
+        return None, flags, stats
     from ..profiler import named_scope as _ns
 
     with _ns("fine"):
@@ -178,25 +202,6 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
             )
             flags.update(fine_flags)
     if with_stats:
-        # Actual-use counters (exact for this frame) that the host
-        # fetches once per scene shape to shrink the capacity class —
-        # the inverse of the bump-failure grow protocol.
-        stats = {
-            "work_a": fl["n_work_a"],
-            "work_b": fl["n_work_b"],
-            # Capacity-independent actuals: the clamped expansion totals
-            # depend on the capacity they were measured under, which
-            # would bake pre-calibration fat into the calibrated class.
-            "euler_lines": fl["e_real"],
-            "simple_lines": fl["s_total"],
-            "arc_lines": fl["a_total"],
-            "tiles": paths["n_tiles"],
-            "segs": counted["real_cross"],
-            "bd_rows": counted["real_bd_rows"],
-            "area_rows": counted["n_rows"],
-            "pairs": cmds["pair_total"],
-            "max_cmds": cmds["max_cmds"],
-        }
         return fine_out, flags, stats
     return fine_out, flags
 

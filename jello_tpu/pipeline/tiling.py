@@ -301,18 +301,56 @@ def path_count(xp, lines, paths, caps):
     n_cross = xp.maximum((imax - imin).astype(xp.int32), 0)
     RC = caps["row_cap"]
 
+    compact_overflow = xp.zeros((), dtype=bool) if ops.is_jax(xp) else False
     if caps.get("_expand_pallas") and ops.is_jax(xp):
         # Pallas streaming expansion (tpu/expand_pallas.py): contiguous
         # chunked sweeps replace the scatter/cummax/row-gather
         # machinery of both expansions below.
+        #
+        # Compact to nonzero-count lines first. The streaming expansion
+        # clamps per-record counts to >= 1 (its window-span bound),
+        # which otherwise drags one dead output slot per *line-cap*
+        # slot through the sort, both backdrop scatters, the seg_start
+        # boundary scatters and the coverage stream — the dominant
+        # capacity inflation of the frame. After compaction every
+        # table row is genuinely nonzero, the clamp is skipped
+        # (assume_compact), and seg_cap/row_cap calibrate to real
+        # crossings/rows only.
         from ..tpu.expand_pallas import path_count_expansions
+
+        LCC = caps["cross_lines_cap"]
+        RLC = caps["row_lines_cap"]
+
+        def compact(counts, cap):
+            nz = counts > 0
+            pos = ops.exclusive_cumsum(xp, nz.astype(xp.int32))
+            n_nz = pos[-1] + nz[-1].astype(xp.int32)
+            idx = ops.scatter_set(
+                xp, xp.full(cap, L, dtype=xp.int32),
+                xp.where(nz, pos, cap), xp.arange(L, dtype=xp.int32))
+            return idx, n_nz
+
+        cidx, n_nz_c = compact(n_cross, LCC)
+        ridx, n_nz_r = compact(n_rows_per_line, RLC)
+        compact_overflow = (n_nz_c > LCC) | (n_nz_r > RLC)
+        # One packed row gather each; the count rides as the last
+        # column; tail rows (clamped gather of the last line) are
+        # forced to count 0, which assume_compact requires.
+        P22 = xp.concatenate([P, n_cross.astype(f32)[:, None]], axis=1)
+        Pc = ops.gather_guarded(xp, P22, cidx)
+        ncc = xp.where(xp.arange(LCC, dtype=xp.int32) < n_nz_c,
+                       Pc[:, 21].astype(xp.int32), 0)
+        PRT6 = xp.stack(
+            [ymin, tiles_base.astype(f32), bb1, stride.astype(f32),
+             delta.astype(f32), n_rows_per_line.astype(f32)], axis=1)
+        PRTc = ops.gather_guarded(xp, PRT6, ridx)
+        nrr = xp.where(xp.arange(RLC, dtype=xp.int32) < n_nz_r,
+                       PRTc[:, 5].astype(xp.int32), 0)
 
         tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta, \
             c_total, r_total = path_count_expansions(
-                xp, P,
-                xp.stack([ymin, tiles_base.astype(f32), bb1,
-                          stride.astype(f32), delta.astype(f32)], axis=1),
-                n_cross, n_rows_per_line, T, caps,
+                xp, Pc[:, :21], PRTc[:, :5], ncc, nrr, T, caps,
+                assume_compact=True,
             )
         backdrop = xp.zeros(T + 1, dtype=xp.int32)
         backdrop = ops.scatter_add(xp, backdrop, r_slot, r_delta)
@@ -439,7 +477,7 @@ def path_count(xp, lines, paths, caps):
     row_of_slot = ops.exclusive_cumsum(xp, has)
     n_rows = row_of_slot[-1] + has[-1]
 
-    overflow = (c_total > SC) | (r_total > RC)
+    overflow = (c_total > SC) | (r_total > RC) | compact_overflow
     return {
         "line_params": P,
         "sorted_slot": sorted_slot,
@@ -455,6 +493,9 @@ def path_count(xp, lines, paths, caps):
         # totals above include one slot per line-cap slot).
         "real_cross": xp.sum(n_cross),
         "real_bd_rows": xp.sum(n_rows_per_line),
+        # Nonzero-count line totals sizing the compaction caps.
+        "real_cross_lines": xp.sum((n_cross > 0).astype(xp.int32)),
+        "real_bd_lines": xp.sum((n_rows_per_line > 0).astype(xp.int32)),
         "overflow": overflow,
     }
 

@@ -279,6 +279,16 @@ def _apply_expand_floors(caps: dict) -> None:
     )
     caps["seg_cap"] = _bucket(caps["line_cap"] + caps["seg_cap"], 1, 8192)
     caps["row_cap"] = _bucket(caps["line_cap"] + caps["row_cap"], 1, 8192)
+    # Nonzero-count line compaction caps (tiling.py path_count): at
+    # most every line produces crossings/rows, so line_cap is the
+    # pre-calibration bound; the measured frame shrinks these to the
+    # actual nonzero-line counts.
+    caps["cross_lines_cap"] = max(
+        _bucket(caps["line_cap"], 1024), caps.get("cross_lines_cap", 0)
+    )
+    caps["row_lines_cap"] = max(
+        _bucket(caps["line_cap"], 1024), caps.get("row_lines_cap", 0)
+    )
 
 
 def calibrate_caps(caps: dict, stats: dict, margin: float = 1.15) -> dict:
@@ -313,8 +323,13 @@ def calibrate_caps(caps: dict, stats: dict, margin: float = 1.15) -> dict:
         out["euler_line_cap"] + out["simple_line_cap"] + out["arc_line_cap"]
     )
     out["tiles_cap"] = _bucket(m(stats["tiles"]), 1 << 12)
-    out["seg_cap"] = _bucket(m(stats["segs"]) + out["line_cap"], 1 << 13)
-    out["row_cap"] = _bucket(m(stats["bd_rows"]) + out["line_cap"], 1 << 12)
+    # With the nonzero-line compaction (tiling.py) the streaming
+    # expansions no longer carry a clamped slot per line, so the
+    # seg/row capacities size to real crossings/rows only.
+    out["seg_cap"] = _bucket(m(stats["segs"]), 1 << 13)
+    out["row_cap"] = _bucket(m(stats["bd_rows"]), 1 << 12)
+    out["cross_lines_cap"] = _bucket(m(stats["cross_lines"]), 1024)
+    out["row_lines_cap"] = _bucket(m(stats["row_lines"]), 1024)
     out["area_rows_cap"] = _bucket(m(stats["area_rows"]), 1 << 12)
     out["pair_cap"] = _bucket(m(stats["pairs"]), 1 << 12)
     out["cmds_per_tile"] = max(_pow2(m(stats["max_cmds"]), 16), 16)
@@ -337,7 +352,7 @@ def caps_shrank(new: dict, old: dict, threshold: float = 0.87) -> bool:
 GROW_ON_FLAG = {
     "flatten_overflow": ("euler_line_cap", "simple_line_cap", "arc_line_cap", "line_cap", "max_iters"),
     "tiles_overflow": ("tiles_cap",),
-    "segs_overflow": ("seg_cap", "row_cap"),
+    "segs_overflow": ("seg_cap", "row_cap", "cross_lines_cap", "row_lines_cap"),
     "pairs_overflow": ("pair_cap",),
     "blend_depth_overflow": ("blend_depth",),
     "cmd_slab_overflow": ("cmds_per_tile",),

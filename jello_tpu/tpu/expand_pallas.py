@@ -52,17 +52,26 @@ _WIN_PAD = 16
 COL_INCL = 0  # relative to the end: win[:, Wt], win[:, Wt+1]
 
 
-def build_expand_table(xp, cols, counts, out_cap, chunk=EXPAND_CHUNK):
+def build_expand_table(xp, cols, counts, out_cap, chunk=EXPAND_CHUNK,
+                       assume_compact=False):
     """XLA-side preparation for expand_call.
 
     cols: list of [R] f32 arrays (parameter columns; values must be
         exactly representable in f32 — integers < 2^24).
     counts: [R] i32 outputs per record (>= 0).
+    assume_compact: the caller guarantees counts > 0 for a prefix of
+        rows and == 0 for the rest (records pre-compacted to nonzero
+        counts). Skips the >= 1 clamp, so total1 == sum(counts) exactly
+        and the output stream carries no dead slots. The window-span
+        bound still holds: every row that owns any output owns >= 1,
+        and the zero tail owns nothing (outputs past the total resolve
+        to pad rows and come back invalid).
     Returns (table [Rp, 128] f32, win_start [n_chunks] i32,
-             total1, n_chunks) where total1 counts clamped (>=1) slots.
+             total1, n_chunks) where total1 counts clamped (>=1) slots
+    (== real outputs under assume_compact).
     """
     R = counts.shape[0]
-    counts1 = xp.maximum(counts, 1)
+    counts1 = counts if assume_compact else xp.maximum(counts, 1)
     incl = xp.cumsum(counts1.astype(xp.int64) if not _is_jax(xp) else counts1)
     total1 = incl[R - 1]
     n_chunks = out_cap // chunk
@@ -335,21 +344,27 @@ def flatten_euler_expansion(xp, table21, rec_t0, rec_t1, rec_n, counts,
             out[4].astype(xp.int32), out[5] > 0.0, e_total)
 
 
-def path_count_expansions(xp, P, PRT, n_cross, n_rows, T, caps):
+def path_count_expansions(xp, P, PRT, n_cross, n_rows, T, caps,
+                          assume_compact=False):
     """Run both path_count expansions as Pallas streaming sweeps.
 
     P:   [L, 21] f32 per-line DDA/clip parameter table (tiling.py).
     PRT: [L, 5] f32 per-line backdrop-row parameters.
+    assume_compact: rows of P / PRT are pre-compacted to nonzero counts
+        (tiling.py), so the >=1 window clamp is skipped and the output
+        streams carry no one-dead-slot-per-line inflation.
     Returns (tile_slot i32[SC], seg_pre dict of f32[SC], bump_slot
     i32[SC], bump_delta i32[SC], r_slot i32[RC], r_delta i32[RC],
-    c_total, r_total) where the totals count clamped (>=1) slots.
+    c_total, r_total) where the totals count clamped (>=1) slots
+    (exact totals under assume_compact).
     """
     SC = caps["seg_cap"]
     RC = caps["row_cap"]
     interpret = bool(caps.get("_expand_interpret", False))
 
     cols = [P[:, k] for k in range(P.shape[1])]
-    tab, ws, c_total, n_chunks = build_expand_table(xp, cols, n_cross, SC)
+    tab, ws, c_total, n_chunks = build_expand_table(
+        xp, cols, n_cross, SC, assume_compact=assume_compact)
     call = make_expand_call(len(cols), 8, n_chunks,
                             _crossing_compute(T), interpret=interpret)
     out = call(ws, tab)
@@ -363,7 +378,8 @@ def path_count_expansions(xp, P, PRT, n_cross, n_rows, T, caps):
     bump_delta = out[7].astype(xp.int32)
 
     rcols = [PRT[:, k] for k in range(PRT.shape[1])]
-    rtab, rws, r_total, rn_chunks = build_expand_table(xp, rcols, n_rows, RC)
+    rtab, rws, r_total, rn_chunks = build_expand_table(
+        xp, rcols, n_rows, RC, assume_compact=assume_compact)
     rcall = make_expand_call(len(rcols), 2, rn_chunks,
                              _row_compute(T), interpret=interpret)
     rout = rcall(rws, rtab)

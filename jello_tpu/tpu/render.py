@@ -186,6 +186,21 @@ class Renderer:
                     scene_u32, layout, params.width, params.height, self._caps
                 )
                 self._est_key = est_key
+                # Host-side calibration: run the numpy pipeline (minus
+                # fine) once to measure the exact per-frame counters,
+                # and compile ONLY the calibrated class. The previous
+                # protocol compiled the fat estimate class first just to
+                # fetch these stats from the device — two multi-minute
+                # server-side compiles per scene shape instead of one
+                # (round-2 warmup was 529 s; see BASELINE.md).
+                import time as _t
+
+                _h0 = _t.perf_counter()
+                self._caps = self._host_calibrate(
+                    scene_padded, ld_np, dict(self._caps),
+                    params.antialiasing_method.value)
+                self._calib_key = est_key
+                self.host_calib_s = _t.perf_counter() - _h0
             if rkey is not None:
                 # Hold a reference to the scene so id() stays unique.
                 self._resolve_cache = (rkey, scene, layout, ld_np, est_key,
@@ -295,6 +310,32 @@ class Renderer:
                 f"{[k for k, v in flags.items() if v]}"
             )
         return fine_out, ld_np
+
+    def _host_calibrate(self, scene_padded, ld_np, caps, aa_mode):
+        """Exact capacity calibration on the host: one numpy pass of the
+        geometry pipeline (render_frame stats_only — everything but
+        fine) at the estimate class, then calibrate_caps. The numpy
+        pipeline is the oracle, so the counters are the same ones the
+        device would report, minus a few transcendental-rounding flips
+        that the calibration margin absorbs."""
+        from ..pipeline.gradient import stops_table_or_empty  # noqa: F401
+        from ..renderer.estimate import calibrate_caps
+
+        caps = dict(caps)
+        caps["aa_mode"] = aa_mode
+        empty_ramps = np.zeros((1, 11), dtype=np.float32)
+        with np.errstate(all="ignore"):
+            for _ in range(4):
+                _, flags, stats = render_mod.render_frame(
+                    np, scene_padded, ld_np, empty_ramps, None, caps,
+                    stats_only=True,
+                )
+                if not any(bool(v) for v in flags.values()):
+                    break
+                caps = grow_caps(caps, flags)
+        out = calibrate_caps(caps, {k: int(v) for k, v in stats.items()})
+        out.pop("aa_mode", None)
+        return out
 
     def _cached_upload(self, kind, arr):
         import jax.numpy as jnp
