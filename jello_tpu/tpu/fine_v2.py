@@ -491,11 +491,13 @@ def assemble_compact(np_mod, compact, tile2rank, ld):
     hit = int(ld["height_in_tiles"])
     W = int(ld["target_width"])
     H = int(ld["target_height"])
-    base = np_mod.asarray(ld["base_color"], dtype=np_mod.float32)
-    # un-premultiplied base (compact rows are un-premultiplied)
+    # un-premultiplied base (compact rows are un-premultiplied) — host
+    # math on the concrete base color, so this traces as a constant
+    # under jit (device-side present path, tpu/render.py).
+    base = np.asarray(ld["base_color"], dtype=np.float32)
     ba = max(float(base[3]), 1e-6)
-    base_un = np_mod.array([base[0] / ba, base[1] / ba, base[2] / ba, base[3]],
-                           dtype=np_mod.float32)
+    base_un = np.array([base[0] / ba, base[1] / ba, base[2] / ba, base[3]],
+                       dtype=np.float32)
     rank = np_mod.asarray(tile2rank)[: wit * hit]
     compact = np_mod.asarray(compact)
     rows = compact[np_mod.clip(rank, 0, compact.shape[0] - 1)]  # [T,4,256]

@@ -130,6 +130,80 @@ class Renderer:
             img = assemble_image(np, np.asarray(fine_out), ld)
         return np.asarray(img)
 
+    def render_surface(self, scene, params: RenderParams,
+                       premul: bool = True, srgb: bool = True,
+                       max_retries: int = 4):
+        """Render to displayable uint8 [H, W, 4] surface pixels.
+
+        The whole present path — compact-tile assembly, premultiply,
+        sRGB OETF, u8 quantization — runs ON DEVICE (the reference's
+        blit render pass, engine/wgpu_engine/lib.go:109-198), so the
+        host receives one u8 buffer (4x smaller than the f32 image and
+        zero host-side per-pixel work)."""
+        fine_out, ld = self.render_device(scene, params, max_retries)
+        present = self._get_present(ld, premul, srgb,
+                                    isinstance(fine_out, tuple))
+        if isinstance(fine_out, tuple):
+            u8 = present(fine_out[0], fine_out[1])
+        else:
+            u8 = present(fine_out)
+        return np.asarray(u8)
+
+    def _get_present(self, ld, premul, srgb, compact_kind):
+        """Cached jit of the device-side blit (assembly + premultiply +
+        sRGB + u8). Keyed per output geometry."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("present", int(ld["width_in_tiles"]),
+               int(ld["height_in_tiles"]), int(ld["target_width"]),
+               int(ld["target_height"]), tuple(np.asarray(ld["base_color"])),
+               premul, srgb, compact_kind)
+        cache = getattr(self, "_present_cache", None)
+        if cache is None:
+            cache = self._present_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+        ld_const = {
+            k: (np.asarray(v) if k == "base_color" else int(v))
+            for k, v in ld.items()
+        }
+
+        def to_u8(img):
+            out = img
+            if premul:
+                out = jnp.concatenate(
+                    [out[..., :3] * out[..., 3:4], out[..., 3:4]], axis=-1
+                )
+            rgb = jnp.clip(out[..., :3], 0.0, 1.0)
+            if srgb:
+                rgb = jnp.where(
+                    rgb <= 0.0031308,
+                    rgb * 12.92,
+                    1.055 * jnp.exp(jnp.log(jnp.maximum(rgb, 1e-12)) / 2.4)
+                    - 0.055,
+                )
+            a = jnp.clip(out[..., 3:4], 0.0, 1.0)
+            return (
+                jnp.concatenate([rgb, a], axis=-1) * 255.0 + 0.5
+            ).astype(jnp.uint8)
+
+        if compact_kind:
+            from .fine_v2 import assemble_compact
+
+            fn = jax.jit(
+                lambda compact, t2r: to_u8(
+                    assemble_compact(jnp, compact, t2r, ld_const)
+                )
+            )
+        else:
+            fn = jax.jit(lambda fine_out: to_u8(
+                assemble_image(jnp, fine_out, ld_const)
+            ))
+        cache[key] = fn
+        return fn
+
     def render_device(self, scene, params: RenderParams, max_retries: int = 4,
                       check_flags: bool = True):
         """Render and return the device-resident fine output

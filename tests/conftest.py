@@ -12,6 +12,17 @@ import os
 if not os.environ.get("JELLO_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    # The env vars alone are NOT enough: the axon sitecustomize
+    # (/root/.axon_site) registers the tunneled-TPU plugin at
+    # interpreter startup and force-sets jax_platforms='axon,cpu',
+    # which routes every jax op in the suite through the TPU tunnel
+    # (and hangs the whole suite whenever the tunnel is busy
+    # compiling). Overriding the *config state* wins over the
+    # sitecustomize default and keeps the axon factory from ever
+    # initializing a client.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
