@@ -342,6 +342,14 @@ class Renderer:
             flags = {k: bool(v) for k, v in zip(fkeys, vals[: len(fkeys)])}
             stats = {k: int(v) for k, v in zip(skeys, vals[len(fkeys):])}
             self.last_flags = flags
+            # Raised-flag history across the retry loop (warmup
+            # forensics: every raised flag here costs a recompile).
+            if any(flags.values()):
+                if not hasattr(self, "flags_history"):
+                    self.flags_history = []
+                self.flags_history.append(
+                    [k for k, v in flags.items() if v]
+                )
             if flags.get("image_region_overflow"):
                 # An image draw minifies beyond the fine kernel's
                 # region window; the frame renders through the XLA

@@ -58,6 +58,9 @@ def main():
     # profile with exactly the caps production uses.
     r = Renderer()
     out, _ = r.render_device(scene, params)
+    if getattr(r, "flags_history", None):
+        print("flag history during settle:", r.flags_history, flush=True)
+    print("settle compiles:", [round(s,1) for _, s in r.compile_log], flush=True)
     caps = dict(r._caps)
     if r.use_pallas:
         caps["_expand_pallas"] = True
