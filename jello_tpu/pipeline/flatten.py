@@ -244,8 +244,11 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
     are contiguous and in emission order, which the expansion relies on
     for watertight line chaining.
 
-    Returns (rec_t0, rec_t1, rec_n [IT, N] f32, overflowed bool) where
-    IT == max_iters.
+    Returns (rec_t0, rec_t1, rec_n [IT, N] f32, overflowed bool,
+    iters_used i32) where IT == max_iters and iters_used is the number
+    of loop iterations actually executed (the host-calibration input
+    for shrinking max_iters — the lockstep Pallas kernel and the euler
+    expansion's record scan are both unrolled proportionally to it).
     """
     N = P[0].shape[0]
     IT = max_iters
@@ -336,7 +339,7 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
     done = state[7]
     rec_t0, rec_t1, rec_n = ops.barrier(xp, state[9], state[10], state[11])
     overflow = ~xp.all(done)
-    return rec_t0, rec_t1, rec_n, overflow
+    return rec_t0, rec_t1, rec_n, overflow, state[8]
 
 
 def expand_by_counts(xp, counts, out_cap, total=None):
@@ -764,6 +767,7 @@ def flatten_stage(xp, scene, layout, caps):
             xp, PB_w, rowsB[:, 8], rowsB[:, 9], wlb_valid, IT, IT
         )
         overflow_euler = rec_a[3] | rec_b[3] | (na > NWA) | (nb > NWB)
+        lockstep_iters = xp.maximum(rec_a[4], rec_b[4])
 
     # =====================================================================
     # Expansions
@@ -783,6 +787,9 @@ def flatten_stage(xp, scene, layout, caps):
             xp, table, wvalid, IT, EC, n_paths_cap, caps
         )
         overflow_euler = ovf_ls | (na > NWA) | (nb > NWB)
+        # The kernel always runs its IT unrolled iterations; the true
+        # requirement is host-measured (numpy path) during calibration.
+        lockstep_iters = xp.int32(IT)
     elif caps.get("_expand_pallas") and ops.is_jax(xp) and IT <= 32:
         # Streaming Pallas expansion: the per-work records ride the
         # table as 3*IT columns; ownership + chaining resolve in-kernel
@@ -1011,6 +1018,7 @@ def flatten_stage(xp, scene, layout, caps):
         "e_real": e_real,
         "s_total": s_total,
         "a_total": a_total,
+        "lockstep_iters": lockstep_iters,
         "path_bbox": path_bbox,
         "path_draw_flags": path_draw_flags,
         "path_trans_idx": path_trans_idx,

@@ -81,6 +81,10 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
     """
     from ..profiler import named_scope
 
+    if stats_only:
+        # Counting-only host pass (tpu/render._host_calibrate): stages
+        # skip payload work that the capacity counters don't need.
+        caps = dict(caps, _stats_only=True)
     with named_scope("flatten"):
         fl = flatten_mod.flatten_stage(xp, scene, layout, caps)
 
@@ -185,6 +189,7 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
         "area_rows": counted["n_rows"],
         "pairs": cmds["pair_total"],
         "max_cmds": cmds["max_cmds"],
+        "lockstep_iters": fl["lockstep_iters"],
     }
     if stats_only:
         return None, flags, stats

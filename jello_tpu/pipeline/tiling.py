@@ -301,6 +301,12 @@ def path_count(xp, lines, paths, caps):
     n_cross = xp.maximum((imax - imin).astype(xp.int32), 0)
     RC = caps["row_cap"]
 
+    if caps.get("_stats_only") and not ops.is_jax(xp):
+        return _path_count_stats(
+            xp, P, n_cross, n_rows_per_line, ymin, tiles_base, bb1, stride,
+            delta, paths, caps,
+        )
+
     compact_overflow = xp.zeros((), dtype=bool) if ops.is_jax(xp) else False
     if caps.get("_expand_pallas") and ops.is_jax(xp):
         # Pallas streaming expansion (tpu/expand_pallas.py): contiguous
@@ -497,6 +503,85 @@ def path_count(xp, lines, paths, caps):
         "real_cross_lines": xp.sum((n_cross > 0).astype(xp.int32)),
         "real_bd_lines": xp.sum((n_rows_per_line > 0).astype(xp.int32)),
         "overflow": overflow,
+    }
+
+
+def _path_count_stats(xp, P, n_cross, n_rows_per_line, ymin, tiles_base,
+                      bb1, stride, delta, paths, caps):
+    """Counting-only path_count for the HOST calibration pass (numpy).
+
+    Capacity sizing needs the per-frame counters and the per-tile
+    seg_count/backdrop (coarse's include decisions), but not segment
+    payloads, the slot sort, or the tile clipping — at calibration-time
+    capacities those dominate the numpy pass (~100 s of a 280 s host
+    calibration on the config5 profile). The crossing expansion here
+    carries only the 13 tile-slot/bump columns and per-tile counts come
+    from one bincount instead of sort + boundary scatters."""
+    import numpy as np
+
+    T = caps["tiles_cap"]
+    SC = caps["seg_cap"]
+    RC = caps["row_cap"]
+    f32 = xp.float32
+
+    # Crossings: tile_slot + top-edge bump only (P cols 0..12).
+    c_rec, c_within, c_valid, _, c_total = _expand(xp, n_cross, SC)
+    PC = P[:, :13][c_rec]
+    ci = PC[:, 0] + c_within.astype(f32)
+    ca, cb, csign = PC[:, 1], PC[:, 2], PC[:, 3]
+    z = xp.floor(ca * ci + cb)
+    cy = (PC[:, 4] + ci - z).astype(xp.int32)
+    cx = (PC[:, 5] + csign * z).astype(xp.int32)
+    cbb0 = PC[:, 6].astype(xp.int32)
+    cbb2 = PC[:, 8].astype(xp.int32)
+    cstride = PC[:, 9].astype(xp.int32)
+    cbase = PC[:, 10].astype(xp.int32) + (cy - PC[:, 7].astype(xp.int32)) * cstride - cbb0
+    tile_slot = xp.where(c_valid, cbase + cx, T)
+    last_z = xp.floor(ca * (ci - 1.0) + cb)
+    top_edge = xp.where(ci == 0.0, PC[:, 4] == PC[:, 11], last_z == z)
+    bump_ok = top_edge & (cx + 1 < cbb2) & c_valid
+    bump_slot = xp.where(bump_ok, cbase + xp.maximum(cx + 1, cbb0), T)
+
+    backdrop = np.zeros(T + 1, dtype=np.int64)
+    np.add.at(backdrop, bump_slot, xp.where(bump_ok, PC[:, 12], 0.0).astype(np.int64))
+
+    # Backdrop row deltas.
+    r_rec, r_within, r_valid, _, r_total = _expand(xp, n_rows_per_line, RC)
+    r_y = ymin[r_rec].astype(xp.int32) + r_within
+    r_slot = tiles_base[r_rec] + (r_y - bb1[r_rec].astype(xp.int32)) * stride[r_rec]
+    r_slot = xp.where(r_valid, r_slot, T)
+    np.add.at(backdrop, r_slot, xp.where(r_valid, delta[r_rec], 0).astype(np.int64))
+
+    seg_count = np.bincount(
+        np.minimum(tile_slot, T), minlength=T + 1
+    )[:T].astype(xp.int32)
+
+    bd = backdrop[:T].astype(xp.int32)
+    cume = ops.exclusive_cumsum(xp, bd)
+    row_start = paths["tile_row_start"]
+    bd_prefix = cume - cume[np.clip(row_start, 0, T - 1)] + bd
+
+    has = (seg_count > 0).astype(xp.int32)
+    row_of_slot = ops.exclusive_cumsum(xp, has)
+    n_rows = row_of_slot[-1] + has[-1]
+    zeros = xp.zeros(SC, dtype=f32)
+    return {
+        "line_params": P,
+        "sorted_slot": xp.full(SC, T, dtype=xp.int32),
+        "segs": {k: zeros for k in
+                 ("seg_x0", "seg_y0", "seg_x1", "seg_y1", "seg_y_edge")},
+        "seg_start": xp.zeros(T, dtype=xp.int32),
+        "seg_count": seg_count,
+        "backdrop": bd_prefix,
+        "row_of_slot": row_of_slot,
+        "n_rows": n_rows,
+        "n_segs": c_total,
+        "r_total": r_total,
+        "real_cross": xp.sum(n_cross),
+        "real_bd_rows": xp.sum(n_rows_per_line),
+        "real_cross_lines": xp.sum((n_cross > 0).astype(xp.int32)),
+        "real_bd_lines": xp.sum((n_rows_per_line > 0).astype(xp.int32)),
+        "overflow": (c_total > SC) | (r_total > RC),
     }
 
 

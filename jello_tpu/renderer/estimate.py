@@ -81,7 +81,8 @@ def estimate_caps(layout, width: int, height: int, base=None) -> dict:
     return caps
 
 
-def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=None):
+def estimate_caps_from_scene(scene_u32, layout, width: int, height: int,
+                             base=None, floors: bool = True):
     """Wang-formula capacity estimation from the resolved scene
     (reference: renderer/estimate.go — which the reference computes but
     never wires into buffer sizing; here it actually sizes the class).
@@ -260,7 +261,13 @@ def estimate_caps_from_scene(scene_u32, layout, width: int, height: int, base=No
     )
     if base:
         caps["line_cap"] = max(caps["line_cap"], base.get("line_cap", 0))
-    _apply_expand_floors(caps)
+    if floors:
+        # Device (Pallas) classes need the >=1-clamp slack floors.
+        # floors=False serves the HOST calibration pass: the numpy
+        # expansions don't clamp, and every gather/expansion there
+        # costs proportionally to its capacity (the fat floors made
+        # host calibration itself a multi-minute warmup item).
+        _apply_expand_floors(caps)
     return caps
 
 
@@ -333,6 +340,17 @@ def calibrate_caps(caps: dict, stats: dict, margin: float = 1.15) -> dict:
     out["area_rows_cap"] = _bucket(m(stats["area_rows"]), 1 << 12)
     out["pair_cap"] = _bucket(m(stats["pairs"]), 1 << 12)
     out["cmds_per_tile"] = max(_pow2(m(stats["max_cmds"]), 16), 16)
+    # The lockstep walk kernel and the euler expansion's record scan
+    # are unrolled proportionally to max_iters; size it to the measured
+    # iteration requirement (host-calibration numpy pass reports the
+    # true count; the Pallas path reports its static IT, in which case
+    # this is a no-op). Aligned to 4 to bound compiled-class churn;
+    # depth growth on animated scenes re-enters via flatten_overflow.
+    it_need = int(stats.get("lockstep_iters", caps["max_iters"]))
+    if it_need < caps["max_iters"]:
+        out["max_iters"] = min(
+            caps["max_iters"], max(8, -(-int(it_need * 1.25) // 4) * 4)
+        )
     return out
 
 

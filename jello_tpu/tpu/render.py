@@ -270,8 +270,16 @@ class Renderer:
                 import time as _t
 
                 _h0 = _t.perf_counter()
+                # The host pass runs at UN-floored caps (numpy
+                # expansions don't clamp counts to >= 1, and every
+                # numpy gather/expansion costs proportionally to its
+                # capacity); calibrate_caps then emits the device class
+                # with the Pallas clamp slack re-applied.
+                host_caps = estimate_caps_from_scene(
+                    scene_u32, layout, params.width, params.height,
+                    None, floors=False)
                 self._caps = self._host_calibrate(
-                    scene_padded, ld_np, dict(self._caps),
+                    scene_padded, ld_np, host_caps,
                     params.antialiasing_method.value)
                 self._calib_key = est_key
                 self.host_calib_s = _t.perf_counter() - _h0
