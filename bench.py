@@ -151,8 +151,10 @@ def bench_one(scene, params, iters, label=""):
         "mpx_per_s": round(mpx / (ms / 1000.0), 1),
         "blocking_ms": round(blocking_ms, 1),
         "warmup_s": round(warm, 1),
+        "host_calib_s": round(getattr(r, "host_calib_s", 0.0), 1),
         "n_compiles": len(r.compile_log),
         "compile_s": [round(s, 1) for _, s in r.compile_log],
+        "retry_flags": getattr(r, "flags_history", []),
         "flags": {k: bool(v) for k, v in r.last_flags.items() if v},
     }
 

@@ -366,9 +366,16 @@ def expand_by_counts(xp, counts, out_cap, total=None):
         marks = marks.at[tgt].max(r_ids, mode="drop")
         rec_c = ops.cummax(xp, marks)
     else:
-        j = xp.arange(out_cap, dtype=xp.int32)
-        rec = ops.searchsorted_right(xp, incl, j).astype(xp.int32)
-        rec_c = xp.minimum(rec, counts.shape[0] - 1)
+        # O(total) repeat, padded with the last record id — C-speed vs
+        # the O(cap log R) searchsorted formulation (the host
+        # calibration pass is expansion-bound).
+        m = int(min(int(total), out_cap))
+        rec_c = xp.full(out_cap, max(counts.shape[0] - 1, 0), dtype=xp.int32)
+        rec_full = xp.repeat(
+            xp.arange(counts.shape[0], dtype=xp.int32),
+            xp.maximum(counts, 0),
+        )
+        rec_c[:m] = rec_full[:m]
     j = xp.arange(out_cap, dtype=xp.int32)
     within = j - excl[rec_c]
     valid = j < total
@@ -668,6 +675,15 @@ def flatten_stage(xp, scene, layout, caps):
     f32 = xp.float32
     N = caps["n_tag_slots"]
     IT = caps["max_iters"]
+    # Host calibration (numpy stats pass): size every expansion to its
+    # exact total instead of the Wang-estimate cap — numpy work costs
+    # proportionally to capacity, and the counters are what matters.
+    exact = bool(caps.get("_stats_only")) and not ops.is_jax(xp)
+
+    def _cap(counts, cap):
+        if not exact:
+            return cap
+        return max(int(counts.astype(xp.int64).sum()), 1)
 
     tags = decode_tag_stream(xp, scene, layout["path_tag_base"], N)
     monoids = exclusive_monoids(xp, tags)
@@ -738,8 +754,13 @@ def flatten_stage(xp, scene, layout, caps):
     # (pass B - strokes only) wastes most of the VPU.
     NWA = caps["work_a_cap"]
     NWB = caps["work_b_cap"]
-    wl_a, _, wla_valid, _, na = expand_by_counts(xp, act_a.astype(xp.int32), NWA)
-    wl_b, _, wlb_valid, _, nb = expand_by_counts(xp, act_b.astype(xp.int32), NWB)
+    act_a32 = act_a.astype(xp.int32)
+    act_b32 = act_b.astype(xp.int32)
+    wl_a, _, wla_valid, _, na = expand_by_counts(xp, act_a32, _cap(act_a32, NWA))
+    wl_b, _, wlb_valid, _, nb = expand_by_counts(xp, act_b32, _cap(act_b32, NWB))
+    # Effective worklist lengths (== caps except in the exact stats pass).
+    LA = wl_a.shape[0]
+    LB = wl_b.shape[0]
 
     # One packed [N, 21] table per pass + one row gather each replaces
     # ~21 independent element gathers per pass (gathers cost per row,
@@ -766,7 +787,9 @@ def flatten_stage(xp, scene, layout, caps):
         rec_b = lockstep_euler_pass(
             xp, PB_w, rowsB[:, 8], rowsB[:, 9], wlb_valid, IT, IT
         )
-        overflow_euler = rec_a[3] | rec_b[3] | (na > NWA) | (nb > NWB)
+        overflow_euler = rec_a[3] | rec_b[3]
+        if not exact:
+            overflow_euler = overflow_euler | (na > NWA) | (nb > NWB)
         lockstep_iters = xp.maximum(rec_a[4], rec_b[4])
 
     # =====================================================================
@@ -818,11 +841,11 @@ def flatten_stage(xp, scene, layout, caps):
         recs_t0 = xp.concatenate([slot_major(rec_a[0]), slot_major(rec_b[0])])
         recs_t1 = xp.concatenate([slot_major(rec_a[1]), slot_major(rec_b[1])])
         rec_idx, within, e_valid, excl, e_total = expand_by_counts(
-            xp, recs_n, EC
+            xp, recs_n, _cap(recs_n, EC)
         )
-        e_pass = (rec_idx >= NWA * IT).astype(xp.int32)
-        e_work = xp.where(e_pass == 0, rec_idx // IT, (rec_idx - NWA * IT) // IT)
-        work_global = xp.where(e_pass == 0, e_work, NWA + e_work)
+        e_pass = (rec_idx >= LA * IT).astype(xp.int32)
+        e_work = xp.where(e_pass == 0, rec_idx // IT, (rec_idx - LA * IT) // IT)
+        work_global = xp.where(e_pass == 0, e_work, LA + e_work)
 
         row = ops.gather_guarded(xp, table, work_global)
         P8l = tuple(row[:, i] for i in range(8))
@@ -853,12 +876,12 @@ def flatten_stage(xp, scene, layout, caps):
         # lp0 chaining: previous line's end within the same work-item
         # group (groups are contiguous in the flattened record order).
         group_first_rec = xp.where(
-            e_pass == 0, e_work * IT, NWA * IT + e_work * IT
+            e_pass == 0, e_work * IT, LA * IT + e_work * IT
         )
         group_start_line = ops.gather_guarded(xp, recs_pack, group_first_rec)[
             :, 3
         ].astype(xp.int32)
-        j = xp.arange(EC, dtype=xp.int32)
+        j = xp.arange(lp1x.shape[0], dtype=xp.int32)
         is_first = j == group_start_line
         prev1x = xp.concatenate([lp1x[:1] * 0, lp1x[:-1]])
         prev1y = xp.concatenate([lp1y[:1] * 0, lp1y[:-1]])
@@ -886,7 +909,9 @@ def flatten_stage(xp, scene, layout, caps):
         + [xp.concatenate([fpath, fpath, fpath])],
         axis=1,
     )  # [3N, 5]
-    s_rec, _, s_valid, _, s_total = expand_by_counts(xp, s_counts, SC)
+    s_rec, _, s_valid, _, s_total = expand_by_counts(
+        xp, s_counts, _cap(s_counts, SC)
+    )
     srow = ops.gather_guarded(xp, stab, s_rec)
     sl_x0, sl_y0, sl_x1, sl_y1 = (srow[:, 0], srow[:, 1], srow[:, 2],
                                   srow[:, 3])
@@ -896,7 +921,9 @@ def flatten_stage(xp, scene, layout, caps):
     # gathers).
     AC = caps["arc_line_cap"]
     arc_n = g["arc_n"]
-    a_rec, a_i, a_valid, a_excl, a_total = expand_by_counts(xp, arc_n, AC)
+    a_rec, a_i, a_valid, a_excl, a_total = expand_by_counts(
+        xp, arc_n, _cap(arc_n, AC)
+    )
     atab = xp.stack(
         [g["arc_bx"], g["arc_by"], g["arc_ex"], g["arc_ey"],
          g["arc_cx"], g["arc_cy"], g["arc_theta"], arc_n]
@@ -943,7 +970,8 @@ def flatten_stage(xp, scene, layout, caps):
 
     def family(vals_e, vals_s, vals_a, fill=f32(0.0)):
         out = xp.concatenate([vals_e, vals_s, vals_a])
-        pad = LC - (EC + SC + AC)
+        pad = (0 if exact
+               else LC - (e_x0.shape[0] + sl_x0.shape[0] + al0x.shape[0]))
         if pad > 0:
             out = xp.concatenate([out, xp.full(pad, fill, dtype=out.dtype)])
         return out
@@ -995,13 +1023,15 @@ def flatten_stage(xp, scene, layout, caps):
         axis=1,
     )
 
-    overflow = (
-        overflow_euler
-        | (e_total > EC)
-        | (s_total > SC)
-        | (a_total > AC)
-        | ((e_total + s_total + a_total) > LC)
-    )
+    overflow = overflow_euler
+    if not exact:
+        overflow = (
+            overflow
+            | (e_total > EC)
+            | (s_total > SC)
+            | (a_total > AC)
+            | ((e_total + s_total + a_total) > LC)
+        )
 
     return {
         "line_x0": lx0,

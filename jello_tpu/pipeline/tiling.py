@@ -524,8 +524,13 @@ def _path_count_stats(xp, P, n_cross, n_rows_per_line, ymin, tiles_base,
     RC = caps["row_cap"]
     f32 = xp.float32
 
+    # Exact expansion sizes: the numpy pass costs proportionally to
+    # capacity and the counters are exact either way.
+    sc_e = max(int(n_cross.astype(xp.int64).sum()), 1)
+    rc_e = max(int(n_rows_per_line.astype(xp.int64).sum()), 1)
+
     # Crossings: tile_slot + top-edge bump only (P cols 0..12).
-    c_rec, c_within, c_valid, _, c_total = _expand(xp, n_cross, SC)
+    c_rec, c_within, c_valid, _, c_total = _expand(xp, n_cross, sc_e)
     PC = P[:, :13][c_rec]
     ci = PC[:, 0] + c_within.astype(f32)
     ca, cb, csign = PC[:, 1], PC[:, 2], PC[:, 3]
