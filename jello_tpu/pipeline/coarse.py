@@ -205,6 +205,7 @@ def build_commands(
     begin_zero = is_begin & (seg_count == 0) & (backdrop == 0)
 
     sort_key = xp.where(include, tile_global, GRID).astype(xp.int32)
+    n_cmds_true = xp.sum(include.astype(xp.int32))
     # Payload rides the compare-exchange network (one multi-operand
     # lax.sort) — cheaper than argsort + a permutation row gather.
     (st_, k_, ss_, sc_, bd_, ts_, fl_, di_, dd_, dr_) = ops.sort_multi(
@@ -222,6 +223,17 @@ def build_commands(
             rec,
         ),
     )
+    # Live-prefix slice: excluded records sort to the tail (key GRID),
+    # so everything past the calibrated command count is dead weight —
+    # and every downstream per-record cost (coverage ranks, record
+    # packing, the fine chunks) scales with this length. cmd_cap is
+    # measured n_cmds + margin (renderer/estimate.calibrate_caps); the
+    # pre-calibration class leaves it at pair_cap (no slicing).
+    CC = min(caps.get("cmd_cap", PC), PC)
+    if CC < PC:
+        (st_, k_, ss_, sc_, bd_, ts_, fl_, di_, dd_, dr_) = (
+            a[:CC] for a in (st_, k_, ss_, sc_, bd_, ts_, fl_, di_, dd_, dr_)
+        )
     cmds = {
         "tile": st_,
         "kind": k_,
@@ -258,8 +270,8 @@ def build_commands(
         tile_end = ops.scatter_set(xp, tile_end, xp.where(last, st, GRID), i_ids + 1)
     cmds["tile_start"] = tile_start
     cmds["tile_end"] = tile_end
-    cmds["n_cmds"] = xp.sum((st < GRID).astype(xp.int32))
+    cmds["n_cmds"] = n_cmds_true
     cmds["pair_total"] = pair_total
     cmds["max_cmds"] = xp.max(tile_end - tile_start)
-    cmds["overflow"] = pair_total > PC
+    cmds["overflow"] = (pair_total > PC) | (n_cmds_true > CC)
     return cmds

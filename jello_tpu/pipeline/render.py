@@ -188,6 +188,7 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
         "row_lines": counted["real_bd_lines"],
         "area_rows": counted["n_rows"],
         "pairs": cmds["pair_total"],
+        "cmds": cmds["n_cmds"],
         "max_cmds": cmds["max_cmds"],
         "lockstep_iters": fl["lockstep_iters"],
     }

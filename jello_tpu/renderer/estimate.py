@@ -339,6 +339,13 @@ def calibrate_caps(caps: dict, stats: dict, margin: float = 1.15) -> dict:
     out["row_lines_cap"] = _bucket(m(stats["row_lines"]), 1024)
     out["area_rows_cap"] = _bucket(m(stats["area_rows"]), 1 << 12)
     out["pair_cap"] = _bucket(m(stats["pairs"]), 1 << 12)
+    # Sorted-stream live prefix (coarse.build_commands): excluded
+    # records sort to the tail, so the fine/coverage machinery only has
+    # to walk the included commands (+margin).
+    if "cmds" in stats:
+        out["cmd_cap"] = min(
+            out["pair_cap"], _bucket(m(stats["cmds"]), 1 << 12)
+        )
     out["cmds_per_tile"] = max(_pow2(m(stats["max_cmds"]), 16), 16)
     # The lockstep walk kernel and the euler expansion's record scan
     # are unrolled proportionally to max_iters; size it to the measured
@@ -371,7 +378,7 @@ GROW_ON_FLAG = {
     "flatten_overflow": ("euler_line_cap", "simple_line_cap", "arc_line_cap", "line_cap", "max_iters"),
     "tiles_overflow": ("tiles_cap",),
     "segs_overflow": ("seg_cap", "row_cap", "cross_lines_cap", "row_lines_cap"),
-    "pairs_overflow": ("pair_cap",),
+    "pairs_overflow": ("pair_cap", "cmd_cap"),
     "blend_depth_overflow": ("blend_depth",),
     "cmd_slab_overflow": ("cmds_per_tile",),
     "area_rows_overflow": ("area_rows_cap",),
@@ -385,6 +392,8 @@ def grow_caps(caps: dict, flags: dict) -> dict:
     for flag, keys in GROW_ON_FLAG.items():
         if bool(flags.get(flag, False)):
             for k in keys:
+                if k not in out:
+                    continue
                 if k == "max_iters":
                     out[k] = min(out[k] * 2, 128)
                 else:
@@ -393,4 +402,6 @@ def grow_caps(caps: dict, flags: dict) -> dict:
         out["line_cap"],
         _pow2(out["euler_line_cap"] + out["simple_line_cap"] + out["arc_line_cap"], 1),
     )
+    if "cmd_cap" in out:
+        out["cmd_cap"] = min(out["cmd_cap"], out["pair_cap"])
     return out

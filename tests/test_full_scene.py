@@ -82,3 +82,57 @@ def test_overflow_retry_recovers():
     img, flags, caps = render_numpy(full_scene(), PARAMS, caps=tiny, max_retries=12)
     assert not any(bool(v) for v in flags.values()), flags
     assert np.abs(img - ref).max() < 1e-4
+
+
+def test_cmd_cap_live_prefix_slice():
+    """cmd_cap < pair_cap slices the sorted command stream to the live
+    prefix (coarse.build_commands): pixels must not change, and an
+    undersized cmd_cap must raise pairs_overflow."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from jello_tpu.cpu.pipeline import build_layout_dict
+    from jello_tpu.pipeline import render as render_mod
+    from jello_tpu.pipeline.fine_ref import assemble_image
+    from jello_tpu.renderer.estimate import estimate_caps_from_scene
+    from jello_tpu.renderer.resolve import Resolver
+
+    scene = full_scene()
+    ref, _, _ = render_numpy(scene, PARAMS)
+    layout, ramps, images, scene_u32 = Resolver().resolve(scene.encoding)
+    ld = build_layout_dict(layout, PARAMS)
+    n = 1024
+    while n < len(scene_u32):
+        n <<= 1
+    sp = np.zeros(n, np.uint32)
+    sp[: len(scene_u32)] = scene_u32
+    caps = estimate_caps_from_scene(scene_u32, layout, 256, 256)
+    caps["aa_mode"] = "area"
+    with np.errstate(all="ignore"):
+        _, _, st = render_mod.render_frame(
+            np, sp, ld, np.zeros((1, 11), np.float32), None, caps,
+            stats_only=True)
+    nc = int(st["cmds"])
+    assert nc > 0
+    from jello_tpu.pipeline.gradient import stops_table_or_empty
+    from jello_tpu.cpu.pipeline import build_image_atlas
+
+    ramps_arr = stops_table_or_empty(ramps)
+    atlas = build_image_atlas(images)
+    caps2 = dict(caps, cmd_cap=nc + 3)  # non-aligned real slice
+    out, fl, _ = render_mod.render_frame(
+        jnp, jnp.asarray(sp), ld, jnp.asarray(ramps_arr),
+        None if atlas is None else jnp.asarray(atlas), caps2,
+        with_stats=True)
+    assert not any(bool(np.asarray(v)) for v in fl.values()), fl
+    img = np.asarray(assemble_image(np, np.asarray(out), ld))
+    assert np.abs(img - ref).max() < 1e-4
+
+    caps3 = dict(caps, cmd_cap=max(nc // 2, 1))
+    _, fl3, _ = render_mod.render_frame(
+        jnp, jnp.asarray(sp), ld, jnp.asarray(ramps_arr),
+        None if atlas is None else jnp.asarray(atlas), caps3,
+        with_stats=True)
+    assert bool(np.asarray(fl3["pairs_overflow"]))
