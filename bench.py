@@ -210,6 +210,8 @@ def main():
     mpx = params.width * params.height / 1e6
     extra.update({
         "warmup_s": head["warmup_s"],
+        "host_calib_s": head["host_calib_s"],
+        "retry_flags": head["retry_flags"],
         "n_compiles": head["n_compiles"],
         "compile_s": head["compile_s"],
         "mpx_per_s": head["mpx_per_s"],

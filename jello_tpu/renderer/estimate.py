@@ -347,6 +347,13 @@ def calibrate_caps(caps: dict, stats: dict, margin: float = 1.15) -> dict:
             out["pair_cap"], _bucket(m(stats["cmds"]), 1 << 12)
         )
     out["cmds_per_tile"] = max(_pow2(m(stats["max_cmds"]), 16), 16)
+    # Hybrid fine's interpreter grid: one Pallas program per tile that
+    # holds any clip/image command. Uncalibrated this defaults to 2048
+    # and the first device frame of a clip-heavy scene trips
+    # legacy_overflow -> a full recompile; the host stats pass counts
+    # the real number.
+    if "legacy_tiles" in stats:
+        out["legacy_tiles_cap"] = _bucket(m(stats["legacy_tiles"]), 256, 256)
     # The lockstep walk kernel and the euler expansion's record scan
     # are unrolled proportionally to max_iters; size it to the measured
     # iteration requirement (host-calibration numpy pass reports the
@@ -398,9 +405,13 @@ def grow_caps(caps: dict, flags: dict) -> dict:
                     out[k] = min(out[k] * 2, 128)
                 else:
                     out[k] = out[k] * 2
-    out["line_cap"] = max(
-        out["line_cap"],
-        _pow2(out["euler_line_cap"] + out["simple_line_cap"] + out["arc_line_cap"], 1),
+    # line_cap is the exact family sum (the members are already
+    # bucketed). Re-inflating it to a power of two here doubled every
+    # line-array pass after ANY retry — e.g. a legacy_overflow retry
+    # (fine-only) used to balloon line_cap 1.07M -> 2.10M and with it
+    # all of path_count's prep cumsums/scatters.
+    out["line_cap"] = (
+        out["euler_line_cap"] + out["simple_line_cap"] + out["arc_line_cap"]
     )
     if "cmd_cap" in out:
         out["cmd_cap"] = min(out["cmd_cap"], out["pair_cap"])

@@ -43,6 +43,7 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     """Returns ((compact [GRID+C,4,256] un-premultiplied, tile2rank),
     flags)."""
     xp = jnp
+    interpret = interpret or bool(caps.get("_expand_interpret", False))
     GRID = caps["tile_grid_cap"]
     MC = caps["cmds_per_tile"]
     LT = caps.get("legacy_tiles_cap", 2048)

@@ -399,6 +399,7 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     from .fine_pallas import build_records
 
     caps = dict(caps)
+    interpret = interpret or bool(caps.get("_expand_interpret", False))
     C = caps.get("v2_chunk", V2_CHUNK)
     GRID = caps["tile_grid_cap"]
     xp = jnp
