@@ -112,8 +112,45 @@ def build_commands(
     h = xp.maximum(ry1 - ry0, 0)
     n_pairs = w * h
 
+    # Draw-level paint/blend classification: kind, clip/blend tests and
+    # the scene blend/alpha words are all per-DRAW, so they gather at D
+    # (16k rows) and ride the pair expansion in the row table — not as
+    # per-pair element gathers over pair_cap rows (2 x ~300k-row random
+    # gathers measured ~6 ms at config5).
+    is_begin_d = tag == DRAW_TAG_BEGIN_CLIP
+    is_end_d = tag == DRAW_TAG_END_CLIP
+    is_clip_d = is_begin_d | is_end_d
+    blend_d = ops.gather_guarded(xp, scene, dd)
+    alpha_d = ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, dd + 1))
+    is_blend_d = is_clip_d & ~((blend_d == BLEND_PURE_CLIP) & (alpha_d == 1.0))
+    kind_d = xp.where(
+        tag == DRAW_TAG_COLOR,
+        CMD_COLOR,
+        xp.where(
+            tag == DRAW_TAG_LINEAR_GRADIENT,
+            CMD_LIN_GRAD,
+            xp.where(
+                tag == DRAW_TAG_RADIAL_GRADIENT,
+                CMD_RAD_GRAD,
+                xp.where(
+                    tag == DRAW_TAG_SWEEP_GRADIENT,
+                    CMD_SWEEP_GRAD,
+                    xp.where(
+                        tag == DRAW_TAG_IMAGE,
+                        CMD_IMAGE,
+                        xp.where(
+                            is_begin_d,
+                            CMD_BEGIN_CLIP,
+                            xp.where(is_end_d, CMD_END_CLIP, 0),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    ).astype(xp.int32)
+
     # Pack the per-draw fields consumed by the pair expansion into one
-    # s32 row table: a single row gather per pair instead of ~11 element
+    # s32 row table: a single row gather per pair instead of ~14 element
     # gathers (u32 columns ride bit-identically through the s32 view).
     dtab = xp.stack(
         [
@@ -125,10 +162,11 @@ def build_commands(
             pry0,
             xp.maximum(prx1 - prx0, 1),
             ops.gather_guarded(xp, paths["tile_offset"], pp),
-            tag.astype(xp.int32),
+            kind_d,
             dd.astype(xp.int32),
             di.astype(xp.int32),
             ops.gather_guarded(xp, path_draw_flags, pp).astype(xp.int32),
+            is_blend_d.astype(xp.int32),
         ],
         axis=1,
     )
@@ -159,15 +197,13 @@ def build_commands(
     seg_start = crow[:, 1]
     backdrop = crow[:, 2]
 
-    ctag = drow[:, 8].astype(tag.dtype)
+    kind = drow[:, 8]
     cdd = drow[:, 9]
     cdi = drow[:, 10]
-    is_begin = ctag == DRAW_TAG_BEGIN_CLIP
-    is_end = ctag == DRAW_TAG_END_CLIP
+    is_begin = kind == CMD_BEGIN_CLIP
+    is_end = kind == CMD_END_CLIP
     is_clip = is_begin | is_end
-    blend = ops.gather_guarded(xp, scene, cdd)
-    alpha = ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, cdd + 1))
-    is_blend = is_clip & ~((blend == BLEND_PURE_CLIP) & (alpha == 1.0))
+    is_blend = drow[:, 12] != 0
 
     flags = xp.where(is_end, 0, drow[:, 11]).astype(xp.uint32)
     even_odd = (flags & 1) != 0
@@ -176,32 +212,6 @@ def build_commands(
     )
     include = (seg_count != 0) | (backdrop_clear == is_clip) | is_blend
     include = include & valid
-
-    kind = xp.where(
-        ctag == DRAW_TAG_COLOR,
-        CMD_COLOR,
-        xp.where(
-            ctag == DRAW_TAG_LINEAR_GRADIENT,
-            CMD_LIN_GRAD,
-            xp.where(
-                ctag == DRAW_TAG_RADIAL_GRADIENT,
-                CMD_RAD_GRAD,
-                xp.where(
-                    ctag == DRAW_TAG_SWEEP_GRADIENT,
-                    CMD_SWEEP_GRAD,
-                    xp.where(
-                        ctag == DRAW_TAG_IMAGE,
-                        CMD_IMAGE,
-                        xp.where(
-                            is_begin,
-                            CMD_BEGIN_CLIP,
-                            xp.where(is_end, CMD_END_CLIP, 0),
-                        ),
-                    ),
-                ),
-            ),
-        ),
-    ).astype(xp.int32)
     begin_zero = is_begin & (seg_count == 0) & (backdrop == 0)
 
     sort_key = xp.where(include, tile_global, GRID).astype(xp.int32)

@@ -450,26 +450,20 @@ def path_count(xp, lines, paths, caps):
         "seg_y_edge": sye,
     }
 
-    # Per-tile start/count from run boundaries of the sorted slots (one
-    # unique-index scatter each instead of two log-n binary searches).
-    i_ids = xp.arange(SC, dtype=xp.int32)
-    prev = xp.concatenate([xp.full(1, -1, sorted_slot.dtype), sorted_slot[:-1]])
-    nxt = xp.concatenate([sorted_slot[1:], xp.full(1, T + 1, sorted_slot.dtype)])
-    first = (sorted_slot != prev) & (sorted_slot < T)
-    last = (sorted_slot != nxt) & (sorted_slot < T)
-    seg_start = xp.zeros(T, dtype=xp.int32)
-    seg_end = xp.zeros(T, dtype=xp.int32)
-    if ops.is_jax(xp):
-        seg_start = seg_start.at[xp.where(first, sorted_slot, T)].set(
-            i_ids, mode="drop", unique_indices=True
-        )
-        seg_end = seg_end.at[xp.where(last, sorted_slot, T)].set(
-            i_ids + 1, mode="drop", unique_indices=True
-        )
-    else:
-        seg_start = ops.scatter_set(xp, seg_start, xp.where(first, sorted_slot, T), i_ids)
-        seg_end = ops.scatter_set(xp, seg_end, xp.where(last, sorted_slot, T), i_ids + 1)
-    seg_count = (seg_end - seg_start).astype(xp.int32)
+    # Per-tile start/count: the sort is keyed by slot, so tile t's
+    # segments occupy [excl_cumsum(counts)[t], +counts[t]) — one SC-row
+    # bincount scatter_add + a T-row cumsum instead of the two SC-row
+    # run-boundary scatters (random-access rows are the frame's
+    # currency: ~10 ns/row). Intra-tile order is whatever the sort
+    # produced; coverage is a sum over segments and order-independent.
+    binc = ops.scatter_add(
+        xp,
+        xp.zeros(T + 1, dtype=xp.int32),
+        xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T),
+        xp.ones(SC, dtype=xp.int32),
+    )
+    seg_count = binc[:T]
+    seg_start = ops.exclusive_cumsum(xp, seg_count)
 
     # ---- Backdrop prefix along rows ------------------------------------
     bd = backdrop[:T]
