@@ -205,7 +205,13 @@ def build_commands(
     is_clip = is_begin | is_end
     is_blend = drow[:, 12] != 0
 
+    # Flag word layout (payload bit budget): bit0 = even-odd fill rule;
+    # bit3 = non-trivial blend (isolated group: mix/compose != pure
+    # src-over clip or alpha != 1) — consumed by the legacy-tile
+    # classification (classify_legacy_tiles). Bits 1/4/5/8+ are packed
+    # later by the hybrid fine pass.
     flags = xp.where(is_end, 0, drow[:, 11]).astype(xp.uint32)
+    flags = flags | (is_blend.astype(xp.uint32) << 3)
     even_odd = (flags & 1) != 0
     backdrop_clear = xp.where(
         even_odd, (xp.abs(backdrop) & 1) == 0, backdrop == 0
@@ -285,3 +291,53 @@ def build_commands(
     cmds["max_cmds"] = xp.max(tile_end - tile_start)
     cmds["overflow"] = (pair_total > PC) | (n_cmds_true > CC)
     return cmds
+
+
+def classify_legacy_tiles(xp, cmds, caps):
+    """Mark tiles that need the per-tile interpreter kernel.
+
+    A tile is "legacy" iff its command tape contains anything the
+    record-stream fine kernel's affine formulation cannot express:
+      - an image paint (texture taps),
+      - a non-trivial blend group (flags bit 3, packed by
+        build_commands: mix/compose beyond pure src-over clip, or
+        group alpha != 1),
+      - a NESTED clip (within-tile clip depth >= 2).
+    Depth-1 pure clips stay on the record-stream kernel: the group is
+    itself an affine map of the background (A' = 1 - cov_c*(1 - A_g),
+    B' = cov_c*B_g), evaluated by a first segmented scan over group
+    extents (tpu/fine_v2.py). The reference interprets every tile
+    uniformly (fine.wgsl:814); this split keeps the scalar tape walk
+    off the hot path entirely for clip-only content.
+
+    Returns (lt_flag [GRID] i32 0/1, d_excl [PC] i32 within-tile clip
+    depth before each record, is_begin/is_end [PC] bool).
+    """
+    GRID = caps["tile_grid_cap"]
+    tile = cmds["tile"].astype(xp.int32)
+    kind = cmds["kind"]
+    in_grid = tile < GRID
+    is_begin = kind == CMD_BEGIN_CLIP
+    is_end = kind == CMD_END_CLIP
+    is_img = kind == CMD_IMAGE
+    is_blend = ((cmds["flags"] >> 3) & 1) != 0
+
+    # Within-tile clip depth before each record: global exclusive
+    # cumsum of (begin - end), rebased at the tile's first record.
+    delta = is_begin.astype(xp.int32) - is_end.astype(xp.int32)
+    g = ops.exclusive_cumsum(xp, delta)
+    start_of_tile = ops.gather_guarded(
+        xp, cmds["tile_start"], xp.clip(tile, 0, GRID - 1)
+    )
+    g0 = ops.gather_guarded(xp, g, start_of_tile)
+    d_excl = xp.where(in_grid, g - g0, 0)
+
+    nested = is_begin & (d_excl >= 1)
+    bad = (is_img | nested | (is_blend & (is_begin | is_end))) & in_grid
+    lt = ops.scatter_max(
+        xp,
+        xp.zeros(GRID + 1, dtype=xp.int32),
+        xp.where(in_grid, tile, GRID),
+        bad.astype(xp.int32),
+    )
+    return lt[:GRID], d_excl, is_begin, is_end

@@ -176,26 +176,14 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
     # under numpy before the first compile (stats_only — fine is the
     # one stage whose host cost is prohibitive at scale and whose
     # numbers capacity sizing doesn't need).
-    # Legacy-tile count (tiles holding any clip/image command): sizes
-    # the hybrid fine pass's interpreter grid (tpu/fine_hybrid.py). The
-    # scatter-max mirrors fine_hybrid's marking so the host calibration
-    # sees the same count the device pass will.
-    GRIDc = caps["tile_grid_cap"]
-    _tile_i = cmds["tile"].astype(xp.int32)
-    _in_grid = _tile_i < GRIDc
-    _is_leg = (
-        (cmds["kind"] == coarse_mod.CMD_IMAGE)
-        | (cmds["kind"] == coarse_mod.CMD_BEGIN_CLIP)
-        | (cmds["kind"] == coarse_mod.CMD_END_CLIP)
-    ) & _in_grid
-    _lt = ops.scatter_max(
-        xp,
-        xp.zeros(GRIDc + 1, dtype=xp.int32),
-        xp.where(_in_grid, _tile_i, GRIDc),
-        _is_leg.astype(xp.int32),
-    )
+    # Legacy-tile count (tiles needing the per-tile interpreter: image
+    # paints, nested clips, non-trivial blends): sizes the hybrid fine
+    # pass's interpreter grid (tpu/fine_hybrid.py). Shares the exact
+    # classification fine_hybrid uses so the host calibration sees the
+    # same count the device pass will.
+    _lt, _, _, _ = coarse_mod.classify_legacy_tiles(xp, cmds, caps)
     stats = {
-        "legacy_tiles": xp.sum(_lt[:GRIDc]),
+        "legacy_tiles": xp.sum(_lt),
         "work_a": fl["n_work_a"],
         "work_b": fl["n_work_b"],
         "euler_lines": fl["e_real"],

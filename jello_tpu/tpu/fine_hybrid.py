@@ -1,16 +1,19 @@
 """Hybrid fine pass: record-stream kernel + per-tile interpreter merge.
 
 The record-stream kernel (fine_v2) turns src-over compositing into a
-segmented affine scan — the fast path for solid/gradient paints. Clip
-groups and image paints are not affine in that formulation (blend
-stacks / texture taps), so tiles containing any clip or image record
-("legacy tiles") render through the per-tile interpreter kernel
-(fine_pallas) instead:
+segmented affine scan — the fast path for solid/gradient paints AND
+depth-1 pure clip groups (a pure clip group is itself an affine map of
+the background; fine_v2 composes it with a first scan over group
+extents). Only tapes beyond that formulation — image paints (texture
+taps), NESTED clips, non-trivial blend groups — route their whole tile
+through the per-tile interpreter kernel (fine_pallas):
 
-  1. mark legacy tiles from the sorted command stream (one scatter-max
-     over records);
+  1. classify legacy tiles from the sorted command stream
+     (pipeline/coarse.classify_legacy_tiles — shared with the host
+     calibration's stats pass);
   2. flag their records so the record-stream kernel treats them as the
-     identity map (flag bit 1);
+     identity map (flag bit 1), and pack the group-scan metadata
+     (bits 4/5 + pass-1 segment ids) for everything else;
   3. run the record-stream kernel over the whole stream (it writes
      base-colored rows for legacy tiles);
   4. build a compact command slab for just the legacy tiles and run the
@@ -31,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..pipeline import ops
-from ..pipeline.coarse import CMD_BEGIN_CLIP, CMD_END_CLIP, CMD_IMAGE
+from ..pipeline.coarse import classify_legacy_tiles
 from ..pipeline.coverage import compute_area_rows
 from ..pipeline.flatten import expand_by_counts
 from .fine_pallas import build_records, make_fine_kernel
@@ -49,23 +52,33 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     LT = caps.get("legacy_tiles_cap", 2048)
 
     tile = cmds["tile"].astype(xp.int32)
-    kind = cmds["kind"]
     in_grid = tile < GRID
-    is_legacy_kind = (
-        (kind == CMD_IMAGE) | (kind == CMD_BEGIN_CLIP) | (kind == CMD_END_CLIP)
-    ) & in_grid
 
-    legacy_flag = xp.zeros(GRID + 1, dtype=xp.int32)
-    legacy_flag = legacy_flag.at[xp.where(in_grid, tile, GRID)].max(
-        is_legacy_kind.astype(xp.int32), mode="drop"
-    )
-    lt_flag = legacy_flag[:GRID]
+    lt_flag, d_excl, is_begin, is_end = classify_legacy_tiles(xp, cmds, caps)
+    legacy_flag = xp.concatenate([lt_flag, xp.zeros(1, dtype=xp.int32)])
 
-    # Flag records in legacy tiles (bit 1 = identity in the record-stream
-    # kernel).
+    # Record flag packing for the record-stream kernel (fine_v2):
+    #   bit 1: record lives in a legacy tile (identity in both passes)
+    #   bit 4: pass-2 identity (group member or BeginClip)
+    #   bit 5: EndClip transform (group product -> clip-modulated map)
+    #   bits 8..31: pass-1 segment id (new segment at every non-group
+    #     record and at each BeginClip; ids are strictly monotone along
+    #     the stream, so tile changes always change the id too)
     rec_legacy = ops.gather_guarded(xp, legacy_flag, xp.clip(tile, 0, GRID)) > 0
+    non_leg = ~rec_legacy & in_grid
+    in_group = non_leg & (is_begin | is_end | (d_excl >= 1))
+    end_t = non_leg & is_end
+    ident2 = in_group & ~is_end
+    seg1_start = (~in_group) | is_begin
+    seg1 = xp.cumsum(seg1_start.astype(xp.uint32))
     cmds = dict(cmds)
-    cmds["flags"] = cmds["flags"] | (rec_legacy.astype(xp.uint32) << 1)
+    cmds["flags"] = (
+        cmds["flags"]
+        | (rec_legacy.astype(xp.uint32) << 1)
+        | (ident2.astype(xp.uint32) << 4)
+        | (end_t.astype(xp.uint32) << 5)
+        | (seg1 << 8)
+    )
 
     # Shared between both kernels: coverage rows + packed records.
     caps_s = dict(caps)
@@ -102,9 +115,20 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     slab = xp.zeros((LT * MC + 1, 16), dtype=xp.uint32)
     slab = slab.at[slot].set(rec, mode="drop")
     slab = slab[: LT * MC].reshape(LT, MC, 16)
+    # Slab capacity for legacy tiles, AND the group-scan window bound
+    # for non-legacy tiles: fine_v2's coverage window reaches back
+    # cmds_per_tile rows for EndClip references, so a clip-bearing tile
+    # whose tape exceeds MC must grow the class (GROW_ON_FLAG doubles
+    # cmds_per_tile, which widens the window).
     n_cmds_tile = cmds["tile_end"] - cmds["tile_start"]
+    has_group = ops.scatter_max(
+        xp,
+        xp.zeros(GRID + 1, dtype=xp.int32),
+        xp.where(in_grid, tile, GRID),
+        in_group.astype(xp.int32),
+    )[:GRID]
     flags["cmd_slab_overflow"] = xp.any(
-        (lt_flag > 0) & (n_cmds_tile > MC)
+        ((lt_flag > 0) | (has_group > 0)) & (n_cmds_tile > MC)
     )
 
     counts_tile = xp.clip(n_cmds_tile, 0, MC).astype(xp.int32)

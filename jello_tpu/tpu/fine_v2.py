@@ -91,22 +91,30 @@ def _extend_v(t, mode):
 def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
     GRID = caps["tile_grid_cap"]
     C = caps.get("v2_chunk", V2_CHUNK)
-    CW = C + COV_SLACK
+    MC = caps.get("cmds_per_tile", 64)
+    # The coverage window must reach back MC rows: an EndClip record's
+    # row is its BeginClip's (up to one tile's worth of records
+    # earlier); plain ranks advance <= 1 per record, so a chunk spans
+    # at most C + MC rows.
+    CW = C + MC + COV_SLACK
     MAX_STOPS = caps.get("max_stops", 2)
     S = MAX_STOPS
 
     def kernel(rank_lo_s, trank_lo_s, next_first_s, misc_s, base_s,
                rec_ref, rows_hbm, stops_ref, out_hbm,
-               cov_win, stag, carry, carry_tile, sem, sem_out):
+               cov_win, stag, carry, carry_tile, carry1, carry1_seg,
+               sem, sem_out):
         c = pl.program_id(0)
         wit = misc_s[0]
 
         @pl.when(c == 0)
         def _():
             carry_tile[0] = -1
+            carry1_seg[0] = -1
             # Scratch starts uninitialized; 0-masked NaNs still poison
             # the v0 select, so zero it.
             carry[...] = jnp.zeros((4, 256), jnp.float32)
+            carry1[...] = jnp.zeros((5, 256), jnp.float32)
 
         ru = rec_ref[...][0]  # (C, 16) u32
         rf = pltpu.bitcast(ru, jnp.float32)
@@ -131,8 +139,13 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
         is_grad = is_lin | is_rad | is_sweep
         # Records this kernel paints; everything else (padding, clip
         # markers, image paints, whole tiles routed to the interpreter
-        # via flag bit 1) is the identity map.
+        # via flag bit 1) is the identity map. Depth-1 pure-clip groups
+        # are composed here via a two-level scan (bits 4/5 + segment id
+        # in bits 8.. packed by fine_hybrid).
         legacy_tile = (flags & 2) != 0
+        ident2 = (flags & 16) != 0
+        end_t = (flags & 32) != 0
+        seg1 = flags >> 8  # (C, 1) i32, strictly monotone
         live = valid & (is_color | is_grad) & ~legacy_tile
         live_f = live.astype(jnp.float32)
 
@@ -162,6 +175,20 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
             cov = jnp.where(even_odd, eo, nz)
         cov = jnp.where(has_row, cov, 1.0)  # seg-less fills cover fully
         cov = cov * live_f
+
+        # Clip coverage for EndClip-transform records: the group's clip
+        # path row (shared with its BeginClip), NONZERO rule — the
+        # production clip resolve rule (fine_pallas applies nz for
+        # END_CLIP too); MSAA rows arrive already resolved. A row-less
+        # EndClip is a zero-coverage group (coarse's begin_zero marker):
+        # the whole group must collapse to the identity, which covc = 0
+        # produces exactly.
+        if caps.get("aa_mode", "area") != "area":
+            covc_row = jnp.clip(a, 0.0, 1.0)
+        else:
+            covc_row = jnp.minimum(jnp.abs(a), 1.0)
+        end_f = end_t.astype(jnp.float32)
+        covc = covc_row * (end_t & has_row).astype(jnp.float32)
 
         # ---- paints ---------------------------------------------------
         # Solid color: rgba f32 in words 5..8, already premultiplied.
@@ -285,10 +312,53 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
         gmask = is_grad.astype(jnp.float32)
         fg = [fg[ch] * (1.0 - gmask) + gfg[ch] * gmask for ch in range(4)]
 
-        # ---- segmented affine scan -------------------------------------
+        # ---- pass 1: group-product scan ---------------------------------
+        # Segments = pass-1 ids (singletons for plain records; one
+        # segment per clip group). The inclusive product at an EndClip
+        # is the group's composite (A_g, B_g) over transparent black;
+        # plain records' inclusive product is their own map.
         fa = fg[3] * cov
         A = 1.0 - fa
         B = [fg[ch] * cov for ch in range(4)]
+        k = 1
+        while k < C:
+            s1_sh = _shift_down(seg1, k, -3)
+            same1 = (seg1 == s1_sh).astype(jnp.float32)
+            A_sh = _shift_down(A, k, 1.0)
+            B_sh = [_shift_down(B[ch], k, 0.0) for ch in range(4)]
+            B = [B[ch] + same1 * (A * B_sh[ch]) for ch in range(4)]
+            A = A * (1.0 + same1 * (A_sh - 1.0))
+            k *= 2
+        # Merge the pass-1 carry into the head segment (a group spanning
+        # the chunk boundary): (A,B) <- (A*A_c, B + A*B_c).
+        use1 = (seg1 == carry1_seg[0]).astype(jnp.float32)
+        A_pre = A
+        A = A * (1.0 + use1 * (carry1[0:1, :] - 1.0))
+        B = [
+            B[ch] + use1 * (A_pre * carry1[1 + ch : 2 + ch, :])
+            for ch in range(4)
+        ]
+        # Pass-1 carry for the next chunk: the last record's inclusive
+        # segment product (post-merge) and its segment id.
+        for ch in range(4):
+            carry1[1 + ch : 2 + ch, :] = B[ch][C - 1 : C, :]
+        carry1[0:1, :] = A[C - 1 : C, :]
+        carry1_seg[0] = seg1[C - 1, 0]
+
+        # ---- EndClip transform / pass-2 identity ------------------------
+        # A pure clip group composes over the background as the affine
+        # map (1 - cov_c*(1 - A_g), cov_c*B_g) — exact, including the
+        # fractional-coverage clip edge. Members and BeginClips already
+        # contributed to the group product and become the identity.
+        id_f = ident2.astype(jnp.float32)
+        A = jnp.where(end_f > 0.0, 1.0 - covc * (1.0 - A), A)
+        A = A * (1.0 - id_f) + id_f
+        B = [
+            jnp.where(end_f > 0.0, covc * B[ch], B[ch]) * (1.0 - id_f)
+            for ch in range(4)
+        ]
+
+        # ---- pass 2: per-tile compositing scan --------------------------
         k = 1
         while k < C:
             tile_sh = _shift_down(tile, k, -1)
@@ -367,10 +437,12 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
-            pltpu.VMEM((C + COV_SLACK, 256), jnp.float32),  # cov window
+            pltpu.VMEM((CW, 256), jnp.float32),             # cov window
             pltpu.VMEM((C, 4, 256), jnp.float32),           # staging
             pltpu.VMEM((4, 256), jnp.float32),              # carry value
             pltpu.SMEM((1,), jnp.int32),                    # carry tile
+            pltpu.VMEM((5, 256), jnp.float32),              # pass-1 carry (A,B)
+            pltpu.SMEM((1,), jnp.int32),                    # pass-1 carry seg
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -442,15 +514,41 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
         [tile, xp.full((PCpad - PC,), GRID, dtype=xp.int32)]
     ) if PCpad != PC else tile
 
-    # Per-chunk coverage-row window starts: the running max row so far.
+    # Per-chunk coverage-row window starts: the minimum row any record
+    # in the chunk references (EndClips reference their Begin's row, up
+    # to MC records back; plain ranks are non-decreasing, so the chunk
+    # span is <= C + MC and fits the kernel's CW window). Chunks with
+    # no row references fall back to the running max so far.
+    AR_cap = caps["area_rows_cap"]
     runm = ops.cummax(xp, area_row_rec)
     runm_p = (
         xp.concatenate([runm, xp.full((PCpad - PC,), runm[-1], xp.int32)])
         if PCpad != PC else runm
     )
-    rank_lo = xp.maximum(
+    fallback = xp.maximum(
         xp.concatenate([xp.zeros(1, xp.int32), runm_p[C - 1 :: C][:-1]]), 0
     )
+    rows_p = (
+        xp.concatenate([area_row_rec, xp.full((PCpad - PC,), -1, xp.int32)])
+        if PCpad != PC else area_row_rec
+    ).reshape(n_chunks, C)
+    vmask = rows_p >= 0
+    BIGR = xp.int32(1 << 30)
+    cmin = xp.min(xp.where(vmask, rows_p, BIGR), axis=1)
+    has_v = xp.any(vmask, axis=1)
+    rank_lo = xp.clip(xp.where(has_v, cmin, fallback), 0, AR_cap - 1)
+
+    # The kernel DMAs CW = C + MC + slack rows from rank_lo&~7; make
+    # sure the rows table is long enough (the MSAA coverage kernels pad
+    # less than the area one).
+    MCw = caps.get("cmds_per_tile", 64)
+    need_rows = AR_cap + C + MCw + COV_SLACK + 8
+    if area_blk.shape[0] < need_rows:
+        area_blk = xp.concatenate(
+            [area_blk,
+             xp.zeros((need_rows - area_blk.shape[0],) + area_blk.shape[1:],
+                      dtype=area_blk.dtype)]
+        )
 
     # Nonempty-tile ranks.
     prev_t = xp.concatenate([xp.full(1, -1, xp.int32), tile_p[:-1]])

@@ -80,3 +80,73 @@ def test_hybrid_image_only_tiles():
     assert not any(bool(v) for v in flags.values())
     img = _run_hybrid(scene, params, caps)
     assert np.abs(img - ref).max() < 8e-3
+
+
+def test_group_scan_pure_clips():
+    """Depth-1 pure clip groups stay on the record-stream kernel (no
+    legacy tiles): overlapping members under a fractional-coverage clip
+    edge must match the oracle's blend stack exactly (the two-level
+    affine scan is exact, not the coverage-modulation approximation)."""
+    IDENT = jt.Affine.identity()
+    CLIP = jt.BlendMode(jt.Mix.CLIP, jt.Compose.SRC_OVER)
+
+    def rect(x0, y0, x1, y1):
+        return (jt.BezPath().move_to(x0, y0).line_to(x1, y0)
+                .line_to(x1, y1).line_to(x0, y1).close())
+
+    scene = jt.Scene()
+    # Clip edge cuts through pixel interiors (fractional coverage).
+    scene.push_layer(CLIP, 1.0, IDENT, rect(20.3, 20.7, 100.6, 100.2))
+    # Two OVERLAPPING translucent members: group product != member
+    # products under modulated coverage; only the exact formulation
+    # matches the oracle at the clip edge.
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(1, 0, 0, 0.6)), None,
+               rect(10, 10, 80, 80))
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(0, 0, 1, 0.5)), None,
+               rect(15, 15, 90, 90))
+    scene.pop_layer()
+    # A plain fill after the group (pass-2 composition order).
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(0, 1, 0, 0.4)), None,
+               rect(60, 60, 120, 120))
+
+    params = RenderParams(width=128, height=128,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+    # No legacy tiles: the whole frame must ride the record-stream path.
+    from jello_tpu.pipeline.coarse import classify_legacy_tiles
+    img = _run_hybrid(scene, params, caps)
+    assert np.abs(img - ref).max() < 8e-3
+
+
+def test_group_scan_chunk_boundary():
+    """A clip group spanning a record-stream chunk boundary exercises
+    the pass-1 carry (tiny v2_chunk forces multiple chunks)."""
+    IDENT = jt.Affine.identity()
+    CLIP = jt.BlendMode(jt.Mix.CLIP, jt.Compose.SRC_OVER)
+
+    def rect(x0, y0, x1, y1):
+        return (jt.BezPath().move_to(x0, y0).line_to(x1, y0)
+                .line_to(x1, y1).line_to(x0, y1).close())
+
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(0.2, 0.2, 0.2, 1)), None,
+               rect(0, 0, 64, 64))
+    scene.push_layer(CLIP, 1.0, IDENT, rect(5.4, 5.6, 58.5, 58.4))
+    for k in range(6):
+        c = jt.Color.rgba(0.1 * k, 1 - 0.1 * k, 0.3, 0.5)
+        scene.fill(jt.Fill.NON_ZERO, IDENT, jt.SolidBrush(c), None,
+                   rect(2 + 3 * k, 2 + 2 * k, 40 + 3 * k, 40 + 2 * k))
+    scene.pop_layer()
+
+    params = RenderParams(width=64, height=64,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+    caps = dict(caps, v2_chunk=8)  # force chunk boundaries inside the group
+    img = _run_hybrid(scene, params, caps)
+    assert np.abs(img - ref).max() < 8e-3
