@@ -102,12 +102,27 @@ def shifted_scene_table(xp, scene):
     return xp.stack([ext[k : k + W] for k in range(8)], axis=1)
 
 
-def exclusive_monoids(xp, tags):
+def exclusive_monoids(xp, tags, base=None):
+    """Exclusive prefix of the tag monoid. `base` (optional dict of
+    traced uint32 scalars per field) rebases the scan for a tag-range
+    shard: local scan + the sum of all preceding shards' deltas — the
+    classic two-level scan, with the cross-shard level done by the
+    caller (one all_gather of per-shard totals)."""
     deltas = tag_monoid_deltas(tags)
     out = {}
     for k, v in deltas.items():
-        out[k] = ops.exclusive_cumsum(xp, v.astype(xp.uint32))
+        c = ops.exclusive_cumsum(xp, v.astype(xp.uint32))
+        if base is not None:
+            c = c + base[k].astype(xp.uint32)
+        out[k] = c
     return out
+
+
+def monoid_delta_totals(xp, tags):
+    """Per-field sums of the tag monoid deltas over a tag range (the
+    per-shard reduction of the two-level scan)."""
+    deltas = tag_monoid_deltas(tags)
+    return {k: xp.sum(v.astype(xp.uint32)) for k, v in deltas.items()}
 
 
 def _read_points(xp, scene, base_words, tag, S8=None):
@@ -659,7 +674,7 @@ def slot_geometry(xp, tags, tags_next, pts_raw, pts_next_raw, seg_type0,
     }
 
 
-def flatten_stage(xp, scene, layout, caps):
+def flatten_stage(xp, scene, layout, caps, shard=None):
     """Run the full flatten stage.
 
     scene: uint32 scene buffer.
@@ -668,6 +683,14 @@ def flatten_stage(xp, scene, layout, caps):
     caps: dict of *static* capacities — n_tag_slots, max_emits,
         max_iters, euler_line_cap, simple_line_cap, arc_line_cap,
         line_cap, n_paths_cap.
+    shard: optional tag-range shard context for the multi-chip pipeline
+        (tpu/sharded2.py): {"tag_lo": traced i32 slot offset (multiple
+        of 4), "monoid_base": dict of traced u32 scalars}. The stage
+        then processes slots [tag_lo, tag_lo + n_tag_slots) — with a
+        4-slot decode extension so the next-slot geometry peeks across
+        the shard boundary — and returns the RAW per-path bbox
+        accumulator ("bb_acc") for the caller to pmax across devices
+        before finalize_path_bbox.
 
     Returns a dict with the line soup, per-path bboxes/flags and
     overflow indicators.
@@ -685,35 +708,62 @@ def flatten_stage(xp, scene, layout, caps):
             return cap
         return max(int(counts.astype(xp.int64).sum()), 1)
 
-    tags = decode_tag_stream(xp, scene, layout["path_tag_base"], N)
-    monoids = exclusive_monoids(xp, tags)
-    active = xp.arange(N, dtype=xp.int32) < layout["n_path_tags"]
+    if shard is None:
+        Ne = N
+        tag_lo = None
+        tags_e = decode_tag_stream(xp, scene, layout["path_tag_base"], N)
+        monoids_e = exclusive_monoids(xp, tags_e)
+        active_e = xp.arange(N, dtype=xp.int32) < layout["n_path_tags"]
+        nxt = lambda a: xp.concatenate([a[1:], a[:1]])
+        cur = lambda a: a
+    else:
+        # Decode a 4-slot extension so every slot's successor is local.
+        Ne = N + 4
+        tag_lo = shard["tag_lo"]
+        tags_e = decode_tag_stream(
+            xp, scene, layout["path_tag_base"] + tag_lo // 4, Ne
+        )
+        monoids_e = exclusive_monoids(xp, tags_e, base=shard["monoid_base"])
+        active_e = (
+            xp.arange(Ne, dtype=xp.int32) + tag_lo
+        ) < layout["n_path_tags"]
+        nxt = lambda a: a[1 : N + 1]
+        cur = lambda a: a[:N]
 
-    trans_idx = (monoids["trans_idx"] - 1).astype(xp.uint32)
-    style_idx = (monoids["style_idx"] - 2).astype(xp.uint32)
-    path_idx = monoids["path_idx"].astype(xp.int32)
-    seg_off = monoids["path_seg_offset"].astype(xp.int32)
+    trans_idx_e = (monoids_e["trans_idx"] - 1).astype(xp.uint32)
+    style_idx_e = (monoids_e["style_idx"] - 2).astype(xp.uint32)
+    path_idx_e = monoids_e["path_idx"].astype(xp.int32)
+    seg_off_e = monoids_e["path_seg_offset"].astype(xp.int32)
 
     S8 = shifted_scene_table(xp, scene) if ops.is_jax(xp) else None
     if S8 is not None:
         srow = ops.gather_guarded(
-            xp, S8, layout["style_base"] + style_idx.astype(xp.int32)
+            xp, S8, layout["style_base"] + style_idx_e.astype(xp.int32)
         )
-        style_flags = srow[:, 0]
-        linewidth = ops.bitcast_u32_f32(xp, srow[:, 1])
+        style_flags_e = srow[:, 0]
+        linewidth_e = ops.bitcast_u32_f32(xp, srow[:, 1])
     else:
-        style_flags = ops.gather_guarded(
-            xp, scene, layout["style_base"] + style_idx.astype(xp.int32)
+        style_flags_e = ops.gather_guarded(
+            xp, scene, layout["style_base"] + style_idx_e.astype(xp.int32)
         )
-        linewidth = ops.bitcast_u32_f32(
+        linewidth_e = ops.bitcast_u32_f32(
             xp,
             ops.gather_guarded(
-                xp, scene, layout["style_base"] + style_idx.astype(xp.int32) + 1
+                xp, scene, layout["style_base"] + style_idx_e.astype(xp.int32) + 1
             ),
         )
 
+    tags = cur(tags_e)
+    active = cur(active_e)
+    style_flags = cur(style_flags_e)
+    linewidth = cur(linewidth_e)
+    trans_idx = cur(trans_idx_e)
+    path_idx = cur(path_idx_e)
+    seg_off = cur(seg_off_e)
+
     # Per-path draw flags / transform index, written at path-marker slots
-    # (flatten.go:675-683).
+    # (flatten.go:675-683). Under a shard each marker slot lives in
+    # exactly one shard, so a cross-device psum combines the arrays.
     n_paths_cap = caps["n_paths_cap"]
     marker = active & ((tags & PATH_TAG_PATH) != 0)
     df = xp.where(
@@ -729,20 +779,25 @@ def flatten_stage(xp, scene, layout, caps):
         xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, trans_idx
     )
 
-    # Segment decode.
-    base_words = layout["path_data_base"] + seg_off
-    raw = _read_points(xp, scene, base_words, tags, S8=S8)
-    pts_raw, seg_type0 = raw[:8], raw[8]
-    is_stroke = (style_flags & xp.uint32(FLAGS_STYLE_BIT)) != 0
-    T = _transform_read(xp, scene, layout["transform_base"], trans_idx, S8=S8)
-    miter_limit = f16_to_f32(
-        xp, (style_flags & MITER_LIMIT_MASK).astype(xp.uint32)
+    # Segment decode (over the extended range so nxt() stays local).
+    base_words_e = layout["path_data_base"] + seg_off_e
+    raw_e = _read_points(xp, scene, base_words_e, tags_e, S8=S8)
+    pts_raw_e, seg_type0_e = raw_e[:8], raw_e[8]
+    is_stroke_e = (style_flags_e & xp.uint32(FLAGS_STYLE_BIT)) != 0
+    T_e = _transform_read(
+        xp, scene, layout["transform_base"], trans_idx_e, S8=S8
     )
+    miter_limit = f16_to_f32(
+        xp, (cur(style_flags_e) & MITER_LIMIT_MASK).astype(xp.uint32)
+    )
+    pts_raw = [cur(a) for a in pts_raw_e]
+    seg_type0 = cur(seg_type0_e)
+    is_stroke = cur(is_stroke_e)
+    T = [cur(t) for t in T_e]
 
-    nxt = lambda a: xp.concatenate([a[1:], a[:1]])
     g = slot_geometry(
-        xp, tags, nxt(tags), pts_raw, [nxt(a) for a in pts_raw],
-        seg_type0, nxt(seg_type0), is_stroke, nxt(is_stroke),
+        xp, tags, nxt(tags_e), pts_raw, [nxt(a) for a in pts_raw_e],
+        seg_type0, nxt(seg_type0_e), is_stroke, nxt(is_stroke_e),
         style_flags, linewidth, miter_limit, T, path_idx, active,
         n_paths_cap,
     )
@@ -1007,21 +1062,7 @@ def flatten_stage(xp, scene, layout, caps):
         axis=1,
     )
     bb_acc = ops.scatter_max(xp, bb_acc, pidx, upd)
-    bb_x0 = -bb_acc[:, 0]
-    bb_y0 = -bb_acc[:, 1]
-    bb_x1 = bb_acc[:, 2]
-    bb_y1 = bb_acc[:, 3]
-    empty = bb_x0 > bb_x1
-    # Sentinel bbox for line-less paths (reference: bbox_clear).
-    path_bbox = xp.stack(
-        [
-            xp.where(empty, f32(2147483647.0), xp.floor(bb_x0)),
-            xp.where(empty, f32(2147483647.0), xp.floor(bb_y0)),
-            xp.where(empty, f32(-2147483648.0), xp.ceil(bb_x1)),
-            xp.where(empty, f32(-2147483648.0), xp.ceil(bb_y1)),
-        ],
-        axis=1,
-    )
+    path_bbox = finalize_path_bbox(xp, bb_acc)
 
     overflow = overflow_euler
     if not exact:
@@ -1050,10 +1091,33 @@ def flatten_stage(xp, scene, layout, caps):
         "a_total": a_total,
         "lockstep_iters": lockstep_iters,
         "path_bbox": path_bbox,
+        # Raw (negated-min) bbox accumulator: the sharded pipeline
+        # pmax-combines this across devices, then finalize_path_bbox.
+        "bb_acc": bb_acc,
         "path_draw_flags": path_draw_flags,
         "path_trans_idx": path_trans_idx,
         "overflow": overflow,
     }
+
+
+def finalize_path_bbox(xp, bb_acc):
+    """Raw (negated-min, max) accumulator -> floored/ceiled bbox with
+    the sentinel for line-less paths (reference: bbox_clear)."""
+    f32 = xp.float32
+    bb_x0 = -bb_acc[:, 0]
+    bb_y0 = -bb_acc[:, 1]
+    bb_x1 = bb_acc[:, 2]
+    bb_y1 = bb_acc[:, 3]
+    empty = bb_x0 > bb_x1
+    return xp.stack(
+        [
+            xp.where(empty, f32(2147483647.0), xp.floor(bb_x0)),
+            xp.where(empty, f32(2147483647.0), xp.floor(bb_y0)),
+            xp.where(empty, f32(-2147483648.0), xp.ceil(bb_x1)),
+            xp.where(empty, f32(-2147483648.0), xp.ceil(bb_y1)),
+        ],
+        axis=1,
+    )
 
 
 def cubic_start_tangent_arrays(xp, P):

@@ -159,18 +159,15 @@ def _line_setup(xp, x0, y0, x1, y1):
     }
 
 
-def path_count(xp, lines, paths, caps):
-    """Per-line crossing/backdrop computation (cpu.go PathCount).
+def path_count_params(xp, lines, paths, caps):
+    """Per-line DDA + bbox-clip parameters (the pure per-line half of
+    PathCount, shared by the single-chip path and the line-sharded
+    multi-chip pipeline in tpu/sharded2.py).
 
-    lines: dict from flatten_stage.
-    paths: dict from tile_alloc (+ patched draw path mapping applied by
-        the caller: the `line_path` indices address paths[] directly).
-    Returns crossing records (sorted by tile slot), per-tile segment
-    counts/starts, and the backdrop array (post prefix-sum).
+    Returns (P [L,21] f32 table, n_cross [L] i32, n_rows_per_line [L]
+    i32, prt: tuple of the five backdrop-row columns).
     """
     L = lines["line_x0"].shape[0]
-    T = caps["tiles_cap"]
-    SC = caps["seg_cap"]
     f32 = xp.float32
 
     ls = _line_setup(
@@ -299,6 +296,27 @@ def path_count(xp, lines, paths, caps):
 
     n_rows_per_line = xp.maximum((ymax - ymin).astype(xp.int32), 0)
     n_cross = xp.maximum((imax - imin).astype(xp.int32), 0)
+    prt = (ymin, tiles_base, bb1, stride, delta)
+    return P, n_cross, n_rows_per_line, prt
+
+
+def path_count(xp, lines, paths, caps):
+    """Per-line crossing/backdrop computation (cpu.go PathCount).
+
+    lines: dict from flatten_stage.
+    paths: dict from tile_alloc (+ patched draw path mapping applied by
+        the caller: the `line_path` indices address paths[] directly).
+    Returns crossing records (sorted by tile slot), per-tile segment
+    counts/starts, and the backdrop array (post prefix-sum).
+    """
+    L = lines["line_x0"].shape[0]
+    T = caps["tiles_cap"]
+    SC = caps["seg_cap"]
+    f32 = xp.float32
+
+    P, n_cross, n_rows_per_line, (ymin, tiles_base, bb1, stride, delta) = (
+        path_count_params(xp, lines, paths, caps)
+    )
     RC = caps["row_cap"]
 
     if caps.get("_stats_only") and not ops.is_jax(xp):
@@ -542,17 +560,21 @@ def _path_count_stats(xp, P, n_cross, n_rows_per_line, ymin, tiles_base,
     bump_slot = xp.where(bump_ok, cbase + xp.maximum(cx + 1, cbb0), T)
 
     backdrop = np.zeros(T + 1, dtype=np.int64)
+    # Overflowing frames (estimate class too small) produce slots past
+    # T; the device scatter drops them, np.add.at must clamp (the T row
+    # is the drop bin either way — the retry path re-renders).
+    bump_slot = np.clip(bump_slot, 0, T)
     np.add.at(backdrop, bump_slot, xp.where(bump_ok, PC[:, 12], 0.0).astype(np.int64))
 
     # Backdrop row deltas.
     r_rec, r_within, r_valid, _, r_total = _expand(xp, n_rows_per_line, RC)
     r_y = ymin[r_rec].astype(xp.int32) + r_within
     r_slot = tiles_base[r_rec] + (r_y - bb1[r_rec].astype(xp.int32)) * stride[r_rec]
-    r_slot = xp.where(r_valid, r_slot, T)
+    r_slot = np.clip(xp.where(r_valid, r_slot, T), 0, T)
     np.add.at(backdrop, r_slot, xp.where(r_valid, delta[r_rec], 0).astype(np.int64))
 
     seg_count = np.bincount(
-        np.minimum(tile_slot, T), minlength=T + 1
+        np.clip(tile_slot, 0, T), minlength=T + 1
     )[:T].astype(xp.int32)
 
     bd = backdrop[:T].astype(xp.int32)

@@ -10,3 +10,27 @@ def test_dryrun_multichip():
 
     err = dryrun(8)
     assert err < 1e-3
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_dryrun_geometry_sharded():
+    """Geometry-sharded pipeline (flatten/path_count/coverage/fine all
+    inside the shard; crossing exchange over all_to_all). ~6 min of
+    XLA CPU compile — slow set; the driver's dryrun_multichip runs the
+    same path."""
+    from jello_tpu.tpu.sharded2 import dryrun
+
+    err = dryrun(8)
+    assert err < 1e-3
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_dryrun_geometry_sharded_full_features():
+    """Clips, gradients and an image crossing stripe boundaries through
+    the geometry-sharded pipeline."""
+    from jello_tpu.tpu.sharded2 import dryrun
+
+    err = dryrun(8, full_profile=True)
+    assert err < 8e-3
