@@ -66,17 +66,97 @@ def _transpose_mxu(a, out_rows):
     )[:out_rows]
 
 
+def lockstep_walk(P, offset, scale, act, IT):
+    """The adaptive subdivision walk on arbitrary (broadcast-compatible)
+    array shapes, Mosaic-safe (shared by this kernel and the fused
+    flatten geometry megakernel, tpu/flatten_geom_pallas.py).
+
+    P: tuple of 8 cubic point arrays; act: bool mask (degenerate slots
+    must already be masked out by the caller or here).
+    Returns (rec_t0, rec_t1, rec_n: lists of IT arrays, cnt, not_done).
+    """
+    from ..pipeline.flatten import _pq_at
+
+    kxp = kernel_xp()
+    f32 = jnp.float32
+
+    degenerate = (
+        (P[0] == P[2]) & (P[1] == P[3]) & (P[0] == P[4]) & (P[1] == P[5])
+        & (P[0] == P[6]) & (P[1] == P[7])
+    )
+    act = act & ~degenerate
+
+    zero = jnp.zeros_like(P[0])
+    # Interval counter as i32: dt >= SUBDIV_LIMIT = 2^-16 bounds it
+    # at 65536 (Mosaic has no u32->f32 cast; the XLA path's u32
+    # overflow clamp is unreachable defensive code).
+    t0u = zero.astype(jnp.int32)
+    dt = zero + 1.0
+    lpx, lpy = P[0], P[1]
+    lqx, lqy = P[2] - P[0], P[3] - P[1]
+    small = lqx * lqx + lqy * lqy < fm.DERIV_THRESH * fm.DERIV_THRESH
+    _, _, q2x, q2y = fm.eval_cubic_and_deriv(*P, f32(fm.DERIV_EPS))
+    lqx = jnp.where(small, q2x, lqx)
+    lqy = jnp.where(small, q2y, lqy)
+    last_t = zero
+    done = ~act
+
+    rec_t0, rec_t1, rec_n = [], [], []
+    cnt = zero
+    for it in range(IT):
+        t0 = t0u.astype(f32) * dt
+        done = done | (t0 == 1.0)
+        t1 = t0 + dt
+        p1x, p1y, q1x, q1y, t1 = _pq_at(kxp, P, t1)
+        actual_dt = t1 - last_t
+        th0, th1, chord_len, err = fm.cubic_params_from_points_derivs(
+            kxp, lpx, lpy, p1x, p1y, lqx, lqy, q1x, q1y, actual_dt
+        )
+        emit = (err * scale <= fm.FLATTEN_TOL) | (dt <= fm.SUBDIV_LIMIT)
+        do_emit = emit & ~done
+
+        k0, k1, ch = fm.euler_params_from_angles(th0, th1)
+        n, _, _, _, _, _, _ = fm.espc_subdivision(
+            kxp, k0, k1, ch, chord_len, offset, scale
+        )
+        n = jnp.where(jnp.isnan(n), f32(1.0), n)
+        n = jnp.where(do_emit, n, 0.0)
+
+        rec_t0.append(jnp.where(do_emit, last_t, 0.0))
+        rec_t1.append(jnp.where(do_emit, t1, 0.0))
+        rec_n.append(n)
+        cnt = cnt + n
+
+        lpx = jnp.where(do_emit, p1x, lpx)
+        lpy = jnp.where(do_emit, p1y, lpy)
+        lqx = jnp.where(do_emit, q1x, lqx)
+        lqy = jnp.where(do_emit, q1y, lqy)
+        last_t = jnp.where(do_emit, t1, last_t)
+
+        t0u_e = t0u + 1
+        low = t0u_e & (-t0u_e)
+        shift = jnp.log2(low.astype(f32)).astype(jnp.int32)
+        t0u_e = t0u_e >> shift
+        dt_e = dt * jnp.exp2(shift.astype(f32))
+        t0u_s = jnp.minimum(t0u * 2, jnp.int32(0x3FFFFFFF))
+        dt_s = dt * 0.5
+
+        advance = emit & ~done
+        subdiv = ~emit & ~done
+        t0u = jnp.where(advance, t0u_e, jnp.where(subdiv, t0u_s, t0u))
+        dt = jnp.where(advance, dt_e, jnp.where(subdiv, dt_s, dt))
+
+    return rec_t0, rec_t1, rec_n, cnt, ~done
+
+
 def make_lockstep_call(IT, n_chunks, chunk=LOCKSTEP_CHUNK, interpret=False):
     assert 21 + 3 * IT + 3 <= 128, "IT too large for the 128-lane table"
     C = chunk
-    kxp = kernel_xp()
     f32 = jnp.float32
     col_cnt = 22 + 3 * IT
     col_ovf = 23 + 3 * IT
 
     def kernel(in_ref, out_ref, scratch):
-        from ..pipeline.flatten import _pq_at
-
         win = in_ref[...]  # (C, 128)
         win = jnp.where(win == win, win, 0.0)  # NaN-scrub for the MXU pass
         tw = _transpose_mxu(win, 128)  # (128, C): row k = column k
@@ -87,75 +167,19 @@ def make_lockstep_call(IT, n_chunks, chunk=LOCKSTEP_CHUNK, interpret=False):
         P = tuple(r(k) for k in range(8))
         offset, scale = r(8), r(9)
         act = r(COL_VALID) > 0.5
-        degenerate = (
-            (P[0] == P[2]) & (P[1] == P[3]) & (P[0] == P[4]) & (P[1] == P[5])
-            & (P[0] == P[6]) & (P[1] == P[7])
-        )
-        act = act & ~degenerate
 
-        zero = jnp.zeros((1, C), f32)
-        # Interval counter as i32: dt >= SUBDIV_LIMIT = 2^-16 bounds it
-        # at 65536 (Mosaic has no u32->f32 cast; the XLA path's u32
-        # overflow clamp is unreachable defensive code).
-        t0u = jnp.zeros((1, C), jnp.int32)
-        dt = jnp.ones((1, C), f32)
-        lpx, lpy = P[0], P[1]
-        lqx, lqy = P[2] - P[0], P[3] - P[1]
-        small = lqx * lqx + lqy * lqy < fm.DERIV_THRESH * fm.DERIV_THRESH
-        _, _, q2x, q2y = fm.eval_cubic_and_deriv(*P, f32(fm.DERIV_EPS))
-        lqx = jnp.where(small, q2x, lqx)
-        lqy = jnp.where(small, q2y, lqy)
-        last_t = zero
-        done = ~act
+        rec_t0, rec_t1, rec_n, cnt, not_done = lockstep_walk(
+            P, offset, scale, act, IT
+        )
 
         scratch[:, :] = jnp.zeros(scratch.shape, jnp.float32)
         scratch[0:21, :] = tw[0:21, :]
-        cnt = zero
         for it in range(IT):
-            t0 = t0u.astype(f32) * dt
-            done = done | (t0 == 1.0)
-            t1 = t0 + dt
-            p1x, p1y, q1x, q1y, t1 = _pq_at(kxp, P, t1)
-            actual_dt = t1 - last_t
-            th0, th1, chord_len, err = fm.cubic_params_from_points_derivs(
-                kxp, lpx, lpy, p1x, p1y, lqx, lqy, q1x, q1y, actual_dt
-            )
-            emit = (err * scale <= fm.FLATTEN_TOL) | (dt <= fm.SUBDIV_LIMIT)
-            do_emit = emit & ~done
-
-            k0, k1, ch = fm.euler_params_from_angles(th0, th1)
-            n, _, _, _, _, _, _ = fm.espc_subdivision(
-                kxp, k0, k1, ch, chord_len, offset, scale
-            )
-            n = jnp.where(jnp.isnan(n), f32(1.0), n)
-            n = jnp.where(do_emit, n, 0.0)
-
-            scratch[21 + it : 22 + it, :] = jnp.where(do_emit, last_t, 0.0)
-            scratch[21 + IT + it : 22 + IT + it, :] = jnp.where(do_emit, t1, 0.0)
-            scratch[21 + 2 * IT + it : 22 + 2 * IT + it, :] = n
-            cnt = cnt + n
-
-            lpx = jnp.where(do_emit, p1x, lpx)
-            lpy = jnp.where(do_emit, p1y, lpy)
-            lqx = jnp.where(do_emit, q1x, lqx)
-            lqy = jnp.where(do_emit, q1y, lqy)
-            last_t = jnp.where(do_emit, t1, last_t)
-
-            t0u_e = t0u + 1
-            low = t0u_e & (-t0u_e)
-            shift = jnp.log2(low.astype(f32)).astype(jnp.int32)
-            t0u_e = t0u_e >> shift
-            dt_e = dt * jnp.exp2(shift.astype(f32))
-            t0u_s = jnp.minimum(t0u * 2, jnp.int32(0x3FFFFFFF))
-            dt_s = dt * 0.5
-
-            advance = emit & ~done
-            subdiv = ~emit & ~done
-            t0u = jnp.where(advance, t0u_e, jnp.where(subdiv, t0u_s, t0u))
-            dt = jnp.where(advance, dt_e, jnp.where(subdiv, dt_s, dt))
-
+            scratch[21 + it : 22 + it, :] = rec_t0[it]
+            scratch[21 + IT + it : 22 + IT + it, :] = rec_t1[it]
+            scratch[21 + 2 * IT + it : 22 + 2 * IT + it, :] = rec_n[it]
         scratch[col_cnt : col_cnt + 1, :] = cnt
-        scratch[col_ovf : col_ovf + 1, :] = jnp.where(done, 0.0, 1.0)
+        scratch[col_ovf : col_ovf + 1, :] = not_done.astype(f32)
         out_ref[...] = _transpose_mxu(scratch[...], C)
 
     return pl.pallas_call(
