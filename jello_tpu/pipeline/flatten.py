@@ -795,13 +795,46 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     is_stroke = cur(is_stroke_e)
     T = [cur(t) for t in T_e]
 
-    g = slot_geometry(
-        xp, tags, nxt(tags_e), pts_raw, [nxt(a) for a in pts_raw_e],
-        seg_type0, nxt(seg_type0_e), is_stroke, nxt(is_stroke_e),
-        style_flags, linewidth, miter_limit, T, path_idx, active,
-        n_paths_cap,
+    # Fused geometry+walk megakernel (tpu/flatten_geom_pallas.py): the
+    # whole per-slot portion — slot_geometry, both lockstep walks and
+    # the record tables — runs as one streaming Pallas kernel; XLA only
+    # compacts the output rows to the active worklists below.
+    use_geom_pallas = (
+        caps.get("_geom_pallas")
+        and ops.is_jax(xp)
+        and IT <= 32
+        and not caps.get("_stats_only")
     )
-    act_a, act_b = g["act_a"], g["act_b"]
+    if use_geom_pallas:
+        from ..tpu import flatten_geom_pallas as fgp
+
+        geom_cols = list(pts_raw_e) + [
+            tags_e.astype(f32),
+            (style_flags_e & xp.uint32(0x3F000000)).astype(f32),
+            is_stroke_e.astype(f32),
+            linewidth_e,
+            f16_to_f32(
+                xp, (style_flags_e & MITER_LIMIT_MASK).astype(xp.uint32)
+            ),
+        ] + list(T_e) + [
+            path_idx_e.astype(f32),
+            active_e.astype(f32),
+        ]
+        outA_e, outB_e, outS_e = fgp.flatten_geom_tables(
+            xp, geom_cols, IT, n_paths_cap, caps
+        )
+        outA, outB, outS = cur(outA_e), cur(outB_e), cur(outS_e)
+        g = None
+        act_a = outS[:, fgp.S_ACT_A] > 0.5
+        act_b = outS[:, fgp.S_ACT_B] > 0.5
+    else:
+        g = slot_geometry(
+            xp, tags, nxt(tags_e), pts_raw, [nxt(a) for a in pts_raw_e],
+            seg_type0, nxt(seg_type0_e), is_stroke, nxt(is_stroke_e),
+            style_flags, linewidth, miter_limit, T, path_idx, active,
+            n_paths_cap,
+        )
+        act_a, act_b = g["act_a"], g["act_b"]
 
     # Compact the euler work to actual segment slots before the
     # lockstep walk: the loop body is transcendental-heavy, so running
@@ -820,11 +853,13 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # One packed [N, 21] table per pass + one row gather each replaces
     # ~21 independent element gathers per pass (gathers cost per row,
     # not per byte).
-    tabA_N = xp.stack(g["tabA"], axis=1)
-    tabB_N = xp.stack(g["tabB"], axis=1)
-    rowsA = ops.gather_guarded(xp, tabA_N, wl_a)
-    rowsB = ops.gather_guarded(xp, tabB_N, wl_b)
-    # Lockstep walk placement: inside a Pallas kernel (the default on
+    if not use_geom_pallas:
+        tabA_N = xp.stack(g["tabA"], axis=1)
+        tabB_N = xp.stack(g["tabB"], axis=1)
+        rowsA = ops.gather_guarded(xp, tabA_N, wl_a)
+        rowsB = ops.gather_guarded(xp, tabB_N, wl_b)
+    # Lockstep walk placement: inside the fused geometry megakernel
+    # (already ran above), inside a Pallas kernel (the default on
     # the Pallas path — tpu/lockstep_pallas.py) or as the XLA
     # while_loop below.
     use_lockstep_pallas = (
@@ -833,7 +868,7 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         and IT <= 32
         and not caps.get("_no_lockstep_pallas")
     )
-    if not use_lockstep_pallas:
+    if not use_geom_pallas and not use_lockstep_pallas:
         PA_w = [rowsA[:, i] for i in range(8)]
         PB_w = [rowsB[:, i] for i in range(8)]
         rec_a = lockstep_euler_pass(
@@ -854,11 +889,32 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
 
     # Euler lines.
     EC = caps["euler_line_cap"]
-    table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
 
-    if use_lockstep_pallas:
+    if use_geom_pallas:
+        # Compact the megakernel's pre-walked record rows to the active
+        # worklists (two row gathers; width is nearly free on this
+        # fabric) and expand. Rows past the real worklist come back
+        # index-clamped from gather_guarded — zero them so their count
+        # column contributes the same one dead slot as the unfused path.
+        from ..tpu.lockstep_pallas import lockstep_tables_expansion
+
+        recA = xp.where(
+            wla_valid[:, None], ops.gather_guarded(xp, outA, wl_a), 0.0
+        )
+        recB = xp.where(
+            wlb_valid[:, None], ops.gather_guarded(xp, outB, wl_b), 0.0
+        )
+        (e_x0, e_y0, e_x1, e_y1, e_path, e_valid, e_total, e_real,
+         ovf_ls) = lockstep_tables_expansion(
+            xp, xp.concatenate([recA, recB], axis=0), IT, EC,
+            n_paths_cap, caps
+        )
+        overflow_euler = ovf_ls | (na > NWA) | (nb > NWB)
+        lockstep_iters = xp.int32(IT)
+    elif use_lockstep_pallas:
         from ..tpu.lockstep_pallas import flatten_lockstep_expansion
 
+        table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
         wvalid = xp.concatenate([wla_valid, wlb_valid])
         (e_x0, e_y0, e_x1, e_y1, e_path, e_valid, e_total, e_real,
          ovf_ls) = flatten_lockstep_expansion(
@@ -874,6 +930,7 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         # (tpu/expand_pallas.flatten_euler_expansion).
         from ..tpu.expand_pallas import flatten_euler_expansion
 
+        table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
         wn = xp.concatenate(
             [xp.sum(rec_a[2], axis=0), xp.sum(rec_b[2], axis=0)]
         ).astype(xp.int32)
@@ -891,6 +948,7 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         # Records come back iteration-major [IT, NW]; flatten
         # worklist-major so a work item's records are contiguous in
         # emission order.
+        table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
         slot_major = lambda r: xp.transpose(r).reshape(-1)
         recs_n = xp.concatenate([slot_major(rec_a[2]), slot_major(rec_b[2])])
         recs_t0 = xp.concatenate([slot_major(rec_a[0]), slot_major(rec_b[0])])
@@ -954,16 +1012,30 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
 
     # Simple lines (device-space already; one packed row gather).
     SC = caps["simple_line_cap"]
-    s_counts = xp.concatenate(
-        [sl[0].astype(xp.int32) for sl in g["s_lines"]]
-    )
     fpath = path_idx.astype(f32)
-    stab = xp.stack(
-        [xp.concatenate([g["s_lines"][k][c] for k in range(3)])
-         for c in range(1, 5)]
-        + [xp.concatenate([fpath, fpath, fpath])],
-        axis=1,
-    )  # [3N, 5]
+    if use_geom_pallas:
+        from ..tpu import flatten_geom_pallas as fgp
+
+        s_cols = [
+            [outS[:, fgp.S_SL + 5 * k + c] for k in range(3)]
+            for c in range(5)
+        ]
+        s_counts = xp.concatenate(s_cols[0]).astype(xp.int32)
+        stab = xp.stack(
+            [xp.concatenate(s_cols[c]) for c in range(1, 5)]
+            + [xp.concatenate([fpath, fpath, fpath])],
+            axis=1,
+        )  # [3N, 5]
+    else:
+        s_counts = xp.concatenate(
+            [sl[0].astype(xp.int32) for sl in g["s_lines"]]
+        )
+        stab = xp.stack(
+            [xp.concatenate([g["s_lines"][k][c] for k in range(3)])
+             for c in range(1, 5)]
+            + [xp.concatenate([fpath, fpath, fpath])],
+            axis=1,
+        )  # [3N, 5]
     s_rec, _, s_valid, _, s_total = expand_by_counts(
         xp, s_counts, _cap(s_counts, SC)
     )
@@ -975,14 +1047,20 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # Arc lines (one packed [N, 15] row gather instead of 14 element
     # gathers).
     AC = caps["arc_line_cap"]
-    arc_n = g["arc_n"]
+    if use_geom_pallas:
+        arc_n = outS[:, fgp.S_ARC_N]
+        arc_geom = [outS[:, fgp.S_ARC_GEOM + j] for j in range(6)]
+        arc_theta_c = outS[:, fgp.S_ARC_THETA]
+    else:
+        arc_n = g["arc_n"]
+        arc_geom = [g["arc_bx"], g["arc_by"], g["arc_ex"], g["arc_ey"],
+                    g["arc_cx"], g["arc_cy"]]
+        arc_theta_c = g["arc_theta"]
     a_rec, a_i, a_valid, a_excl, a_total = expand_by_counts(
         xp, arc_n, _cap(arc_n, AC)
     )
     atab = xp.stack(
-        [g["arc_bx"], g["arc_by"], g["arc_ex"], g["arc_ey"],
-         g["arc_cx"], g["arc_cy"], g["arc_theta"], arc_n]
-        + list(T) + [fpath],
+        arc_geom + [arc_theta_c, arc_n] + list(T) + [fpath],
         axis=1,
     )
     arow = ops.gather_guarded(xp, atab, a_rec)

@@ -16,6 +16,7 @@ bump-failure protocol of renderer/render.go:458-461 as an actual loop).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -54,6 +55,12 @@ class Renderer:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # Fused flatten geometry megakernel (tpu/flatten_geom_pallas.py)
+        # — opt-in until measured faster than the split path on the
+        # real chip (flip the default with the measurement).
+        self.use_geom_pallas = (
+            use_pallas and os.environ.get("JELLO_GEOM_PALLAS", "") == "1"
+        )
         # Per-compile wall times [(n_caps_items_hash, seconds, was_new)]
         # — warmup is dominated by server-side XLA compiles on the
         # tunneled fabric, so every new executable is tracked
@@ -307,6 +314,8 @@ class Renderer:
             # (tpu/coverage_pallas.py).
             routing["_expand_pallas"] = True
             routing["_coverage_pallas"] = True
+            if self.use_geom_pallas:
+                routing["_geom_pallas"] = True
         caps = dict(caps)
         caps.update(routing)
 
