@@ -159,6 +159,30 @@ def bench_one(scene, params, iters, label=""):
     }
 
 
+def _device_discovery_watchdog(timeout_s=900):
+    """The axon tunnel can wedge so hard that jax.devices() blocks
+    forever (observed 2026-08-17: >5 h unreachable). Emit an error JSON
+    line and hard-exit if discovery doesn't finish in time, so the
+    driver records *something* instead of hanging. Armed only until
+    discovery succeeds — slow compiles are never interrupted."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "config5_ms_frame", "value": None, "unit": "ms",
+                "vs_baseline": 0.0,
+                "extra": {"error": f"device discovery timed out after "
+                                   f"{timeout_s}s (tunnel down)"},
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=5)
@@ -169,6 +193,7 @@ def main():
     ap.add_argument("--no-parity", action="store_true")
     args = ap.parse_args()
 
+    discovery_done = _device_discovery_watchdog()
     import jax
 
     from jello_tpu.renderer.params import AaConfig, RenderParams  # noqa: F401
@@ -176,6 +201,8 @@ def main():
 
     t_start = time.time()
     extra = {"backend": jax.default_backend()}
+    jax.devices()
+    discovery_done.set()
 
     def make(cfg):
         if cfg == 5:

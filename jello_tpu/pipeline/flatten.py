@@ -766,18 +766,9 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # exactly one shard, so a cross-device psum combines the arrays.
     n_paths_cap = caps["n_paths_cap"]
     marker = active & ((tags & PATH_TAG_PATH) != 0)
-    df = xp.where(
-        (style_flags & FLAGS_FILL_BIT) == 0,
-        xp.uint32(0),
-        xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
-    )
     tgt_idx = xp.where(marker, path_idx, n_paths_cap)
-    path_draw_flags = ops.scatter_set(
-        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, df
-    )
-    path_trans_idx = ops.scatter_set(
-        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, trans_idx
-    )
+    # (df + the two marker scatters move below the megakernel branch so
+    # the decode-fused mode can source the fill bit from the kernel.)
 
     # Segment decode (over the extended range so nxt() stays local).
     base_words_e = layout["path_data_base"] + seg_off_e
@@ -805,7 +796,33 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         and IT <= 32
         and not caps.get("_stats_only")
     )
-    if use_geom_pallas:
+    geom_decode = bool(caps.get("_geom_decode")) and use_geom_pallas
+    if geom_decode:
+        # Decode-fused mode: the kernel fetches points/styles/transforms
+        # from scene windows itself; the S8 row table and its three
+        # megarow gathers above become dead code XLA eliminates.
+        from ..tpu import flatten_geom_pallas as fgp
+
+        wrap_s = (style_idx_e & xp.uint32(0x80000000)) != 0
+        sty_word = (
+            layout["style_base"]
+            + xp.where(wrap_s, xp.uint32(0), style_idx_e)
+        ).astype(xp.int32)
+        wrap_t = (trans_idx_e & xp.uint32(0x80000000)) != 0
+        tr_word = (
+            layout["transform_base"]
+            + xp.uint32(6) * xp.where(wrap_t, xp.uint32(0), trans_idx_e)
+        ).astype(xp.int32)
+        outA_e, outB_e, outS_e = fgp.flatten_geom_tables_decode(
+            xp, scene, tags_e.astype(f32), base_words_e.astype(xp.int32),
+            sty_word, tr_word, path_idx_e.astype(f32),
+            active_e.astype(f32), IT, n_paths_cap, caps,
+        )
+        outA, outB, outS = cur(outA_e), cur(outB_e), cur(outS_e)
+        g = None
+        act_a = outS[:, fgp.S_ACT_A] > 0.5
+        act_b = outS[:, fgp.S_ACT_B] > 0.5
+    elif use_geom_pallas:
         from ..tpu import flatten_geom_pallas as fgp
 
         geom_cols = list(pts_raw_e) + [
@@ -835,6 +852,28 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
             n_paths_cap,
         )
         act_a, act_b = g["act_a"], g["act_b"]
+
+    # Per-path draw flags / transform index, written at path-marker
+    # slots (flatten.go:675-683). Under a shard each marker slot lives
+    # in exactly one shard, so a cross-device psum combines the arrays.
+    if geom_decode:
+        df = xp.where(
+            outS[:, fgp.S_FILL] > 0.5,
+            xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
+            xp.uint32(0),
+        )
+    else:
+        df = xp.where(
+            (style_flags & FLAGS_FILL_BIT) == 0,
+            xp.uint32(0),
+            xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
+        )
+    path_draw_flags = ops.scatter_set(
+        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, df
+    )
+    path_trans_idx = ops.scatter_set(
+        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, trans_idx
+    )
 
     # Compact the euler work to actual segment slots before the
     # lockstep walk: the loop body is transcendental-heavy, so running
@@ -1059,8 +1098,13 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     a_rec, a_i, a_valid, a_excl, a_total = expand_by_counts(
         xp, arc_n, _cap(arc_n, AC)
     )
+    # Decode-fused mode sources the transform from the kernel so the
+    # XLA transform gather stays dead.
+    T_arc = (
+        [outS[:, fgp.S_T6 + i] for i in range(6)] if geom_decode else T
+    )
     atab = xp.stack(
-        arc_geom + [arc_theta_c, arc_n] + list(T) + [fpath],
+        arc_geom + [arc_theta_c, arc_n] + list(T_arc) + [fpath],
         axis=1,
     )
     arow = ops.gather_guarded(xp, atab, a_rec)

@@ -65,6 +65,9 @@ S_SL = 2          # 3 simple-line slots x (valid, x0, y0, x1, y1)
 S_ARC_N = 17
 S_ARC_THETA = 18
 S_ARC_GEOM = 19   # bx, by, ex, ey, cx, cy
+# Decode-mode extras (so XLA's style/transform gathers DCE entirely):
+S_FILL = 25       # style fill-rule bit (drives path_draw_flags)
+S_T6 = 26         # the slot's transform (drives the arc table)
 S_COLS = 32
 
 
@@ -76,19 +79,164 @@ def _scrub(v):
     return jnp.where(jnp.abs(v) <= 3e38, v, 0.0)
 
 
+# --- In-kernel scene decode (the `_geom_decode` mode) ------------------
+#
+# Path-data / style / transform word offsets are MONOTONE in tag index
+# with bounded per-slot advance (<= 6 words), so each chunk's reads live
+# in one small aligned window of the scene buffer (the property
+# BASELINE.md records as enabling this fusion). Words are fetched from
+# the window with ONE one-hot MXU contraction per window: u32 words
+# split into two exact-f32 u16 halves, lanes selected by a (128, K*C)
+# one-hot, rows by a mask + sublane reduction. This replaces XLA's
+# shifted-scene row table + three megarow gathers
+# (pipeline/flatten.py::_read_points/_transform_read and the style rows).
+
+# Scene window heights (rows of 128 words). Span bound per chunk:
+# <= 1023 (alignment) + 6*(C+1) + 8 words = 2573 @ C=256 -> 21 rows.
+PTS_WROWS = 32
+STY_WROWS = 16  # style advances <= 2 words/slot -> 1543 words max
+TR_WROWS = 32
+
+
+def _fetch_words(win_u32, local, K):
+    """win_u32: (Wr, 128) scene window; local: (1, C) i32 word offsets
+    relative to the window start. Returns K i32 (1, C) vectors =
+    window[local + k], 0 where local+k is outside the window."""
+    Wr = win_u32.shape[0]
+    C = local.shape[1]
+    f32 = jnp.float32
+    i32 = jnp.int32
+    wi = win_u32.astype(i32)
+    lo = (wi & 0xFFFF).astype(f32)
+    hi = ((wi >> 16) & 0xFFFF).astype(f32)
+    pos = jnp.concatenate([local + k for k in range(K)], axis=1)  # (1, K*C)
+    inb = (pos >= 0) & (pos < Wr * 128)
+    pc = jnp.clip(pos, 0, Wr * 128 - 1)
+    lane = pc & 127
+    row = pc >> 7
+    ohL = (
+        jax.lax.broadcasted_iota(i32, (128, K * C), 0) == lane
+    ).astype(f32)
+    contract = (((1,), (0,)), ((), ()))
+    sel_lo = jax.lax.dot_general(
+        lo, ohL, contract, preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Wr, K*C)
+    sel_hi = jax.lax.dot_general(
+        hi, ohL, contract, preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rmask = (
+        jax.lax.broadcasted_iota(i32, (Wr, K * C), 0) == row
+    ).astype(f32)
+    v_lo = jnp.sum(sel_lo * rmask, axis=0, keepdims=True)  # (1, K*C)
+    v_hi = jnp.sum(sel_hi * rmask, axis=0, keepdims=True)
+    w = v_lo.astype(i32) | (v_hi.astype(i32) << 16)
+    w = jnp.where(inb, w, 0)
+    return [w[:, k * C : (k + 1) * C] for k in range(K)]
+
+
+def _f16_bits_to_f32(b):
+    """IEEE binary16 bits (i32 in [0, 65535]) -> f32, exactly
+    (flatten.py::f16_to_f32 without the u16/f16 dtypes Mosaic lacks)."""
+    sign = (b >> 15) & 1
+    exp = (b >> 10) & 0x1F
+    man = (b & 0x3FF).astype(jnp.float32)
+    v = jnp.where(
+        exp == 0,
+        man * jnp.float32(2.0 ** -24),
+        jnp.exp2((exp - 15).astype(jnp.float32))
+        * (1.0 + man * jnp.float32(2.0 ** -10)),
+    )
+    v = jnp.where(exp == 31, jnp.float32(3e38), v)
+    return jnp.where(sign == 1, -v, v)
+
+
+def _decode_points(words, tag_i32):
+    """flatten.py::_read_points' f32/i16 decode on fetched words."""
+    is_f32 = (tag_i32 & 8) != 0
+
+    def rdf(k):
+        return pltpu.bitcast(words[k], jnp.float32)
+
+    def rdi16(k):
+        w = words[k]
+        x = ((w << 16) >> 16).astype(jnp.float32)
+        y = (w >> 16).astype(jnp.float32)
+        return x, y
+
+    i0x, i0y = rdi16(0)
+    i1x, i1y = rdi16(1)
+    i2x, i2y = rdi16(2)
+    i3x, i3y = rdi16(3)
+    return [
+        jnp.where(is_f32, rdf(0), i0x),
+        jnp.where(is_f32, rdf(1), i0y),
+        jnp.where(is_f32, rdf(2), i1x),
+        jnp.where(is_f32, rdf(3), i1y),
+        jnp.where(is_f32, rdf(4), i2x),
+        jnp.where(is_f32, rdf(5), i2y),
+        jnp.where(is_f32, rdf(6), i3x),
+        jnp.where(is_f32, rdf(7), i3y),
+    ]
+
+
+def _geometry_walks_emit(kxp, args, IT, n_paths_cap, sA, sB, sS,
+                         outA, outB, outS, C, extras=()):
+    """Shared kernel tail: slot_geometry + both walks + output writes."""
+    from ..pipeline.flatten import slot_geometry
+
+    f32 = jnp.float32
+    col_cnt = 22 + 3 * IT
+    col_ovf = 23 + 3 * IT
+
+    g = slot_geometry(kxp, *args, n_paths_cap)
+
+    for scratch, tab, act, out in (
+        (sA, g["tabA"], g["act_a"], outA),
+        (sB, g["tabB"], g["act_b"], outB),
+    ):
+        rec_t0, rec_t1, rec_n, cnt, not_done = lockstep_walk(
+            tuple(tab[:8]), tab[8], tab[9], act, IT
+        )
+        scratch[:, :] = jnp.zeros(scratch.shape, f32)
+        for k in range(21):
+            scratch[k : k + 1, :] = _scrub(tab[k])
+        for it in range(IT):
+            scratch[21 + it : 22 + it, :] = rec_t0[it]
+            scratch[21 + IT + it : 22 + IT + it, :] = rec_t1[it]
+            scratch[21 + 2 * IT + it : 22 + 2 * IT + it, :] = rec_n[it]
+        scratch[col_cnt : col_cnt + 1, :] = cnt
+        scratch[col_ovf : col_ovf + 1, :] = not_done.astype(f32)
+        out[...] = _transpose_mxu(scratch[...], C)
+
+    sS[:, :] = jnp.zeros(sS.shape, f32)
+    sS[S_ACT_A : S_ACT_A + 1, :] = g["act_a"].astype(f32)
+    sS[S_ACT_B : S_ACT_B + 1, :] = g["act_b"].astype(f32)
+    for k, (sv, x0, y0, x1, y1) in enumerate(g["s_lines"]):
+        base = S_SL + 5 * k
+        sS[base : base + 1, :] = sv.astype(f32)
+        for j, v in enumerate((x0, y0, x1, y1)):
+            sS[base + 1 + j : base + 2 + j, :] = _scrub(v)
+    sS[S_ARC_N : S_ARC_N + 1, :] = _scrub(g["arc_n"])
+    sS[S_ARC_THETA : S_ARC_THETA + 1, :] = _scrub(g["arc_theta"])
+    for j, key in enumerate(
+        ("arc_bx", "arc_by", "arc_ex", "arc_ey", "arc_cx", "arc_cy")
+    ):
+        sS[S_ARC_GEOM + j : S_ARC_GEOM + j + 1, :] = _scrub(g[key])
+    for col, v in extras:
+        sS[col : col + 1, :] = v
+    outS[...] = _transpose_mxu(sS[...], C)
+
+
 def make_geom_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
                    interpret=False):
     assert 23 + 3 * IT < 128, "IT too large for the 128-lane table"
     C = chunk
     W = C + 8
-    f32 = jnp.float32
     i32 = jnp.int32
-    col_cnt = 22 + 3 * IT
-    col_ovf = 23 + 3 * IT
 
     def kernel(tab_hbm, outA, outB, outS, win, sA, sB, sS, sem):
-        from ..pipeline.flatten import slot_geometry
-
         c = pl.program_id(0)
         ws = pl.multiple_of(c * C, 8)
         dma = pltpu.make_async_copy(
@@ -111,56 +259,15 @@ def make_geom_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
         kxp = kernel_xp()
         tag = r(8).astype(i32)
         tagn = rn(8).astype(i32)
-        seg0 = tag & 3
-        seg0n = tagn & 3
-        style_jc = r(9).astype(i32)
-        is_stroke = r(10) > 0.5
-        is_stroken = rn(10) > 0.5
-        active = r(20) > 0.5
-
-        g = slot_geometry(
-            kxp, tag, tagn,
+        args = (
+            tag, tagn,
             [r(k) for k in range(8)], [rn(k) for k in range(8)],
-            seg0, seg0n, is_stroke, is_stroken,
-            style_jc, r(11), r(12), [r(13 + i) for i in range(6)],
-            r(19), active, n_paths_cap,
+            tag & 3, tagn & 3, r(10) > 0.5, rn(10) > 0.5,
+            r(9).astype(i32), r(11), r(12),
+            [r(13 + i) for i in range(6)], r(19), r(20) > 0.5,
         )
-
-        for scratch, tab, act in (
-            (sA, g["tabA"], g["act_a"]),
-            (sB, g["tabB"], g["act_b"]),
-        ):
-            rec_t0, rec_t1, rec_n, cnt, not_done = lockstep_walk(
-                tuple(tab[:8]), tab[8], tab[9], act, IT
-            )
-            scratch[:, :] = jnp.zeros(scratch.shape, f32)
-            for k in range(21):
-                scratch[k : k + 1, :] = _scrub(tab[k])
-            for it in range(IT):
-                scratch[21 + it : 22 + it, :] = rec_t0[it]
-                scratch[21 + IT + it : 22 + IT + it, :] = rec_t1[it]
-                scratch[21 + 2 * IT + it : 22 + 2 * IT + it, :] = rec_n[it]
-            scratch[col_cnt : col_cnt + 1, :] = cnt
-            scratch[col_ovf : col_ovf + 1, :] = not_done.astype(f32)
-
-        sS[:, :] = jnp.zeros(sS.shape, f32)
-        sS[S_ACT_A : S_ACT_A + 1, :] = g["act_a"].astype(f32)
-        sS[S_ACT_B : S_ACT_B + 1, :] = g["act_b"].astype(f32)
-        for k, (sv, x0, y0, x1, y1) in enumerate(g["s_lines"]):
-            base = S_SL + 5 * k
-            sS[base : base + 1, :] = sv.astype(f32)
-            for j, v in enumerate((x0, y0, x1, y1)):
-                sS[base + 1 + j : base + 2 + j, :] = _scrub(v)
-        sS[S_ARC_N : S_ARC_N + 1, :] = _scrub(g["arc_n"])
-        sS[S_ARC_THETA : S_ARC_THETA + 1, :] = _scrub(g["arc_theta"])
-        for j, key in enumerate(
-            ("arc_bx", "arc_by", "arc_ex", "arc_ey", "arc_cx", "arc_cy")
-        ):
-            sS[S_ARC_GEOM + j : S_ARC_GEOM + j + 1, :] = _scrub(g[key])
-
-        outA[...] = _transpose_mxu(sA[...], C)
-        outB[...] = _transpose_mxu(sB[...], C)
-        outS[...] = _transpose_mxu(sS[...], C)
+        _geometry_walks_emit(kxp, args, IT, n_paths_cap, sA, sB, sS,
+                             outA, outB, outS, C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -173,6 +280,124 @@ def make_geom_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
         ],
         scratch_shapes=[
             pltpu.VMEM((W, IN_COLS), jnp.float32),
+            pltpu.VMEM((128, C), jnp.float32),
+            pltpu.VMEM((128, C), jnp.float32),
+            pltpu.VMEM((S_COLS, C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * C, S_COLS), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+# Decode-mode slot-table columns (8 wide; all exactly f32).
+D_TAG = 0
+D_PTS_WORD = 1     # path_data_base + path_seg_offset
+D_STY_WORD = 2     # style_base + style_idx (wrapped pre-style -> base)
+D_TR_WORD = 3      # transform_base + 6 * trans_idx (wrapped -> base)
+D_PATH = 4
+D_ACTIVE = 5
+DEC_COLS = 8
+
+
+def make_geom_decode_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
+                          interpret=False):
+    """The megakernel with the scene decode fused in: fetches segment
+    points, style words and transforms from per-chunk scene windows
+    (see module banner) instead of XLA-decoded input columns."""
+    assert 23 + 3 * IT < 128, "IT too large for the 128-lane table"
+    C = chunk
+    W = C + 8
+    i32 = jnp.int32
+
+    def kernel(ws_pts_s, ws_sty_s, ws_tr_s, scene_hbm, tab_hbm,
+               outA, outB, outS,
+               win, pw, sw, tw, sA, sB, sS, sem):
+        c = pl.program_id(0)
+        ws = pl.multiple_of(c * C, 8)
+        for src, dst in (
+            (tab_hbm.at[pl.ds(ws, W), :], win),
+            (scene_hbm.at[pl.ds(pl.multiple_of(ws_pts_s[c], 8),
+                                PTS_WROWS), :], pw),
+            (scene_hbm.at[pl.ds(pl.multiple_of(ws_sty_s[c], 8),
+                                STY_WROWS), :], sw),
+            (scene_hbm.at[pl.ds(pl.multiple_of(ws_tr_s[c], 8),
+                                TR_WROWS), :], tw),
+        ):
+            dma = pltpu.make_async_copy(src, dst, sem)
+            dma.start()
+            dma.wait()
+
+        w = win[...]
+        w = jnp.where(w == w, w, 0.0)
+        cur = _transpose_mxu(w[0:C], DEC_COLS)
+        nxt = _transpose_mxu(pltpu.roll(w, W - 1, 0)[0:C], DEC_COLS)
+
+        def r(k):
+            return cur[k : k + 1, :]
+
+        def rn(k):
+            return nxt[k : k + 1, :]
+
+        kxp = kernel_xp()
+        tag = r(D_TAG).astype(i32)
+        tagn = rn(D_TAG).astype(i32)
+
+        pts_base = ws_pts_s[c] * 128
+        sty_base = ws_sty_s[c] * 128
+        tr_base = ws_tr_s[c] * 128
+        pts_w = _fetch_words(pw[...], r(D_PTS_WORD).astype(i32) - pts_base, 8)
+        ptsn_w = _fetch_words(pw[...], rn(D_PTS_WORD).astype(i32) - pts_base, 8)
+        sty_w = _fetch_words(sw[...], r(D_STY_WORD).astype(i32) - sty_base, 2)
+        styn_w = _fetch_words(sw[...], rn(D_STY_WORD).astype(i32) - sty_base, 1)
+        tr_w = _fetch_words(tw[...], r(D_TR_WORD).astype(i32) - tr_base, 6)
+
+        pts_raw = _decode_points(pts_w, tag)
+        pts_next = _decode_points(ptsn_w, tagn)
+        flags = sty_w[0]
+        flagsn = styn_w[0]
+        is_stroke = (flags >> 31) != 0
+        is_stroken = (flagsn >> 31) != 0
+        linewidth = pltpu.bitcast(sty_w[1], jnp.float32)
+        miter = _f16_bits_to_f32(flags & 0xFFFF)
+        T6 = [pltpu.bitcast(tr_w[i], jnp.float32) for i in range(6)]
+
+        args = (
+            tag, tagn, pts_raw, pts_next,
+            tag & 3, tagn & 3, is_stroke, is_stroken,
+            flags & 0x3F000000, linewidth, miter, T6,
+            r(D_PATH), r(D_ACTIVE) > 0.5,
+        )
+        extras = [(S_FILL, ((flags >> 30) & 1).astype(jnp.float32))]
+        extras += [(S_T6 + i, _scrub(T6[i])) for i in range(6)]
+        _geometry_walks_emit(kxp, args, IT, n_paths_cap, sA, sB, sS,
+                             outA, outB, outS, C, extras=extras)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # scene2d
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # slot table
+        ],
+        out_specs=[
+            pl.BlockSpec((C, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((C, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((C, S_COLS), lambda c, *_: (c, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, DEC_COLS), jnp.float32),
+            pltpu.VMEM((PTS_WROWS, 128), jnp.uint32),
+            pltpu.VMEM((STY_WROWS, 128), jnp.uint32),
+            pltpu.VMEM((TR_WROWS, 128), jnp.uint32),
             pltpu.VMEM((128, C), jnp.float32),
             pltpu.VMEM((128, C), jnp.float32),
             pltpu.VMEM((S_COLS, C), jnp.float32),
@@ -206,4 +431,57 @@ def flatten_geom_tables(xp, cols, IT, n_paths_cap, caps):
     tab = tab.at[:N, :21].set(xp.stack(cols, axis=1))
     call = make_geom_call(IT, n_chunks, n_paths_cap, C, interpret=interpret)
     outA, outB, outS = call(tab)
+    return outA[:N], outB[:N], outS[:N]
+
+
+def flatten_geom_tables_decode(xp, scene, tag_col, pts_word, sty_word,
+                               tr_word, path_col, act_col, IT,
+                               n_paths_cap, caps):
+    """Decode-fused variant: the kernel reads segment points, styles and
+    transforms from the scene buffer itself (per-chunk windows at the
+    8-row-aligned starts precomputed here from the monotone offsets).
+
+    tag_col/path_col/act_col: [N] f32; pts_word/sty_word/tr_word: [N]
+    i32 absolute scene word offsets (pre-sanitized: wrapped pre-style /
+    pre-transform indices clamped to their stream base so monotonicity
+    holds for the window sampling).
+    """
+    interpret = bool(caps.get("_expand_interpret", False))
+    N = tag_col.shape[0]
+    C = GEOM_CHUNK
+    n_chunks = max(-(-N // C), 1)
+    Np = n_chunks * C + 8
+    f32 = xp.float32
+    tab = xp.zeros((Np, DEC_COLS), dtype=f32)
+    tab = tab.at[:N, :6].set(xp.stack(
+        [tag_col, pts_word.astype(f32), sty_word.astype(f32),
+         tr_word.astype(f32), path_col, act_col], axis=1))
+
+    S = scene.shape[0]
+    rows = S // 128
+    scene2d = scene[: rows * 128].reshape(rows, 128)
+    min_rows = max(PTS_WROWS, TR_WROWS) + 8
+    if rows < min_rows:
+        scene2d = xp.concatenate(
+            [scene2d,
+             xp.zeros((min_rows - rows, 128), dtype=scene.dtype)]
+        )
+        rows = min_rows
+
+    first = xp.minimum(
+        xp.arange(n_chunks, dtype=xp.int32) * C, max(N - 1, 0)
+    )
+
+    def ws_of(col, wrows):
+        starts = col[first].astype(xp.int32)
+        return xp.clip(starts // 1024 * 8, 0, rows - wrows).astype(xp.int32)
+
+    call = make_geom_decode_call(IT, n_chunks, n_paths_cap, C,
+                                 interpret=interpret)
+    outA, outB, outS = call(
+        ws_of(pts_word, PTS_WROWS),
+        ws_of(sty_word, STY_WROWS),
+        ws_of(tr_word, TR_WROWS),
+        scene2d, tab,
+    )
     return outA[:N], outB[:N], outS[:N]

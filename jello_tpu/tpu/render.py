@@ -316,6 +316,8 @@ class Renderer:
             routing["_coverage_pallas"] = True
             if self.use_geom_pallas:
                 routing["_geom_pallas"] = True
+                if os.environ.get("JELLO_GEOM_DECODE", "") == "1":
+                    routing["_geom_decode"] = True
         caps = dict(caps)
         caps.update(routing)
 

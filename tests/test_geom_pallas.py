@@ -45,7 +45,8 @@ def _scene():
 
 
 @pytest.mark.slow
-def test_geom_megakernel_matches_split_path():
+@pytest.mark.parametrize("decode", [False, True])
+def test_geom_megakernel_matches_split_path(decode):
     scene = _scene()
     params = RenderParams(width=256, height=256,
                           base_color=jt.Color.rgba(1, 1, 1, 1))
@@ -62,6 +63,7 @@ def test_geom_megakernel_matches_split_path():
     fl1 = fmod.flatten_stage(jnp, spj, ldj, dict(caps))
     c2 = dict(caps)
     c2["_geom_pallas"] = True
+    c2["_geom_decode"] = decode
     c2["_expand_pallas"] = True
     c2["_expand_interpret"] = True
     fl2 = fmod.flatten_stage(jnp, spj, ldj, c2)
@@ -85,3 +87,9 @@ def test_geom_megakernel_matches_split_path():
     assert np.abs(
         np.asarray(fl1["path_bbox"]) - np.asarray(fl2["path_bbox"])
     ).max() < 2e-3
+    # Marker-scatter outputs (decode mode sources the fill bit and the
+    # arc transforms from the kernel — must be bit-identical).
+    assert np.array_equal(np.asarray(fl1["path_draw_flags"]),
+                          np.asarray(fl2["path_draw_flags"]))
+    assert np.array_equal(np.asarray(fl1["path_trans_idx"]),
+                          np.asarray(fl2["path_trans_idx"]))
