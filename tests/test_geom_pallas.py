@@ -93,3 +93,45 @@ def test_geom_megakernel_matches_split_path(decode):
                           np.asarray(fl2["path_draw_flags"]))
     assert np.array_equal(np.asarray(fl1["path_trans_idx"]),
                           np.asarray(fl2["path_trans_idx"]))
+
+
+@pytest.mark.slow
+def test_geom_megakernel_full_frame():
+    """End-to-end render_frame with the decode-fused megakernel vs the
+    numpy oracle (the integration seams: caps plumbing, marker
+    scatters, arc transforms, expansion consumption)."""
+    from .test_full_scene import full_scene, PARAMS
+    from jello_tpu.pipeline import render as render_mod
+    from jello_tpu.cpu.pipeline import build_image_atlas
+    from jello_tpu.pipeline.gradient import stops_table_or_empty
+    from jello_tpu.pipeline.fine_ref import assemble_image
+
+    scene = full_scene()
+    ref, flags, caps = render_numpy(scene, PARAMS)
+    assert not any(bool(v) for v in flags.values())
+
+    layout, ramps, images, scene_u32 = Resolver().resolve(scene.encoding)
+    ld = build_layout_dict(layout, PARAMS)
+    atlas = build_image_atlas(images)
+    ramps_arr = stops_table_or_empty(ramps)
+    sp = np.zeros(8192, np.uint32)
+    sp[: len(scene_u32)] = scene_u32
+
+    c2 = dict(caps)
+    c2["_geom_pallas"] = True
+    c2["_geom_decode"] = True
+    c2["_expand_pallas"] = True
+    c2["_expand_interpret"] = True
+    fine_out, out_flags = render_mod.render_frame(
+        jnp,
+        jnp.asarray(sp),
+        {k: jnp.asarray(v) for k, v in ld.items()},
+        jnp.asarray(ramps_arr),
+        jnp.asarray(atlas) if atlas is not None else None,
+        c2,
+    )
+    assert not any(bool(v) for v in out_flags.values())
+    img = assemble_image(np, np.asarray(fine_out), ld)
+    # Geometry through kmath transcendentals: subdivision decisions can
+    # flip on exact ties; pixel error stays well under 1%.
+    assert np.abs(np.asarray(img) - ref).max() < 8e-3
