@@ -792,6 +792,7 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # compacts the output rows to the active worklists below.
     use_geom_pallas = (
         caps.get("_geom_pallas")
+        and caps.get("_expand_pallas")  # the expansion consumer is Pallas
         and ops.is_jax(xp)
         and IT <= 32
         and not caps.get("_stats_only")
