@@ -88,7 +88,8 @@ def _extend_v(t, mode):
     return jnp.where(mode == 0, pad, jnp.where(mode == 1, rep, refl))
 
 
-def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
+def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
+                        with_images=False):
     GRID = caps["tile_grid_cap"]
     C = caps.get("v2_chunk", V2_CHUNK)
     MC = caps.get("cmds_per_tile", 64)
@@ -97,13 +98,23 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
     # earlier); plain ranks advance <= 1 per record, so a chunk spans
     # at most C + MC rows.
     CW = C + MC + COV_SLACK
+    # Image-fg window: image ranks are strictly increasing, so a chunk
+    # spans at most C fg rows (+8 alignment slack).
+    CWI = C + 8
     MAX_STOPS = caps.get("max_stops", 2)
     S = MAX_STOPS
 
-    def kernel(rank_lo_s, trank_lo_s, next_first_s, misc_s, base_s,
-               rec_ref, rows_hbm, stops_ref, out_hbm,
-               cov_win, stag, carry, carry_tile, carry1, carry1_seg,
-               sem, sem_out):
+    def kernel(*args):
+        if with_images:
+            (rank_lo_s, trank_lo_s, next_first_s, irank_lo_s, misc_s,
+             base_s, rec_ref, rows_hbm, stops_ref, fg_hbm, out_hbm,
+             cov_win, fg_win, stag, carry, carry_tile, carry1,
+             carry1_seg, sem, sem_fg, sem_out) = args
+        else:
+            (rank_lo_s, trank_lo_s, next_first_s, misc_s, base_s,
+             rec_ref, rows_hbm, stops_ref, out_hbm,
+             cov_win, stag, carry, carry_tile, carry1, carry1_seg,
+             sem, sem_out) = args
         c = pl.program_id(0)
         wit = misc_s[0]
 
@@ -137,6 +148,7 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
         is_rad = kind == CMD_RAD_GRAD
         is_sweep = kind == CMD_SWEEP_GRAD
         is_grad = is_lin | is_rad | is_sweep
+        is_img = (kind == CMD_IMAGE) if with_images else None
         # Records this kernel paints; everything else (padding, clip
         # markers, image paints, whole tiles routed to the interpreter
         # via flag bit 1) is the identity map. Depth-1 pure-clip groups
@@ -146,7 +158,10 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
         ident2 = (flags & 16) != 0
         end_t = (flags & 32) != 0
         seg1 = flags >> 8  # (C, 1) i32, strictly monotone
-        live = valid & (is_color | is_grad) & ~legacy_tile
+        paintable = is_color | is_grad
+        if with_images:
+            paintable = paintable | is_img
+        live = valid & paintable & ~legacy_tile
         live_f = live.astype(jnp.float32)
 
         # ---- coverage -------------------------------------------------
@@ -312,6 +327,35 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
         gmask = is_grad.astype(jnp.float32)
         fg = [fg[ch] * (1.0 - gmask) + gfg[ch] * gmask for ch in range(4)]
 
+        if with_images:
+            # Image paints: premultiplied fg rows from the image-tap
+            # kernel (tpu/image_tap.py), stored in image-record order.
+            # Align rows to records exactly like coverage: one aligned
+            # window DMA per chunk + a one-hot matmul. The in-bounds
+            # mask is already folded into all four stored channels.
+            i_lo = irank_lo_s[c]
+            istart8 = pl.multiple_of((i_lo // 8) * 8, 8)
+            fdma = pltpu.make_async_copy(
+                fg_hbm.at[pl.ds(istart8, CWI), :], fg_win, sem_fg
+            )
+            fdma.start()
+            fdma.wait()
+            irank = iu(14)
+            ilocal = irank - istart8
+            iota_i = jax.lax.broadcasted_iota(jnp.int32, (C, CWI), 1)
+            ohi = ((iota_i == ilocal) & is_img & valid).astype(jnp.float32)
+            fgt = jax.lax.dot_general(
+                ohi, fg_win[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (C, 1024): 4 channel-planar 256-pixel blocks
+            imask = is_img.astype(jnp.float32)
+            fg = [
+                fg[ch] * (1.0 - imask)
+                + fgt[:, 256 * ch : 256 * (ch + 1)] * imask
+                for ch in range(4)
+            ]
+
         # ---- pass 1: group-product scan ---------------------------------
         # Segments = pass-1 ids (singletons for plain records; one
         # segment per clip group). The inclusive product at an EndClip
@@ -427,25 +471,33 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
             carry[ch : ch + 1, :] = v[ch][C - 1 : C, :]
         carry_tile[0] = tile[C - 1, 0]
 
+    in_specs = [
+        pl.BlockSpec((1, C, 16), lambda c, *s: (c, 0, 0)),  # records
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # cov rows
+        pl.BlockSpec((n_ramp_rows, 128), lambda c, *s: (0, 0)),  # stops
+    ]
+    scratch = [
+        pltpu.VMEM((CW, 256), jnp.float32),             # cov window
+        pltpu.VMEM((C, 4, 256), jnp.float32),           # staging
+        pltpu.VMEM((4, 256), jnp.float32),              # carry value
+        pltpu.SMEM((1,), jnp.int32),                    # carry tile
+        pltpu.VMEM((5, 256), jnp.float32),              # pass-1 carry (A,B)
+        pltpu.SMEM((1,), jnp.int32),                    # pass-1 carry seg
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    n_prefetch = 5  # rank_lo, trank_lo, next_first, misc, base
+    if with_images:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+        scratch.insert(1, pltpu.VMEM((CWI, 1024), jnp.float32))  # fg window
+        scratch.insert(-1, pltpu.SemaphoreType.DMA)              # sem_fg
+        n_prefetch = 6  # + irank_lo
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # rank_lo, trank_lo, next_first, misc, base
+        num_scalar_prefetch=n_prefetch,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, C, 16), lambda c, *s: (c, 0, 0)),  # records
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # cov rows
-            pl.BlockSpec((n_ramp_rows, 128), lambda c, *s: (0, 0)),  # stops
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((CW, 256), jnp.float32),             # cov window
-            pltpu.VMEM((C, 4, 256), jnp.float32),           # staging
-            pltpu.VMEM((4, 256), jnp.float32),              # carry value
-            pltpu.SMEM((1,), jnp.int32),                    # carry tile
-            pltpu.VMEM((5, 256), jnp.float32),              # pass-1 carry (A,B)
-            pltpu.SMEM((1,), jnp.int32),                    # pass-1 carry seg
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
 
     return pl.pallas_call(
@@ -457,14 +509,20 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False):
 
 
 def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
-            interpret=False, precomputed=None):
-    """Record-stream fine pass. Tiles containing clip/image records must
-    be pre-flagged (flag bit 1) and merged by the interpreter
-    (fine_hybrid); with no such tiles this is the whole fine stage.
+            interpret=False, precomputed=None, fg_tab=None):
+    """Record-stream fine pass. Tiles containing nested-clip/blend (and,
+    without an fg table, image) records must be pre-flagged (flag bit 1)
+    and merged by the interpreter (fine_hybrid); with no such tiles this
+    is the whole fine stage.
 
     precomputed: optional (area_blk, area_row_rec, rec) shared with the
     interpreter merge pass so the coverage sweep and record packing run
     once per frame.
+
+    fg_tab: optional [IRC+pad, 1024] premultiplied image-paint rows from
+    the image-tap kernel (tpu/image_tap.py), in image-record order;
+    when given, image records paint here instead of forcing the tile
+    onto the interpreter.
 
     Returns ((compact [GRID+C,4,256] un-premultiplied, tile2rank [GRID]),
     flags)."""
@@ -477,10 +535,18 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     xp = jnp
 
     if precomputed is None:
+        # Standalone (clip-free) call: the caller hasn't packed the
+        # group-scan metadata into the record flags (fine_hybrid does
+        # for the hybrid path), so make every record its own pass-1
+        # segment (bits 8+). Without this the ids are all zero and the
+        # pass-1 scan composes the whole chunk as one group.
+        cmds = dict(cmds)
+        cmds["flags"] = cmds["flags"] | (
+            xp.arange(cmds["flags"].shape[0], dtype=xp.uint32) << 8
+        )
         area_blk, area_row_rec, rows_overflow = compute_area_rows(
             xp, cmds, counted, caps
         )
-        cmds = dict(cmds)
         cmds["area_row"] = area_row_rec
     else:
         area_blk, area_row_rec, rows_overflow = precomputed[:3]
@@ -568,17 +634,46 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     misc = xp.asarray(layout["width_in_tiles"], dtype=xp.int32).reshape(1)
     base = xp.asarray(layout["base_color"], dtype=xp.float32)
 
-    call = make_fine_v2_kernel(caps, NR, n_chunks, interpret=interpret)
-    out = call(
-        rank_lo.astype(xp.int32),
-        trank_lo.astype(xp.int32),
-        next_first.astype(xp.int32),
-        misc,
-        base,
-        rec3,
-        area_blk,
-        stops_pad,
-    )
+    call = make_fine_v2_kernel(caps, NR, n_chunks, interpret=interpret,
+                               with_images=fg_tab is not None)
+    if fg_tab is not None:
+        # Per-chunk fg-window starts: the count of image records before
+        # the chunk (image ranks are strictly increasing, so a chunk
+        # spans at most C rows from there).
+        IRC = caps.get("img_recs_cap", 1024)
+        P = (cmds["kind"] == CMD_IMAGE) & (tile < GRID) & (tile >= 0)
+        P_p = (
+            xp.concatenate([P, xp.zeros(PCpad - PC, dtype=P.dtype)])
+            if PCpad != PC else P
+        )
+        icum = xp.cumsum(P_p.astype(xp.int32))
+        irank_lo = xp.concatenate(
+            [xp.zeros(1, xp.int32), icum[C - 1 :: C][:-1]]
+        )
+        irank_lo = xp.clip(irank_lo, 0, max(IRC - 1, 0))
+        out = call(
+            rank_lo.astype(xp.int32),
+            trank_lo.astype(xp.int32),
+            next_first.astype(xp.int32),
+            irank_lo.astype(xp.int32),
+            misc,
+            base,
+            rec3,
+            area_blk,
+            stops_pad,
+            fg_tab,
+        )
+    else:
+        out = call(
+            rank_lo.astype(xp.int32),
+            trank_lo.astype(xp.int32),
+            next_first.astype(xp.int32),
+            misc,
+            base,
+            rec3,
+            area_blk,
+            stops_pad,
+        )
     flags = {"area_rows_overflow": rows_overflow}
     return (out, tile2rank), flags
 

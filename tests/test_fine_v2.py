@@ -88,3 +88,19 @@ def test_v2_many_small_paths_multi_chunk():
                jt.SolidBrush(jt.Color.rgba(rng.random(), rng.random(), rng.random(), 0.7)),
                None, p)
     _check(s, RenderParams(width=256, height=256, base_color=jt.Color.rgba(1, 1, 1, 1)))
+
+
+def test_v2_standalone_overlap_fast():
+    """FAST-SUITE guard for the standalone fine_v2 path (the production
+    _fine_mode="v2" routing for clip-free frames): two translucent
+    fills overlapping in the same tile compose record-by-record only if
+    the wrapper packs singleton pass-1 segment ids — with ids all zero
+    the pass-1 scan composes the whole chunk as one group (the round-3
+    regression that hid behind the slow marker)."""
+    s = jt.Scene()
+    s.fill(jt.Fill.NON_ZERO, IDENT, jt.SolidBrush(jt.Color.rgba(1, 0, 0, 0.6)),
+           None, jt.BezPath().move_to(4, 4).line_to(40, 8).line_to(30, 44).close())
+    s.fill(jt.Fill.NON_ZERO, IDENT, jt.SolidBrush(jt.Color.rgba(0, 0, 1, 0.5)),
+           None, jt.BezPath().move_to(10, 6).line_to(44, 20).line_to(14, 40).close())
+    _check(s, RenderParams(width=64, height=64,
+                           base_color=jt.Color.rgba(1, 1, 1, 1)))
