@@ -298,7 +298,10 @@ def classify_legacy_tiles(xp, cmds, caps):
 
     A tile is "legacy" iff its command tape contains anything the
     record-stream fine kernel's affine formulation cannot express:
-      - an image paint (texture taps),
+      - an image paint (texture taps) — unless the image-tap kernel is
+        on (caps["_image_tap"], tpu/image_tap.py), which feeds fine_v2
+        premultiplied per-record fg rows so image paints compose in the
+        affine scan like any fill,
       - a non-trivial blend group (flags bit 3, packed by
         build_commands: mix/compose beyond pure src-over clip, or
         group alpha != 1),
@@ -333,7 +336,10 @@ def classify_legacy_tiles(xp, cmds, caps):
     d_excl = xp.where(in_grid, g - g0, 0)
 
     nested = is_begin & (d_excl >= 1)
-    bad = (is_img | nested | (is_blend & (is_begin | is_end))) & in_grid
+    bad = nested | (is_blend & (is_begin | is_end))
+    if not caps.get("_image_tap"):
+        bad = bad | is_img
+    bad = bad & in_grid
     lt = ops.scatter_max(
         xp,
         xp.zeros(GRID + 1, dtype=xp.int32),

@@ -182,8 +182,21 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
     # classification fine_hybrid uses so the host calibration sees the
     # same count the device pass will.
     _lt, _, _, _ = coarse_mod.classify_legacy_tiles(xp, cmds, caps)
+    # Image-record count: sizes the image-tap kernel grid
+    # (tpu/image_tap.py; same predicate as its compaction).
+    from ..pipeline.coarse import CMD_IMAGE as _CMD_IMAGE
+
+    _tile32 = cmds["tile"].astype(xp.int32)
+    _img_recs = xp.sum(
+        (
+            (cmds["kind"] == _CMD_IMAGE)
+            & (_tile32 < caps["tile_grid_cap"])
+            & (_tile32 >= 0)
+        ).astype(xp.int32)
+    )
     stats = {
         "legacy_tiles": xp.sum(_lt),
+        "img_recs": _img_recs,
         "work_a": fl["n_work_a"],
         "work_b": fl["n_work_b"],
         "euler_lines": fl["e_real"],

@@ -55,6 +55,7 @@ def estimate_caps(layout, width: int, height: int, base=None) -> dict:
     caps.setdefault("fine_seg_chunk", 8)
     caps.setdefault("cmds_per_tile", 64)
     caps.setdefault("legacy_tiles_cap", 2048)
+    caps.setdefault("img_recs_cap", 1024)
     caps.update(
         n_tag_slots=max(n_slots, caps.get("n_tag_slots", 0)),
         euler_line_cap=max(euler, caps.get("euler_line_cap", 0)),
@@ -354,6 +355,10 @@ def calibrate_caps(caps: dict, stats: dict, margin: float = 1.15) -> dict:
     # the real number.
     if "legacy_tiles" in stats:
         out["legacy_tiles_cap"] = _bucket(m(stats["legacy_tiles"]), 256, 256)
+    # Image-tap kernel grid: one Pallas program per image record
+    # (tpu/image_tap.py).
+    if "img_recs" in stats:
+        out["img_recs_cap"] = _bucket(m(stats["img_recs"]), 256, 256)
     # The lockstep walk kernel and the euler expansion's record scan
     # are unrolled proportionally to max_iters; size it to the measured
     # iteration requirement (host-calibration numpy pass reports the
@@ -390,6 +395,7 @@ GROW_ON_FLAG = {
     "cmd_slab_overflow": ("cmds_per_tile",),
     "area_rows_overflow": ("area_rows_cap",),
     "legacy_overflow": ("legacy_tiles_cap",),
+    "img_recs_overflow": ("img_recs_cap",),
 }
 
 

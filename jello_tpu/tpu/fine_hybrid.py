@@ -90,10 +90,25 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     cmds["area_row"] = area_row_rec
     rec = build_records(xp, cmds, scene, info, caps_s)
 
+    # Image-tap kernel: premultiplied fg rows per image record, so
+    # image paints ride the record-stream affine scan and only
+    # nested-clip/blend tiles stay legacy (tpu/image_tap.py).
+    fg_tab = None
+    tap_flags = {}
+    if caps.get("_image_tap") and images is not None:
+        from .image_tap import image_tap
+
+        fg_tab, region_ovf, recs_ovf = image_tap(
+            xp, rec, cmds, images, layout, caps_s, interpret=interpret
+        )
+        tap_flags["image_region_overflow"] = region_ovf
+        tap_flags["img_recs_overflow"] = recs_ovf
+
     (out_compact, tile2rank), flags = fine_v2(
         scene, cmds, segs, counted, info, ramps, images, layout, caps,
         interpret=interpret,
         precomputed=(area_blk, area_row_rec, rows_overflow, rec),
+        fg_tab=fg_tab,
     )
 
     # Compact legacy tile list.
@@ -157,6 +172,11 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     )
     flags["blend_depth_overflow"] = xp.any((ovf & 1) > 0)
     flags["image_region_overflow"] = xp.any((ovf & 2) > 0)
+    if tap_flags:
+        flags["image_region_overflow"] = (
+            flags["image_region_overflow"] | tap_flags["image_region_overflow"]
+        )
+        flags["img_recs_overflow"] = tap_flags["img_recs_overflow"]
 
     # Merge: overwrite legacy tiles' compact rows.
     ranks = ops.gather_guarded(xp, tile2rank, xp.clip(legacy_ids, 0, GRID - 1))

@@ -115,6 +115,14 @@ def build_records(xp, cmds, scene, info, caps):
     w[12] = xp.where(is_rad | is_sweep | is_img, info_u(7), z)
     w[13] = xp.where(is_rad | is_sweep | is_img, info_u(8), z)
     w[14] = xp.where(is_rad, info_u(9), z)
+    if caps.get("_image_tap"):
+        # Image-record rank (stream order): the fg-table row the
+        # image-tap kernel wrote for this record (tpu/image_tap.py uses
+        # the same predicate for its compaction, so ranks line up).
+        tile32 = cmds["tile"].astype(xp.int32)
+        P = is_img & (tile32 < caps["tile_grid_cap"]) & (tile32 >= 0)
+        irank = (xp.cumsum(P.astype(xp.int32)) - 1).astype(xp.uint32)
+        w[14] = xp.where(P, irank, w[14])
     w[15] = ramp_row
 
     return xp.stack(w, axis=1)  # [PC, 16] u32

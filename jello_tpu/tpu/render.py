@@ -61,6 +61,14 @@ class Renderer:
         self.use_geom_pallas = (
             use_pallas and os.environ.get("JELLO_GEOM_PALLAS", "") == "1"
         )
+        # Image-tap kernel (tpu/image_tap.py): image paints through the
+        # record-stream fine kernel; only nested-clip/blend tiles take
+        # the per-tile interpreter. Default on (the tap does the same
+        # region-DMA work the interpreter did, minus the tape walk);
+        # JELLO_IMAGE_TAP=0 is the kill switch.
+        self.use_image_tap = (
+            use_pallas and os.environ.get("JELLO_IMAGE_TAP", "1") != "0"
+        )
         # Per-compile wall times [(n_caps_items_hash, seconds, was_new)]
         # — warmup is dominated by server-side XLA compiles on the
         # tunneled fabric, so every new executable is tracked
@@ -314,6 +322,14 @@ class Renderer:
             # (tpu/coverage_pallas.py).
             routing["_expand_pallas"] = True
             routing["_coverage_pallas"] = True
+            if self.use_image_tap:
+                routing["_image_tap"] = True
+            if os.environ.get("JELLO_INTERPRET", "") == "1":
+                # Run every Pallas kernel in interpret mode: the full
+                # production routing on a CPU-only machine (UseCPU,
+                # wgpu.go:454-513 — here per-process instead of
+                # per-shader).
+                routing["_expand_interpret"] = True
             if self.use_geom_pallas:
                 routing["_geom_pallas"] = True
                 if os.environ.get("JELLO_GEOM_DECODE", "") == "1":
@@ -424,6 +440,12 @@ class Renderer:
 
         caps = dict(caps)
         caps["aa_mode"] = aa_mode
+        # The legacy-tile classification (and with it legacy_tiles_cap)
+        # depends on whether image paints ride the tap kernel; the host
+        # stats pass must count with the same routing the device will
+        # use.
+        if getattr(self, "use_image_tap", False):
+            caps["_image_tap"] = True
         empty_ramps = np.zeros((1, 11), dtype=np.float32)
         with np.errstate(all="ignore"):
             for _ in range(4):
@@ -436,6 +458,7 @@ class Renderer:
                 caps = grow_caps(caps, flags)
         out = calibrate_caps(caps, {k: int(v) for k, v in stats.items()})
         out.pop("aa_mode", None)
+        out.pop("_image_tap", None)
         return out
 
     def _cached_upload(self, kind, arr):

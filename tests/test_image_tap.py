@@ -1,0 +1,159 @@
+"""Image-tap kernel (tpu/image_tap.py): image paints through the
+record-stream fine kernel. Interpret-mode cross-check vs the numpy
+oracle — the UseCPU discipline (wgpu.go:454-513) for the tap routing.
+"""
+
+import numpy as np
+import pytest
+
+import jello_tpu as jt
+from jello_tpu.cpu import render_numpy
+from jello_tpu.renderer.params import RenderParams
+
+pytestmark = pytest.mark.slow
+
+
+def _image(seed=7, size=8, alpha=None):
+    rng = np.random.default_rng(seed)
+    pix = (rng.random((size, size, 4)) * 255).astype(np.uint8)
+    pix[..., 3] = 255 if alpha is None else alpha
+    return jt.Image(pixels=pix)
+
+
+def _rect(x0, y0, x1, y1):
+    return (jt.BezPath().move_to(x0, y0).line_to(x1, y0)
+            .line_to(x1, y1).line_to(x0, y1).close())
+
+
+def _run_tap(scene, params, caps):
+    from .test_fine_hybrid import _run_hybrid
+
+    return _run_hybrid(scene, params, dict(caps, _image_tap=True))
+
+
+def test_image_tiles_ride_record_stream():
+    """With the tap on, an image-only scene classifies ZERO legacy
+    tiles and still matches the oracle (coverage edge included)."""
+    import jax.numpy as jnp
+
+    from jello_tpu.cpu.pipeline import build_layout_dict
+    from jello_tpu.pipeline import render as render_mod
+    from jello_tpu.pipeline.coarse import classify_legacy_tiles
+    from jello_tpu.renderer.resolve import Resolver
+
+    ident = jt.Affine.identity()
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, ident,
+               jt.SolidBrush(jt.Color.rgba(0.2, 0.4, 0.8, 1)), None,
+               _rect(0, 0, 128, 128))
+    # Diagonal edges -> fractional coverage on the image fill.
+    tri = (jt.BezPath().move_to(20.5, 15.2).line_to(110.7, 40.3)
+           .line_to(50.1, 120.6).close())
+    scene.fill(jt.Fill.NON_ZERO, ident, jt.ImageBrush(_image()), None, tri)
+
+    params = RenderParams(width=128, height=128,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+
+    # Classification check on the host pipeline's command stream.
+    layout, ramps, images, scene_u32 = Resolver().resolve(scene.encoding)
+    ld = build_layout_dict(layout, params)
+    n = 1 << (max(len(scene_u32), 1024) - 1).bit_length()
+    sp = np.zeros(n, np.uint32)
+    sp[: len(scene_u32)] = scene_u32
+    caps_t = dict(caps, _image_tap=True)
+    _, _, stats = render_mod.render_frame(
+        np, sp, ld, np.zeros((1, 11), np.float32), None, caps_t,
+        stats_only=True,
+    )
+    assert int(stats["legacy_tiles"]) == 0
+    assert int(stats["img_recs"]) > 0
+
+    img = _run_tap(scene, params, caps)
+    assert np.abs(img - ref).max() < 8e-3
+
+
+def test_image_translucent_and_transformed():
+    """Translucent image under a rotate+scale transform: bilinear taps,
+    premultiply-per-tap order, in-bounds mask."""
+    ident = jt.Affine.identity()
+    xf = (jt.Affine.translate(40, 30) @ jt.Affine.rotate(0.35)
+          @ jt.Affine.scale(2.5))
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, ident,
+               jt.SolidBrush(jt.Color.rgba(0.9, 0.9, 0.2, 1)), None,
+               _rect(0, 0, 128, 128))
+    scene.fill(jt.Fill.NON_ZERO, xf,
+               jt.ImageBrush(_image(seed=3, alpha=140)), None,
+               _rect(0, 0, 8, 8))
+
+    params = RenderParams(width=128, height=128,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+    img = _run_tap(scene, params, caps)
+    assert np.abs(img - ref).max() < 8e-3
+
+
+def test_image_inside_clip_group():
+    """An image member of a depth-1 pure clip group: the tap's fg feeds
+    the pass-1 group product; the tile must NOT go legacy."""
+    ident = jt.Affine.identity()
+    CLIP = jt.BlendMode(jt.Mix.CLIP, jt.Compose.SRC_OVER)
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, ident,
+               jt.SolidBrush(jt.Color.rgba(0.1, 0.5, 0.3, 1)), None,
+               _rect(0, 0, 128, 128))
+    scene.push_layer(CLIP, 1.0, ident, _rect(20.4, 20.6, 100.3, 100.7))
+    scene.fill(jt.Fill.NON_ZERO, ident,
+               jt.SolidBrush(jt.Color.rgba(1, 0, 0, 0.6)), None,
+               _rect(10, 10, 90, 90))
+    scene.fill(jt.Fill.NON_ZERO,
+               jt.Affine.translate(30, 30) @ jt.Affine.scale(8.0),
+               jt.ImageBrush(_image(seed=11, alpha=200)), None,
+               _rect(0, 0, 8, 8))
+    scene.pop_layer()
+
+    params = RenderParams(width=128, height=128,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+    img = _run_tap(scene, params, caps)
+    assert np.abs(img - ref).max() < 8e-3
+
+
+def test_full_scene_with_tap():
+    """The all-feature scene (clips + blends + images + gradients) with
+    the tap on: blend tiles stay on the interpreter, image-only tiles
+    move to the record stream, pixels match the oracle either way."""
+    from .test_full_scene import PARAMS, full_scene
+
+    scene = full_scene()
+    ref, flags, caps = render_numpy(scene, PARAMS)
+    assert not any(bool(v) for v in flags.values())
+    img = _run_tap(scene, PARAMS, caps)
+    assert np.abs(img - ref).max() < 8e-3
+
+
+def test_tap_chunk_boundary():
+    """Many small image draws force image records across record-stream
+    chunk boundaries (tiny v2_chunk): the per-chunk fg-window base and
+    rank alignment must hold."""
+    ident = jt.Affine.identity()
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, ident,
+               jt.SolidBrush(jt.Color.rgba(0.3, 0.3, 0.3, 1)), None,
+               _rect(0, 0, 128, 64))
+    for k in range(10):
+        xf = jt.Affine.translate(4 + 12 * k, 8 + (k % 3) * 14)
+        scene.fill(jt.Fill.NON_ZERO, xf,
+                   jt.ImageBrush(_image(seed=20 + k, alpha=220)), None,
+                   _rect(0, 0, 8, 8))
+
+    params = RenderParams(width=128, height=64,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+    img = _run_tap(scene, params, dict(caps, v2_chunk=8))
+    assert np.abs(img - ref).max() < 8e-3
