@@ -106,12 +106,14 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
 
     def kernel(*args):
         if with_images:
-            (rank_lo_s, trank_lo_s, next_first_s, irank_lo_s, misc_s,
+            (rank_lo_s, trank_lo_s, next_first_s, run1_s, run2_s,
+             irank_lo_s, misc_s,
              base_s, rec_ref, rows_hbm, stops_ref, fg_hbm, out_hbm,
              cov_win, fg_win, stag, carry, carry_tile, carry1,
              carry1_seg, sem, sem_fg, sem_out) = args
         else:
-            (rank_lo_s, trank_lo_s, next_first_s, misc_s, base_s,
+            (rank_lo_s, trank_lo_s, next_first_s, run1_s, run2_s,
+             misc_s, base_s,
              rec_ref, rows_hbm, stops_ref, out_hbm,
              cov_win, stag, carry, carry_tile, carry1, carry1_seg,
              sem, sem_out) = args
@@ -333,22 +335,36 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
             # Align rows to records exactly like coverage: one aligned
             # window DMA per chunk + a one-hot matmul. The in-bounds
             # mask is already folded into all four stored channels.
+            # Image-free chunks skip the DMA and the matmul entirely
+            # (no image record -> imask = 0 everywhere).
+            any_img = jnp.any(is_img & valid)
             i_lo = irank_lo_s[c]
             istart8 = pl.multiple_of((i_lo // 8) * 8, 8)
-            fdma = pltpu.make_async_copy(
-                fg_hbm.at[pl.ds(istart8, CWI), :], fg_win, sem_fg
-            )
-            fdma.start()
-            fdma.wait()
+
+            @pl.when(any_img)
+            def _():
+                fdma = pltpu.make_async_copy(
+                    fg_hbm.at[pl.ds(istart8, CWI), :], fg_win, sem_fg
+                )
+                fdma.start()
+                fdma.wait()
+
             irank = iu(14)
             ilocal = irank - istart8
             iota_i = jax.lax.broadcasted_iota(jnp.int32, (C, CWI), 1)
             ohi = ((iota_i == ilocal) & is_img & valid).astype(jnp.float32)
-            fgt = jax.lax.dot_general(
-                ohi, fg_win[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (C, 1024): 4 channel-planar 256-pixel blocks
+
+            def img_fg(_):
+                return jax.lax.dot_general(
+                    ohi, fg_win[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (C, 1024): 4 channel-planar 256-pixel blocks
+
+            def no_img(_):
+                return jnp.zeros((C, 1024), jnp.float32)
+
+            fgt = jax.lax.cond(any_img, img_fg, no_img, 0)
             imask = is_img.astype(jnp.float32)
             fg = [
                 fg[ch] * (1.0 - imask)
@@ -364,14 +380,29 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
         fa = fg[3] * cov
         A = 1.0 - fa
         B = [fg[ch] * cov for ch in range(4)]
+        # Scan steps gate on the chunk's longest same-id run (scalar
+        # prefetch): when no run exceeds k the step is an exact no-op
+        # (same1 would be all-false), so skipping it changes nothing.
+        # Group-free chunks (runs of 1) skip the whole pass-1 scan.
+        r1 = run1_s[c]
         k = 1
         while k < C:
-            s1_sh = _shift_down(seg1, k, -3)
-            same1 = (seg1 == s1_sh).astype(jnp.float32)
-            A_sh = _shift_down(A, k, 1.0)
-            B_sh = [_shift_down(B[ch], k, 0.0) for ch in range(4)]
-            B = [B[ch] + same1 * (A * B_sh[ch]) for ch in range(4)]
-            A = A * (1.0 + same1 * (A_sh - 1.0))
+            def _p1_step(ab, k=k):
+                A1, b0, b1, b2, b3 = ab
+                Bl = [b0, b1, b2, b3]
+                s1_sh = _shift_down(seg1, k, -3)
+                same1 = (seg1 == s1_sh).astype(jnp.float32)
+                A_sh = _shift_down(A1, k, 1.0)
+                B_sh = [_shift_down(b, k, 0.0) for b in Bl]
+                Bn = [Bl[ch] + same1 * (A1 * B_sh[ch]) for ch in range(4)]
+                return (A1 * (1.0 + same1 * (A_sh - 1.0)),
+                        Bn[0], Bn[1], Bn[2], Bn[3])
+
+            A, b0_, b1_, b2_, b3_ = jax.lax.cond(
+                r1 > k, _p1_step, lambda ab: ab,
+                (A, B[0], B[1], B[2], B[3]),
+            )
+            B = [b0_, b1_, b2_, b3_]
             k *= 2
         # Merge the pass-1 carry into the head segment (a group spanning
         # the chunk boundary): (A,B) <- (A*A_c, B + A*B_c).
@@ -403,14 +434,26 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
         ]
 
         # ---- pass 2: per-tile compositing scan --------------------------
+        # Gated like pass 1, on the chunk's longest same-tile run.
+        r2 = run2_s[c]
         k = 1
         while k < C:
-            tile_sh = _shift_down(tile, k, -1)
-            same = (tile == tile_sh).astype(jnp.float32)
-            A_sh = _shift_down(A, k, 1.0)
-            B_sh = [_shift_down(B[ch], k, 0.0) for ch in range(4)]
-            B = [B[ch] + same * (A * B_sh[ch]) for ch in range(4)]
-            A = A * (1.0 + same * (A_sh - 1.0))
+            def _p2_step(ab, k=k):
+                A1, b0, b1, b2, b3 = ab
+                Bl = [b0, b1, b2, b3]
+                tile_sh = _shift_down(tile, k, -1)
+                same = (tile == tile_sh).astype(jnp.float32)
+                A_sh = _shift_down(A1, k, 1.0)
+                B_sh = [_shift_down(b, k, 0.0) for b in Bl]
+                Bn = [Bl[ch] + same * (A1 * B_sh[ch]) for ch in range(4)]
+                return (A1 * (1.0 + same * (A_sh - 1.0)),
+                        Bn[0], Bn[1], Bn[2], Bn[3])
+
+            A, b0_, b1_, b2_, b3_ = jax.lax.cond(
+                r2 > k, _p2_step, lambda ab: ab,
+                (A, B[0], B[1], B[2], B[3]),
+            )
+            B = [b0_, b1_, b2_, b3_]
             k *= 2
 
         # ---- compose with carry / base ---------------------------------
@@ -486,12 +529,12 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]
-    n_prefetch = 5  # rank_lo, trank_lo, next_first, misc, base
+    n_prefetch = 7  # rank_lo, trank_lo, next_first, run1, run2, misc, base
     if with_images:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
         scratch.insert(1, pltpu.VMEM((CWI, 1024), jnp.float32))  # fg window
         scratch.insert(-1, pltpu.SemaphoreType.DMA)              # sem_fg
-        n_prefetch = 6  # + irank_lo
+        n_prefetch = 8  # + irank_lo
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(n_chunks,),
@@ -541,8 +584,10 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
         # segment (bits 8+). Without this the ids are all zero and the
         # pass-1 scan composes the whole chunk as one group.
         cmds = dict(cmds)
+        # Ids start at 1 so padding records (flags = 0 -> id 0) never
+        # share a segment with a real record.
         cmds["flags"] = cmds["flags"] | (
-            xp.arange(cmds["flags"].shape[0], dtype=xp.uint32) << 8
+            (xp.arange(cmds["flags"].shape[0], dtype=xp.uint32) + 1) << 8
         )
         area_blk, area_row_rec, rows_overflow = compute_area_rows(
             xp, cmds, counted, caps
@@ -634,6 +679,23 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     misc = xp.asarray(layout["width_in_tiles"], dtype=xp.int32).reshape(1)
     base = xp.asarray(layout["base_color"], dtype=xp.float32)
 
+    # Per-chunk longest same-id runs (gate the kernel's scan steps; a
+    # step at distance k is an exact no-op when no run exceeds k).
+    import jax as _jax
+
+    def _max_run(vals):
+        x = vals.reshape(n_chunks, C)
+        idxc = xp.arange(C, dtype=xp.int32)[None, :]
+        change = xp.concatenate(
+            [xp.ones((n_chunks, 1), dtype=bool), x[:, 1:] != x[:, :-1]],
+            axis=1,
+        )
+        start = _jax.lax.cummax(xp.where(change, idxc, 0), axis=1)
+        return xp.max(idxc - start + 1, axis=1).astype(xp.int32)
+
+    run1 = _max_run((rec[:, 4] >> 8).astype(xp.int32))
+    run2 = _max_run(tile_p)
+
     call = make_fine_v2_kernel(caps, NR, n_chunks, interpret=interpret,
                                with_images=fg_tab is not None)
     if fg_tab is not None:
@@ -655,6 +717,8 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
             rank_lo.astype(xp.int32),
             trank_lo.astype(xp.int32),
             next_first.astype(xp.int32),
+            run1,
+            run2,
             irank_lo.astype(xp.int32),
             misc,
             base,
@@ -668,6 +732,8 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
             rank_lo.astype(xp.int32),
             trank_lo.astype(xp.int32),
             next_first.astype(xp.int32),
+            run1,
+            run2,
             misc,
             base,
             rec3,

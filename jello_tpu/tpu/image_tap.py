@@ -143,7 +143,10 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
              + (cq[ch] + (dq[ch] - cq[ch]) * fy) * fx) * okf
             for ch in range(4)
         ]
-        out_ref[...] = jnp.concatenate(fg, axis=1)  # (1, 1024)
+        # Four static lane-slice stores (offsets = 0 mod 128) rather
+        # than a lane-axis concat.
+        for ch in range(4):
+            out_ref[:, 256 * ch : 256 * (ch + 1)] = fg[ch]
         ovf_ref[0] = jnp.full(
             (1, 128), (region_bad & valid).astype(jnp.int32)
         )

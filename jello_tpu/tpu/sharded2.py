@@ -81,6 +81,9 @@ def shard_caps(caps: dict, n: int, beta: float = 2.0) -> dict:
     c["legacy_tiles_cap"] = _align(
         caps.get("legacy_tiles_cap", 2048) * beta / n, 256
     )
+    c["img_recs_cap"] = _align(
+        caps.get("img_recs_cap", 1024) * beta / n, 256
+    )
     # Per-(src,dst) exchange slice capacity for the crossing all_to_all.
     c["seg_ex_cap"] = _align(caps["seg_cap"] * beta / (n * n), 512)
     return c
@@ -107,7 +110,7 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
     # The flatten geometry megakernel runs per shard when routed
     # (flatten_stage handles the shard context: extended decode,
     # linear successor).
-    for k in ("_geom_pallas", "_geom_decode"):
+    for k in ("_geom_pallas", "_geom_decode", "_image_tap"):
         if caps.get(k):
             caps_l[k] = True
     T = caps["tiles_cap"]
@@ -410,6 +413,12 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
         }
         for k, v in fflags.items():
             flags[k] = anyf(v)
+        if caps_l.get("_image_tap") and "img_recs_overflow" not in flags:
+            # Tap routing on but this frame carries no atlas: keep the
+            # flag set static per caps class (out_specs shape).
+            flags["img_recs_overflow"] = (
+                jax.lax.pmax(jnp.int32(0), AXIS) > 0
+            )
         if debug:
             dbg = {
                 "seg_count": seg_count,
@@ -444,6 +453,8 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
         "cmd_slab_overflow", "blend_depth_overflow",
         "image_region_overflow",
     )
+    if caps.get("_image_tap"):
+        flag_keys = flag_keys + ("img_recs_overflow",)
     out_specs = (P(), {k: P() for k in flag_keys})
     if debug:
         out_specs = out_specs + ({
@@ -464,14 +475,17 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
     return jax.jit(fn)
 
 
-def dryrun(n_devices: int, full_profile: bool = False, geom: bool = False):
+def dryrun(n_devices: int, full_profile: bool = False, geom: bool = False,
+           image_tap: bool = False):
     """Compile + run one geometry-sharded frame on an n-device mesh and
     cross-check against the single-device numpy oracle.
 
     full_profile=True uses a larger scene with clips, gradients and an
     image crossing stripe boundaries (the driver's tiny scene plus
     feature coverage). geom=True routes flatten through the
-    decode-fused geometry megakernel inside each shard."""
+    decode-fused geometry megakernel inside each shard. image_tap=True
+    routes image paints through the image-tap kernel + record-stream
+    fine inside each shard (tpu/image_tap.py)."""
     import jello_tpu as jt
     from ..cpu.pipeline import build_image_atlas, build_layout_dict
     from ..pipeline.fine_ref import assemble_image
@@ -542,6 +556,9 @@ def dryrun(n_devices: int, full_profile: bool = False, geom: bool = False):
         caps = dict(caps)
         caps["_geom_pallas"] = True
         caps["_geom_decode"] = True
+    if image_tap:
+        caps = dict(caps)
+        caps["_image_tap"] = True
     run = make_sharded_render(mesh, caps, interpret=True)
     ld = {k: jnp.asarray(v) for k, v in ld_np.items()}
     from ..pipeline.render import pack_layout
