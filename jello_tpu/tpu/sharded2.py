@@ -476,7 +476,7 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
 
 
 def dryrun(n_devices: int, full_profile: bool = False, geom: bool = False,
-           image_tap: bool = False):
+           image_tap: bool = False, aa: str = "area"):
     """Compile + run one geometry-sharded frame on an n-device mesh and
     cross-check against the single-device numpy oracle.
 
@@ -559,6 +559,11 @@ def dryrun(n_devices: int, full_profile: bool = False, geom: bool = False,
     if image_tap:
         caps = dict(caps)
         caps["_image_tap"] = True
+    if aa != "area":
+        # MSAA inside the shard: the coverage kernel emits resolved
+        # per-sample-exact rows per stripe.
+        caps = dict(caps)
+        caps["aa_mode"] = aa
     run = make_sharded_render(mesh, caps, interpret=True)
     ld = {k: jnp.asarray(v) for k, v in ld_np.items()}
     from ..pipeline.render import pack_layout

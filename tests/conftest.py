@@ -68,6 +68,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: interpret-mode Pallas parity test (use --runslow)"
     )
+    config.addinivalue_line(
+        "markers",
+        "fast_guard: always runs, even in a slow-marked module — guards "
+        "a production routing the fast suite must cover",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
@@ -75,5 +80,7 @@ def pytest_collection_modifyitems(config, items):
         return
     skip = pytest.mark.skip(reason="slow Pallas-interpret test; use --runslow")
     for item in items:
+        if "fast_guard" in item.keywords:
+            continue
         if item.name.split("[")[0] in _SLOW or "slow" in item.keywords:
             item.add_marker(skip)

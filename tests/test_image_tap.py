@@ -157,3 +157,24 @@ def test_tap_chunk_boundary():
     assert not any(bool(v) for v in flags.values())
     img = _run_tap(scene, params, dict(caps, v2_chunk=8))
     assert np.abs(img - ref).max() < 8e-3
+
+
+@pytest.mark.fast_guard
+def test_image_tap_fast_guard():
+    """FAST-SUITE guard: the tap is the production default routing for
+    image paints (JELLO_IMAGE_TAP), so the fast suite must exercise it
+    (the round-3 fine_v2 regression hid behind the slow marker)."""
+    ident = jt.Affine.identity()
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, ident,
+               jt.SolidBrush(jt.Color.rgba(0.2, 0.6, 0.4, 1)), None,
+               _rect(0, 0, 64, 64))
+    scene.fill(jt.Fill.NON_ZERO, jt.Affine.translate(12, 9) @ jt.Affine.scale(4),
+               jt.ImageBrush(_image(seed=5, alpha=210)), None,
+               _rect(0, 0, 8, 8))
+    params = RenderParams(width=64, height=64,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+    img = _run_tap(scene, params, caps)
+    assert np.abs(img - ref).max() < 8e-3

@@ -57,3 +57,15 @@ def test_dryrun_geometry_sharded_image_tap():
 
     err = dryrun(8, full_profile=True, image_tap=True)
     assert err < 8e-3
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_dryrun_geometry_sharded_msaa8():
+    """MSAA8 through the geometry-sharded pipeline: each stripe's
+    coverage kernel emits resolved per-sample-exact rows; clip edges
+    crossing stripe boundaries must resolve identically to the oracle."""
+    from jello_tpu.tpu.sharded2 import dryrun
+
+    err = dryrun(8, full_profile=True, aa="msaa8")
+    assert err < 8e-3
