@@ -178,3 +178,43 @@ def test_image_tap_fast_guard():
     assert not any(bool(v) for v in flags.values())
     img = _run_tap(scene, params, caps)
     assert np.abs(img - ref).max() < 8e-3
+
+
+def test_image_tap_msaa8():
+    """Image paints through the tap under MSAA8: resolved coverage rows
+    from the MSAA coverage kernel modulate the tapped fg. The scene is
+    chosen to DISCRIMINATE msaa8 from area semantics (a dark image
+    scaled over a diagonal-edged triangle: the oracle's msaa8 and area
+    renders differ by ~0.15 at the edges)."""
+    from jello_tpu.renderer.params import AaConfig
+
+    pix = np.full((8, 8, 4), 255, np.uint8)
+    pix[..., :3] = 20
+    s = 1.0 / 16.0
+    tri = (jt.BezPath().move_to(18.5 * s, 12.2 * s)
+           .line_to(112.7 * s, 44.3 * s).line_to(52.1 * s, 118.6 * s)
+           .close())
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, jt.Affine.scale(16),
+               jt.ImageBrush(jt.Image(pixels=pix)), None, tri)
+
+    params = RenderParams(width=128, height=128,
+                          base_color=jt.Color.rgba(1, 1, 1, 1),
+                          antialiasing_method=AaConfig.MSAA8)
+    params_area = RenderParams(width=128, height=128,
+                               base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+    ref_area, _, _ = render_numpy(scene, params_area)
+    assert np.abs(ref - ref_area).max() > 0.05  # scene discriminates
+    # MSAA on the Pallas fine path always rides the resolving coverage
+    # kernel (tpu/render.py routing) — without it the raw-winding rows
+    # would silently degrade to area semantics here.
+    from .test_fine_hybrid import _run_hybrid
+
+    img = _run_hybrid(
+        scene, params,
+        dict(caps, _image_tap=True, _coverage_pallas=True,
+             _expand_interpret=True),
+    )
+    assert np.abs(img - ref).max() < 8e-3
