@@ -607,6 +607,18 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     rec = precomputed[3] if precomputed is not None else build_records(
         xp, cmds, scene, info, caps
     )
+    # Standalone with images (clip-free frame, tap routing): run the
+    # image-tap kernel here — no classification or interpreter merge
+    # is needed when there are no clip groups at all.
+    tap_flags = {}
+    if fg_tab is None and caps.get("_image_tap") and images is not None:
+        from .image_tap import image_tap
+
+        fg_tab, region_ovf, recs_ovf = image_tap(
+            xp, rec, cmds, images, layout, caps, interpret=interpret
+        )
+        tap_flags["image_region_overflow"] = region_ovf
+        tap_flags["img_recs_overflow"] = recs_ovf
     PC = rec.shape[0]
     n_chunks = (PC + C - 1) // C
     PCpad = n_chunks * C
@@ -741,6 +753,7 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
             stops_pad,
         )
     flags = {"area_rows_overflow": rows_overflow}
+    flags.update(tap_flags)
     return (out, tile2rank), flags
 
 

@@ -87,7 +87,8 @@ class Renderer:
             # kernel; otherwise fall back to the XLA reference fine.
             return None
         if caps.get("_fine_mode") == "v2":
-            # Clip-free, image-free: pure record-stream kernel.
+            # Clip-free: pure record-stream kernel (image paints ride
+            # the tap kernel inside fine_v2 when the frame has images).
             from .fine_v2 import fine_v2
 
             return fine_v2
@@ -314,7 +315,10 @@ class Renderer:
         #  - per-tile interpreter kernel otherwise;
         #  - XLA reference fine when the atlas exceeds VMEM scratch.
         routing = {}
-        if layout.n_clips == 0 and atlas is None:
+        if layout.n_clips == 0 and (atlas is None or self.use_image_tap):
+            # Clip-free frames skip the hybrid entirely: no clip groups
+            # means no legacy tiles (blends require push_layer), and
+            # image paints ride the tap kernel inside fine_v2 itself.
             routing["_fine_mode"] = "v2"
         if self.use_pallas:
             # Streaming Pallas expansions in path_count

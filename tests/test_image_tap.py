@@ -218,3 +218,61 @@ def test_image_tap_msaa8():
              _expand_interpret=True),
     )
     assert np.abs(img - ref).max() < 8e-3
+
+
+def test_standalone_v2_with_tap_clip_free():
+    """Clip-free frame with images through STANDALONE fine_v2 (the
+    production _fine_mode="v2" routing: no hybrid classification, no
+    interpreter pass — the config5 shape)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from jello_tpu.cpu.pipeline import build_image_atlas, build_layout_dict
+    from jello_tpu.pipeline import render as render_mod
+    from jello_tpu.pipeline.gradient import stops_table_or_empty
+    from jello_tpu.renderer.resolve import Resolver
+    from jello_tpu.tpu.fine_v2 import assemble_compact, fine_v2
+
+    ident = jt.Affine.identity()
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, ident,
+               jt.SolidBrush(jt.Color.rgba(0.15, 0.45, 0.75, 1)), None,
+               _rect(0, 0, 128, 128))
+    tri = (jt.BezPath().move_to(14.5, 10.2).line_to(116.7, 42.3)
+           .line_to(54.1, 120.6).close())
+    scene.fill(jt.Fill.NON_ZERO,
+               jt.Affine.translate(10, 5) @ jt.Affine.scale(14),
+               jt.ImageBrush(_image(seed=13, alpha=220)), None,
+               (jt.BezPath().move_to(0.3, 0.4).line_to(7.6, 2.7)
+                .line_to(3.1, 8.2).close()))
+    scene.fill(jt.Fill.EVEN_ODD, ident,
+               jt.SolidBrush(jt.Color.rgba(0.9, 0.3, 0.2, 0.6)), None, tri)
+
+    params = RenderParams(width=128, height=128,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+
+    layout, ramps, images, scene_u32 = Resolver().resolve(scene.encoding)
+    assert layout.n_clips == 0
+    ld = build_layout_dict(layout, params)
+    atlas = build_image_atlas(images)
+    assert atlas is not None
+    ramps_arr = stops_table_or_empty(ramps)
+    n = 1 << (max(len(scene_u32), 1024) - 1).bit_length()
+    sp = np.zeros(n, np.uint32)
+    sp[: len(scene_u32)] = scene_u32
+    fine_impl = functools.partial(fine_v2, interpret=True)
+    out, fflags = render_mod.render_frame(
+        jnp, jnp.asarray(sp),
+        {k: jnp.asarray(v) for k, v in ld.items()},
+        jnp.asarray(ramps_arr), jnp.asarray(atlas),
+        dict(caps, _image_tap=True), fine_impl,
+    )
+    assert not any(bool(np.asarray(v)) for v in fflags.values()), {
+        k: np.asarray(v) for k, v in fflags.items()
+    }
+    compact, tile2rank = out
+    img = assemble_compact(np, np.asarray(compact), np.asarray(tile2rank), ld)
+    assert np.abs(np.asarray(img) - ref).max() < 8e-3
