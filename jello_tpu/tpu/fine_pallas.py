@@ -441,33 +441,33 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                     iota_h = jax.lax.broadcasted_iota(jnp.int32, (REGH, 256), 0)
                     iota_w = jax.lax.broadcasted_iota(jnp.int32, (REGW, 256), 0)
 
-                    def tap(yi, xi):
-                        # Separable one-hot taps: column gather on the
-                        # MXU, then a row mask-reduce (VPU).
-                        lr = ay + clampy(yi) - y_lo       # (1, 256)
-                        lc = ax + clampx(xi) - x_lo
-                        ohc = jnp.astype(iota_w == lc, jnp.float32)  # (REGW,256)
-                        ohr = jnp.astype(iota_h == lr, jnp.float32)  # (REGH,256)
-                        ch4 = []
-                        for chn in range(4):
-                            m1c = jax.lax.dot_general(
-                                img_buf[chn], ohc, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )  # (REGH, 256)
-                            ch4.append(jnp.sum(ohr * m1c, axis=0,
-                                               keepdims=True))  # (1, 256)
-                        # Premultiply per tap (fine.wgsl applies
-                        # premul_alpha to each textureLoad *before*
-                        # bilinear mixing).
-                        return jnp.concatenate(
-                            [ch4[0] * ch4[3], ch4[1] * ch4[3],
-                             ch4[2] * ch4[3], ch4[3]], axis=0)
-
-                    aq = tap(y0f, x0f)
-                    bq = tap(jnp.ceil(uy), x0f)
-                    cq = tap(y0f, jnp.ceil(ux))
-                    dq = tap(jnp.ceil(uy), jnp.ceil(ux))
-                    fg = (aq + (bq - aq) * fy) * (1 - fx) + (cq + (dq - cq) * fy) * fx
+                    # Atlas texels arrive premultiplied (atlas_planar:
+                    # fine.wgsl applies premul_alpha to each
+                    # textureLoad before bilinear mixing, so the mix is
+                    # linear): fold the x weights into one column
+                    # matmul per channel and the y weights into one
+                    # row reduce.
+                    lc0 = ax + clampx(x0f) - x_lo   # (1, 256)
+                    lc1 = ax + clampx(jnp.ceil(ux)) - x_lo
+                    lr0 = ay + clampy(y0f) - y_lo
+                    lr1 = ay + clampy(jnp.ceil(uy)) - y_lo
+                    ohc = (
+                        jnp.astype(iota_w == lc0, jnp.float32) * (1 - fx)
+                        + jnp.astype(iota_w == lc1, jnp.float32) * fx
+                    )  # (REGW, 256)
+                    wrow = (
+                        jnp.astype(iota_h == lr0, jnp.float32) * (1 - fy)
+                        + jnp.astype(iota_h == lr1, jnp.float32) * fy
+                    )  # (REGH, 256)
+                    ch4 = []
+                    for chn in range(4):
+                        m1c = jax.lax.dot_general(
+                            img_buf[chn], ohc, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (REGH, 256)
+                        ch4.append(jnp.sum(wrow * m1c, axis=0,
+                                           keepdims=True))  # (1, 256)
+                    fg = jnp.concatenate(ch4, axis=0)
                     okf = jnp.astype(inb & ~region_bad, jnp.float32)
                     blend_over_px(fg * okf, area[...] * okf)
                     img_ovf[0] = img_ovf[0] | region_bad.astype(jnp.int32)
@@ -570,13 +570,21 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
 
 def atlas_planar(images):
     """[AH, AW, 4] atlas plane -> channel-planar [4, AHp, AWp] padded to
-    at least one region window (fine kernel DMA source)."""
+    at least one region window (fine kernel DMA source).
+
+    Stored PREMULTIPLIED: fine.wgsl premultiplies each textureLoad
+    before bilinear mixing, so with premultiplied texels the whole
+    bilinear tap is linear — one x-weighted column matmul + one
+    y-weighted row reduce per channel instead of four taps."""
     if images is None:
         return jnp.zeros((4, 64, 256), dtype=jnp.float32), None
     AH, AW = int(images.shape[0]), int(images.shape[1])
     AHp, AWp = max(AH, 64), max(AW, 256)
+    pm = jnp.concatenate(
+        [images[..., :3] * images[..., 3:4], images[..., 3:4]], axis=-1
+    )
     planar = jnp.zeros((4, AHp, AWp), dtype=jnp.float32)
-    planar = planar.at[:, :AH, :AW].set(jnp.transpose(images, (2, 0, 1)))
+    planar = planar.at[:, :AH, :AW].set(jnp.transpose(pm, (2, 0, 1)))
     return planar, (AHp, AWp)
 
 

@@ -112,37 +112,34 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (REGH, 256), 0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (REGW, 256), 0)
 
-        def tap(yi, xi):
-            # Separable one-hot taps: column gather on the MXU, then a
-            # row mask-reduce (VPU).
-            lr = ay + clampy(yi) - y_lo  # (1, 256)
-            lc = ax + clampx(xi) - x_lo
-            ohc = jnp.astype(iota_w == lc, jnp.float32)  # (REGW, 256)
-            ohr = jnp.astype(iota_h == lr, jnp.float32)  # (REGH, 256)
-            ch4 = []
-            for chn in range(4):
-                m1c = jax.lax.dot_general(
-                    img_buf[chn], ohc, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (REGH, 256)
-                ch4.append(jnp.sum(ohr * m1c, axis=0, keepdims=True))
-            # Premultiply per tap.
-            return [ch4[0] * ch4[3], ch4[1] * ch4[3], ch4[2] * ch4[3], ch4[3]]
-
-        aq = tap(y0f, x0f)
-        bq = tap(jnp.ceil(uy), x0f)
-        cq = tap(y0f, jnp.ceil(ux))
-        dq = tap(jnp.ceil(uy), jnp.ceil(ux))
+        # Atlas texels are premultiplied (atlas_planar), so the whole
+        # bilinear tap is linear: fold the x weights into ONE column
+        # matmul per channel and the y weights into one row reduce —
+        # 4 MXU contractions per record instead of 16.
+        lc0 = ax + clampx(x0f) - x_lo  # (1, 256)
+        lc1 = ax + clampx(jnp.ceil(ux)) - x_lo
+        lr0 = ay + clampy(y0f) - y_lo
+        lr1 = ay + clampy(jnp.ceil(uy)) - y_lo
+        ohc = (
+            jnp.astype(iota_w == lc0, jnp.float32) * (1.0 - fx)
+            + jnp.astype(iota_w == lc1, jnp.float32) * fx
+        )  # (REGW, 256)
+        wrow = (
+            jnp.astype(iota_h == lr0, jnp.float32) * (1.0 - fy)
+            + jnp.astype(iota_h == lr1, jnp.float32) * fy
+        )  # (REGH, 256)
         okf = (
             jnp.astype(inb, jnp.float32)
             * jnp.astype(~region_bad, jnp.float32)
             * jnp.astype(valid, jnp.float32)
         )
-        fg = [
-            ((aq[ch] + (bq[ch] - aq[ch]) * fy) * (1 - fx)
-             + (cq[ch] + (dq[ch] - cq[ch]) * fy) * fx) * okf
-            for ch in range(4)
-        ]
+        fg = []
+        for chn in range(4):
+            m1c = jax.lax.dot_general(
+                img_buf[chn], ohc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (REGH, 256)
+            fg.append(jnp.sum(wrow * m1c, axis=0, keepdims=True) * okf)
         # Four static lane-slice stores (offsets = 0 mod 128) rather
         # than a lane-axis concat.
         for ch in range(4):
