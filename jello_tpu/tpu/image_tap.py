@@ -10,12 +10,14 @@ A = 1 - fg_a*cov, B = fg*cov like any solid fill.
 
 This kernel produces exactly that foreground. One program per image
 record (grid = img_recs_cap): DMA the atlas region the record's tile
-maps into (same region-window scheme as the interpreter's image branch,
-fine_pallas.py), evaluate the four separable one-hot bilinear taps on
-the MXU, premultiply per tap (fine.wgsl applies premul_alpha to each
-textureLoad *before* bilinear mixing), fold the in-bounds mask into all
-four channels (equivalent to the interpreter's `fg*okf, cov*okf` since
-the composite only consumes fg*cov and fg_a*cov), and write one
+maps into (region offsets precomputed by the wrapper and prefetched, so
+record i+1's window streams in while record i computes — a two-buffer
+pipeline), evaluate the bilinear tap as one x-weighted one-hot column
+matmul + one y-weighted row reduce per channel (the atlas is stored
+premultiplied — fine.wgsl premultiplies each textureLoad *before*
+bilinear mixing, so the mix is linear), fold the in-bounds mask into
+all four channels (equivalent to the interpreter's `fg*okf, cov*okf`
+since the composite only consumes fg*cov and fg_a*cov), and write one
 [1, 1024] row (4 channel-planar 256-pixel blocks) in image-record
 order. fine_v2 aligns rows to records by rank with a windowed DMA +
 one-hot matmul — the same mechanism it uses for coverage rows.
@@ -46,7 +48,9 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
     GRID = caps["tile_grid_cap"]
     AH, AW = img_shape
 
-    def kernel(misc_s, rec_ref, img_ref, out_ref, ovf_ref, img_buf, sem):
+    def kernel(misc_s, ylo_s, xlo_s, rec_ref, img_ref, out_ref, ovf_ref,
+               buf_a, buf_b, sem_a, sem_b):
+        i = pl.program_id(0)
         wit = misc_s[0]
         rec_u = rec_ref[...]  # (1, 16) u32
         rec_f = pltpu.bitcast(rec_u, jnp.float32)
@@ -56,6 +60,31 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
 
         def rf(k):
             return rec_f[0, k]
+
+        def copy(j, buf, sem):
+            jc = jnp.minimum(j, n_recs - 1)
+            ylo = pl.multiple_of(ylo_s[jc], 8)
+            xlo = pl.multiple_of(xlo_s[jc], 128)
+            return pltpu.make_async_copy(
+                img_ref.at[:, pl.ds(ylo, REGH), pl.ds(xlo, REGW)], buf, sem
+            )
+
+        # Two-buffer pipeline: program i kicks off record i+1's region
+        # window before computing its own (grid steps are sequential,
+        # so buf reuse is race-free).
+        even = jax.lax.rem(i, 2) == 0
+
+        @pl.when(i == 0)
+        def _():
+            copy(0, buf_a, sem_a).start()
+
+        @pl.when(even & (i + 1 < n_recs))
+        def _():
+            copy(i + 1, buf_b, sem_b).start()
+
+        @pl.when(~even & (i + 1 < n_recs))
+        def _():
+            copy(i + 1, buf_a, sem_a).start()
 
         kind = ru(0).astype(jnp.int32)
         t = ru(3).astype(jnp.int32)
@@ -93,21 +122,12 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
         def clampy(v):
             return jnp.clip(v.astype(jnp.int32), 0, jnp.maximum(ihi - 1, 0))
 
-        # Atlas region touched by this tile (+bilinear margin), aligned
-        # for the DMA window.
-        rx0 = ax + jnp.min(clampx(x0f), axis=1, keepdims=True)[0, 0]
-        ry0 = ay + jnp.min(clampy(y0f), axis=1, keepdims=True)[0, 0]
+        # Prefetched (wrapper-computed, identical math) region window.
+        x_lo = pl.multiple_of(xlo_s[i], 128)
+        y_lo = pl.multiple_of(ylo_s[i], 8)
         rx1 = ax + jnp.max(clampx(jnp.ceil(ux)), axis=1, keepdims=True)[0, 0]
         ry1 = ay + jnp.max(clampy(jnp.ceil(uy)), axis=1, keepdims=True)[0, 0]
-        x_lo = pl.multiple_of(jnp.clip((rx0 // 128) * 128, 0, AW - REGW), 128)
-        y_lo = pl.multiple_of(jnp.clip((ry0 // 8) * 8, 0, AH - REGH), 8)
         region_bad = ((rx1 - x_lo) >= REGW) | ((ry1 - y_lo) >= REGH)
-
-        dma = pltpu.make_async_copy(
-            img_ref.at[:, pl.ds(y_lo, REGH), pl.ds(x_lo, REGW)], img_buf, sem
-        )
-        dma.start()
-        dma.wait()
 
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (REGH, 256), 0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (REGW, 256), 0)
@@ -133,34 +153,46 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
             * jnp.astype(~region_bad, jnp.float32)
             * jnp.astype(valid, jnp.float32)
         )
-        fg = []
-        for chn in range(4):
-            m1c = jax.lax.dot_general(
-                img_buf[chn], ohc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (REGH, 256)
-            fg.append(jnp.sum(wrow * m1c, axis=0, keepdims=True) * okf)
-        # Four static lane-slice stores (offsets = 0 mod 128) rather
-        # than a lane-axis concat.
-        for ch in range(4):
-            out_ref[:, 256 * ch : 256 * (ch + 1)] = fg[ch]
+
+        def compute(buf):
+            for chn in range(4):
+                m1c = jax.lax.dot_general(
+                    buf[chn], ohc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (REGH, 256)
+                fg = jnp.sum(wrow * m1c, axis=0, keepdims=True) * okf
+                # Static lane-slice stores (offsets = 0 mod 128).
+                out_ref[:, 256 * chn : 256 * (chn + 1)] = fg
+
+        @pl.when(even)
+        def _():
+            copy(i, buf_a, sem_a).wait()
+            compute(buf_a)
+
+        @pl.when(~even)
+        def _():
+            copy(i, buf_b, sem_b).wait()
+            compute(buf_b)
+
         ovf_ref[0] = jnp.full(
             (1, 128), (region_bad & valid).astype(jnp.int32)
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # misc (wit)
+        num_scalar_prefetch=3,  # misc (wit), y_lo, x_lo
         grid=(n_recs,),
         in_specs=[
-            pl.BlockSpec((1, 16), lambda i, m: (i, 0)),          # record
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),    # atlas
+            pl.BlockSpec((1, 16), lambda i, *s: (i, 0)),          # record
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),     # atlas
         ],
         out_specs=(
-            pl.BlockSpec((1, 1024), lambda i, m: (i, 0)),        # fg row
-            pl.BlockSpec((1, 1, 128), lambda i, m: (i, 0, 0)),   # region ovf
+            pl.BlockSpec((1, 1024), lambda i, *s: (i, 0)),        # fg row
+            pl.BlockSpec((1, 1, 128), lambda i, *s: (i, 0, 0)),   # region ovf
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, REGH, REGW), jnp.float32),  # atlas region
+            pltpu.VMEM((4, REGH, REGW), jnp.float32),  # region buffer A
+            pltpu.VMEM((4, REGH, REGW), jnp.float32),  # region buffer B
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -174,6 +206,42 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
         ),
         interpret=interpret,
     )
+
+
+def _region_offsets(xp, tap_rec, wit, GRID, AH, AW):
+    """Per-record aligned atlas-window offsets (the kernel's region
+    math, hoisted so the offsets can ride scalar prefetch and the DMA
+    for record i+1 can start during record i's compute). f32/i32 ops
+    only — bit-identical to the in-kernel derivation it replaces."""
+    from ..pipeline import ops
+
+    ru = tap_rec
+    t = ru[:, 3].astype(xp.int32)
+    tc = xp.clip(t, 0, GRID - 1)
+    p = xp.arange(256, dtype=xp.int32)[None, :]
+    lx = (p % 16).astype(xp.float32)
+    ly = (p // 16).astype(xp.float32)
+    gx = lx + ((tc % wit) * 16).astype(xp.float32)[:, None]
+    gy = ly + ((tc // wit) * 16).astype(xp.float32)[:, None]
+    rfl = ops.bitcast_u32_f32(xp, ru)
+    m0, m1 = rfl[:, 6:7], rfl[:, 7:8]
+    m2, m3 = rfl[:, 8:9], rfl[:, 9:10]
+    xl, yl = rfl[:, 10:11], rfl[:, 11:12]
+    axy = ru[:, 12]
+    ax = (axy & xp.uint32(0xFFFF)).astype(xp.int32)[:, None]
+    ay = (axy >> 16).astype(xp.int32)[:, None]
+    wh = ru[:, 13]
+    iwi = (wh >> 16).astype(xp.int32)[:, None]
+    ihi = (wh & xp.uint32(0xFFFF)).astype(xp.int32)[:, None]
+    ux = m0 * gx + m2 * gy + xl
+    uy = m1 * gx + m3 * gy + yl
+    cxv = xp.clip(xp.floor(ux).astype(xp.int32), 0, xp.maximum(iwi - 1, 0))
+    cyv = xp.clip(xp.floor(uy).astype(xp.int32), 0, xp.maximum(ihi - 1, 0))
+    rx0 = ax[:, 0] + xp.min(cxv, axis=1)
+    ry0 = ay[:, 0] + xp.min(cyv, axis=1)
+    x_lo = xp.clip((rx0 // 128) * 128, 0, AW - REGW)
+    y_lo = xp.clip((ry0 // 8) * 8, 0, AH - REGH)
+    return y_lo.astype(xp.int32), x_lo.astype(xp.int32)
 
 
 def image_tap(xp, rec, cmds, images, layout, caps, interpret=False):
@@ -201,9 +269,13 @@ def image_tap(xp, rec, cmds, images, layout, caps, interpret=False):
     tap_rec = xp.where(ivalid[:, None], tap_rec, xp.uint32(0))
 
     img_flat, img_shape = atlas_planar(images)
-    misc = xp.asarray(layout["width_in_tiles"], dtype=xp.int32).reshape(1)
+    wit = layout["width_in_tiles"]
+    y_lo, x_lo = _region_offsets(
+        xp, tap_rec, wit, GRID, img_shape[0], img_shape[1]
+    )
+    misc = xp.asarray(wit, dtype=xp.int32).reshape(1)
     call = make_image_tap_kernel(caps, img_shape, IRC, interpret=interpret)
-    fg_tab, ovf = call(misc, tap_rec, img_flat)
+    fg_tab, ovf = call(misc, y_lo, x_lo, tap_rec, img_flat)
     # Window pad so fine_v2's aligned CWI-row DMA never reads past the
     # table (and pad rows are zero, keeping the one-hot matmul NaN-free).
     fg_tab = xp.concatenate(
