@@ -123,6 +123,14 @@ def build_commands(
     blend_d = ops.gather_guarded(xp, scene, dd)
     alpha_d = ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, dd + 1))
     is_blend_d = is_clip_d & ~((blend_d == BLEND_PURE_CLIP) & (alpha_d == 1.0))
+    # Groups whose composite is AFFINE in the background: mix NORMAL or
+    # CLIP with compose SRC_OVER (blend word & 0x7FFF == 0 — exactly
+    # blend_math.blend_mix_compose's fast path), any group alpha. These
+    # ride the record-stream kernel's group scan (covc scaled by
+    # alpha); only true mix/compose blends need the interpreter.
+    legacy_blend_d = is_clip_d & (
+        (blend_d & xp.uint32(0x7FFF)) != xp.uint32(0)
+    )
     kind_d = xp.where(
         tag == DRAW_TAG_COLOR,
         CMD_COLOR,
@@ -167,6 +175,7 @@ def build_commands(
             di.astype(xp.int32),
             ops.gather_guarded(xp, path_draw_flags, pp).astype(xp.int32),
             is_blend_d.astype(xp.int32),
+            legacy_blend_d.astype(xp.int32),
         ],
         axis=1,
     )
@@ -204,14 +213,16 @@ def build_commands(
     is_end = kind == CMD_END_CLIP
     is_clip = is_begin | is_end
     is_blend = drow[:, 12] != 0
+    legacy_blend = drow[:, 13] != 0
 
     # Flag word layout (payload bit budget): bit0 = even-odd fill rule;
-    # bit3 = non-trivial blend (isolated group: mix/compose != pure
-    # src-over clip or alpha != 1) — consumed by the legacy-tile
-    # classification (classify_legacy_tiles). Bits 1/4/5/8+ are packed
+    # bit3 = non-affine blend (mix/compose beyond NORMAL/CLIP x
+    # SRC_OVER) — consumed by the legacy-tile classification
+    # (classify_legacy_tiles); src-over groups with alpha != 1 stay on
+    # the record-stream kernel (covc x alpha). Bits 1/4/5/8+ are packed
     # later by the hybrid fine pass.
     flags = xp.where(is_end, 0, drow[:, 11]).astype(xp.uint32)
-    flags = flags | (is_blend.astype(xp.uint32) << 3)
+    flags = flags | (legacy_blend.astype(xp.uint32) << 3)
     even_odd = (flags & 1) != 0
     backdrop_clear = xp.where(
         even_odd, (xp.abs(backdrop) & 1) == 0, backdrop == 0
@@ -302,9 +313,10 @@ def classify_legacy_tiles(xp, cmds, caps):
         on (caps["_image_tap"], tpu/image_tap.py), which feeds fine_v2
         premultiplied per-record fg rows so image paints compose in the
         affine scan like any fill,
-      - a non-trivial blend group (flags bit 3, packed by
-        build_commands: mix/compose beyond pure src-over clip, or
-        group alpha != 1),
+      - a non-AFFINE blend group (flags bit 3, packed by
+        build_commands: mix/compose beyond NORMAL/CLIP x SRC_OVER;
+        src-over groups with alpha != 1 are affine in the background
+        and stay on the record-stream kernel, covc scaled by alpha),
       - a NESTED clip (within-tile clip depth >= 2).
     Depth-1 pure clips stay on the record-stream kernel: the group is
     itself an affine map of the background (A' = 1 - cov_c*(1 - A_g),

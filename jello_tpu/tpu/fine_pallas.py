@@ -105,7 +105,14 @@ def build_records(xp, cmds, scene, info, caps):
     x6 = xp.where(is_lin | is_xf, info_u(1), x6)
     x6 = xp.where(is_end, sc_u(1), x6)
     w[6] = x6
-    w[7] = xp.where(is_color, sc_u(2), xp.where(is_lin | is_xf, info_u(2), z))
+    # Word 7 for EndClips: the tile backdrop (i32 bits) — a row-less
+    # EndClip resolves its clip coverage from it (0 = zero group,
+    # nonzero = full coverage; fine_v2's group transform).
+    w[7] = xp.where(
+        is_end,
+        cmds["backdrop"].astype(xp.uint32),
+        xp.where(is_color, sc_u(2), xp.where(is_lin | is_xf, info_u(2), z)),
+    )
     w[8] = xp.where(is_color, sc_u(3), xp.where(is_lin | is_xf, info_u(3), z))
     w[9] = xp.where(is_xf, info_u(4), z)
     w[10] = xp.where(is_xf, info_u(5), z)

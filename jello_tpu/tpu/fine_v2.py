@@ -197,15 +197,25 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
         # path row (shared with its BeginClip), NONZERO rule — the
         # production clip resolve rule (fine_pallas applies nz for
         # END_CLIP too); MSAA rows arrive already resolved. A row-less
-        # EndClip is a zero-coverage group (coarse's begin_zero marker):
-        # the whole group must collapse to the identity, which covc = 0
-        # produces exactly.
+        # EndClip resolves from its tile backdrop (record word 7):
+        # 0 = zero-coverage group (coarse's begin_zero marker — the
+        # group collapses to the identity), nonzero = the clip path
+        # fully covers the tile (reachable for alpha != 1 groups, which
+        # coarse includes even without edge segments). The group alpha
+        # scales covc — a src-over group with alpha is affine in the
+        # background at covc' = covc * alpha (the interpreter's
+        # a_cov = area * alpha; blend_math's fast path).
         if caps.get("aa_mode", "area") != "area":
             covc_row = jnp.clip(a, 0.0, 1.0)
         else:
             covc_row = jnp.minimum(jnp.abs(a), 1.0)
         end_f = end_t.astype(jnp.float32)
-        covc = covc_row * (end_t & has_row).astype(jnp.float32)
+        covc_rowless = jnp.minimum(
+            jnp.abs(iu(7).astype(jnp.float32)), 1.0
+        )
+        covc_base = jnp.where(has_row, covc_row, covc_rowless)
+        alpha_end = fu(6)
+        covc = covc_base * end_f * alpha_end
 
         # ---- paints ---------------------------------------------------
         # Solid color: rgba f32 in words 5..8, already premultiplied.

@@ -150,3 +150,99 @@ def test_group_scan_chunk_boundary():
     caps = dict(caps, v2_chunk=8)  # force chunk boundaries inside the group
     img = _run_hybrid(scene, params, caps)
     assert np.abs(img - ref).max() < 8e-3
+
+
+def test_group_scan_alpha_groups():
+    """Src-over groups with alpha != 1 (Mix.NORMAL and Mix.CLIP) are
+    affine in the background and ride the record-stream kernel: the
+    group transform scales covc by alpha. The group rect spans many
+    tiles, so interior tiles exercise the ROW-LESS EndClip (full
+    coverage resolved from the backdrop word) and edge tiles the
+    fractional-coverage path. Asserts zero legacy tiles."""
+    import jax.numpy as jnp
+
+    from jello_tpu.cpu.pipeline import build_layout_dict
+    from jello_tpu.pipeline import render as render_mod
+    from jello_tpu.renderer.resolve import Resolver
+
+    IDENT = jt.Affine.identity()
+
+    def rect(x0, y0, x1, y1):
+        return (jt.BezPath().move_to(x0, y0).line_to(x1, y0)
+                .line_to(x1, y1).line_to(x0, y1).close())
+
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(0.2, 0.5, 0.9, 1)), None,
+               rect(0, 0, 128, 128))
+    NORMAL = jt.BlendMode(jt.Mix.NORMAL, jt.Compose.SRC_OVER)
+    scene.push_layer(NORMAL, 0.6, IDENT, rect(8.4, 8.6, 120.3, 120.7))
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(1, 0, 0, 0.7)), None,
+               rect(4, 4, 100, 100))
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(0, 1, 0, 0.5)), None,
+               rect(20, 20, 110, 110))
+    scene.pop_layer()
+    CLIP = jt.BlendMode(jt.Mix.CLIP, jt.Compose.SRC_OVER)
+    scene.push_layer(CLIP, 0.35, IDENT, rect(40.2, 40.8, 90.5, 90.1))
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(0.1, 0.1, 0.1, 0.9)), None,
+               rect(30, 30, 95, 95))
+    scene.pop_layer()
+    # Zero-coverage alpha group: clip path entirely off to the side of
+    # its content -> identity.
+    scene.push_layer(NORMAL, 0.5, IDENT, rect(200, 200, 220, 220))
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(1, 1, 0, 1)), None,
+               rect(0, 0, 64, 64))
+    scene.pop_layer()
+
+    params = RenderParams(width=128, height=128,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+
+    # Zero legacy tiles: everything rides the record stream.
+    layout, ramps, images_, scene_u32 = Resolver().resolve(scene.encoding)
+    ld = build_layout_dict(layout, params)
+    n = 1 << (max(len(scene_u32), 1024) - 1).bit_length()
+    sp = np.zeros(n, np.uint32)
+    sp[: len(scene_u32)] = scene_u32
+    _, _, stats = render_mod.render_frame(
+        np, sp, ld, np.zeros((1, 11), np.float32), None, dict(caps),
+        stats_only=True,
+    )
+    assert int(stats["legacy_tiles"]) == 0
+
+    img = _run_hybrid(scene, params, caps)
+    assert np.abs(img - ref).max() < 8e-3
+
+
+def test_group_scan_alpha_group_chunk_boundary():
+    """Alpha group spanning record-stream chunk boundaries (tiny
+    v2_chunk): pass-1 carry with alpha-modulated end transform."""
+    IDENT = jt.Affine.identity()
+    NORMAL = jt.BlendMode(jt.Mix.NORMAL, jt.Compose.SRC_OVER)
+
+    def rect(x0, y0, x1, y1):
+        return (jt.BezPath().move_to(x0, y0).line_to(x1, y0)
+                .line_to(x1, y1).line_to(x0, y1).close())
+
+    scene = jt.Scene()
+    scene.fill(jt.Fill.NON_ZERO, IDENT,
+               jt.SolidBrush(jt.Color.rgba(0.3, 0.3, 0.3, 1)), None,
+               rect(0, 0, 64, 64))
+    scene.push_layer(NORMAL, 0.7, IDENT, rect(5.4, 5.6, 58.5, 58.4))
+    for k in range(6):
+        c = jt.Color.rgba(0.15 * k, 1 - 0.15 * k, 0.4, 0.5)
+        scene.fill(jt.Fill.NON_ZERO, IDENT, jt.SolidBrush(c), None,
+                   rect(2 + 3 * k, 2 + 2 * k, 40 + 3 * k, 40 + 2 * k))
+    scene.pop_layer()
+
+    params = RenderParams(width=64, height=64,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+    ref, flags, caps = render_numpy(scene, params)
+    assert not any(bool(v) for v in flags.values())
+    img = _run_hybrid(scene, params, dict(caps, v2_chunk=8))
+    assert np.abs(img - ref).max() < 8e-3
