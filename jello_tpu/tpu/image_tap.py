@@ -52,7 +52,7 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
                buf_a, buf_b, sem_a, sem_b):
         i = pl.program_id(0)
         wit = misc_s[0]
-        rec_u = rec_ref[...]  # (1, 16) u32
+        rec_u = rec_ref[...][0]  # (1, 16) u32 (block carries a unit mid dim)
         rec_f = pltpu.bitcast(rec_u, jnp.float32)
 
         def ru(k):
@@ -162,7 +162,7 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
                 )  # (REGH, 256)
                 fg = jnp.sum(wrow * m1c, axis=0, keepdims=True) * okf
                 # Static lane-slice stores (offsets = 0 mod 128).
-                out_ref[:, 256 * chn : 256 * (chn + 1)] = fg
+                out_ref[0, :, 256 * chn : 256 * (chn + 1)] = fg
 
         @pl.when(even)
         def _():
@@ -182,11 +182,15 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
         num_scalar_prefetch=3,  # misc (wit), y_lo, x_lo
         grid=(n_recs,),
         in_specs=[
-            pl.BlockSpec((1, 16), lambda i, *s: (i, 0)),          # record
+            # Unit middle dim: a (1, 1, 16) block on [N, 1, 16] matches
+            # the array's last-two dims exactly (Mosaic requires blocks
+            # divisible by (8, 128) OR equal to the array dims; the 2-D
+            # (1, 16) form is not lowerable on real TPUs).
+            pl.BlockSpec((1, 1, 16), lambda i, *s: (i, 0, 0)),    # record
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),     # atlas
         ],
         out_specs=(
-            pl.BlockSpec((1, 1024), lambda i, *s: (i, 0)),        # fg row
+            pl.BlockSpec((1, 1, 1024), lambda i, *s: (i, 0, 0)),  # fg row
             pl.BlockSpec((1, 1, 128), lambda i, *s: (i, 0, 0)),   # region ovf
         ),
         scratch_shapes=[
@@ -201,7 +205,7 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_recs, 1024), jnp.float32),
+            jax.ShapeDtypeStruct((n_recs, 1, 1024), jnp.float32),
             jax.ShapeDtypeStruct((n_recs, 1, 128), jnp.int32),
         ),
         interpret=interpret,
@@ -275,7 +279,8 @@ def image_tap(xp, rec, cmds, images, layout, caps, interpret=False):
     )
     misc = xp.asarray(wit, dtype=xp.int32).reshape(1)
     call = make_image_tap_kernel(caps, img_shape, IRC, interpret=interpret)
-    fg_tab, ovf = call(misc, y_lo, x_lo, tap_rec, img_flat)
+    fg_tab, ovf = call(misc, y_lo, x_lo, tap_rec[:, None, :], img_flat)
+    fg_tab = fg_tab.reshape(IRC, 1024)
     # Window pad so fine_v2's aligned CWI-row DMA never reads past the
     # table (and pad rows are zero, keeping the one-hot matmul NaN-free).
     fg_tab = xp.concatenate(
