@@ -109,16 +109,31 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
             (rank_lo_s, trank_lo_s, next_first_s, run1_s, run2_s,
              irank_lo_s, misc_s,
              base_s, rec_ref, rows_hbm, stops_ref, fg_hbm, out_hbm,
-             cov_win, fg_win, stag, carry, carry_tile, carry1,
+             cov_win2, fg_win2, stag2, carry, carry_tile, carry1,
              carry1_seg, sem, sem_fg, sem_out) = args
         else:
             (rank_lo_s, trank_lo_s, next_first_s, run1_s, run2_s,
              misc_s, base_s,
              rec_ref, rows_hbm, stops_ref, out_hbm,
-             cov_win, stag, carry, carry_tile, carry1, carry1_seg,
+             cov_win2, stag2, carry, carry_tile, carry1, carry1_seg,
              sem, sem_out) = args
         c = pl.program_id(0)
         wit = misc_s[0]
+
+        # Two-buffer DMA pipeline (cov window, fg window, out staging):
+        # chunk c+1's input windows stream in while chunk c computes,
+        # and chunk c's output flush overlaps chunk c+1's compute (grid
+        # steps are sequential on TPU, so the alternation is race-free).
+        parity = jax.lax.rem(c, 2)
+
+        def cov_copy(j, slot):
+            jc = jnp.minimum(j, n_chunks - 1)
+            r_lo = rank_lo_s[jc]
+            start8 = pl.multiple_of((r_lo // 8) * 8, 8)
+            return pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(start8, CW), :],
+                cov_win2.at[slot], sem.at[slot],
+            )
 
         @pl.when(c == 0)
         def _():
@@ -128,6 +143,11 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
             # the v0 select, so zero it.
             carry[...] = jnp.zeros((4, 256), jnp.float32)
             carry1[...] = jnp.zeros((5, 256), jnp.float32)
+            cov_copy(0, 0).start()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            cov_copy(c + 1, 1 - parity).start()
 
         ru = rec_ref[...][0]  # (C, 16) u32
         rf = pltpu.bitcast(ru, jnp.float32)
@@ -169,11 +189,8 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
         # ---- coverage -------------------------------------------------
         r_lo = rank_lo_s[c]
         start8 = pl.multiple_of((r_lo // 8) * 8, 8)
-        dma = pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(start8, CW), :], cov_win, sem
-        )
-        dma.start()
-        dma.wait()
+        cov_copy(c, parity).wait()
+        cov_win = cov_win2.at[parity]
         local = rank - start8  # (C,1); negative when rank == -1
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (C, CW), 1)
         has_row = rank >= 0
@@ -345,19 +362,36 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
             # Align rows to records exactly like coverage: one aligned
             # window DMA per chunk + a one-hot matmul. The in-bounds
             # mask is already folded into all four stored channels.
-            # Image-free chunks skip the DMA and the matmul entirely
-            # (no image record -> imask = 0 everywhere).
-            any_img = jnp.any(is_img & valid)
-            i_lo = irank_lo_s[c]
+            # Image-free chunks skip the DMA and the matmul entirely.
+            # The DMA is double-buffered like the coverage window; the
+            # host-computed has_img scalar (irank_lo_s[2k+1]) gates both
+            # the start and the wait so the semaphore never misbalances.
+            def fg_copy(j, slot):
+                jc = jnp.minimum(j, n_chunks - 1)
+                ist8 = pl.multiple_of((irank_lo_s[2 * jc] // 8) * 8, 8)
+                return pltpu.make_async_copy(
+                    fg_hbm.at[pl.ds(ist8, CWI), :],
+                    fg_win2.at[slot], sem_fg.at[slot],
+                )
+
+            has_img = irank_lo_s[2 * c + 1] > 0
+            i_lo = irank_lo_s[2 * c]
             istart8 = pl.multiple_of((i_lo // 8) * 8, 8)
 
-            @pl.when(any_img)
+            @pl.when((c == 0) & has_img)
             def _():
-                fdma = pltpu.make_async_copy(
-                    fg_hbm.at[pl.ds(istart8, CWI), :], fg_win, sem_fg
-                )
-                fdma.start()
-                fdma.wait()
+                fg_copy(0, 0).start()
+
+            @pl.when(
+                (c + 1 < n_chunks)
+                & (irank_lo_s[jnp.minimum(2 * c + 3, 2 * n_chunks - 1)] > 0)
+            )
+            def _():
+                fg_copy(c + 1, 1 - parity).start()
+
+            @pl.when(has_img)
+            def _():
+                fg_copy(c, parity).wait()
 
             irank = iu(14)
             ilocal = irank - istart8
@@ -366,7 +400,7 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
 
             def img_fg(_):
                 return jax.lax.dot_general(
-                    ohi, fg_win[...], (((1,), (0,)), ((), ())),
+                    ohi, fg_win2.at[parity][...], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (C, 1024): 4 channel-planar 256-pixel blocks
@@ -374,7 +408,7 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
             def no_img(_):
                 return jnp.zeros((C, 1024), jnp.float32)
 
-            fgt = jax.lax.cond(any_img, img_fg, no_img, 0)
+            fgt = jax.lax.cond(has_img, img_fg, no_img, 0)
             imask = is_img.astype(jnp.float32)
             fg = [
                 fg[ch] * (1.0 - imask)
@@ -505,6 +539,7 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
 
         iota_p = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
         ohl = ((iota_p == pos) & is_last).astype(jnp.float32)  # (rec, slot)
+        stag = stag2.at[parity]
         for ch in range(4):
             sc = jax.lax.dot_general(
                 ohl, vout[ch] - base_un[ch], (((0,), (0,)), ((), ())),
@@ -513,11 +548,27 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
             )  # (slot, 256)
             stag[:, ch, :] = sc + base_un[ch]
 
-        out_dma = pltpu.make_async_copy(
-            stag, out_hbm.at[pl.ds(jnp.minimum(t_lo, GRID), C)], sem_out
-        )
-        out_dma.start()
-        out_dma.wait()
+        # Consecutive chunks' output windows OVERLAP (later write wins
+        # on shared tiles), so at most one out-DMA may be in flight:
+        # wait for chunk c-1's flush only now, after chunk c's compute
+        # — the flush overlaps the next chunk's compute but ordering of
+        # overlapping writes is preserved.
+        def out_copy(j, slot):
+            jc = jnp.minimum(j, n_chunks - 1)
+            tl = jnp.minimum(trank_lo_s[jc], GRID)
+            return pltpu.make_async_copy(
+                stag2.at[slot], out_hbm.at[pl.ds(tl, C)], sem_out.at[slot]
+            )
+
+        @pl.when(c >= 1)
+        def _():
+            out_copy(c - 1, 1 - parity).wait()
+
+        out_copy(c, parity).start()
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_copy(c, parity).wait()
 
         # ---- carry ------------------------------------------------------
         for ch in range(4):
@@ -530,21 +581,21 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
         pl.BlockSpec((n_ramp_rows, 128), lambda c, *s: (0, 0)),  # stops
     ]
     scratch = [
-        pltpu.VMEM((CW, 256), jnp.float32),             # cov window
-        pltpu.VMEM((C, 4, 256), jnp.float32),           # staging
+        pltpu.VMEM((2, CW, 256), jnp.float32),          # cov windows (2-buf)
+        pltpu.VMEM((2, C, 4, 256), jnp.float32),        # staging (2-buf)
         pltpu.VMEM((4, 256), jnp.float32),              # carry value
         pltpu.SMEM((1,), jnp.int32),                    # carry tile
         pltpu.VMEM((5, 256), jnp.float32),              # pass-1 carry (A,B)
         pltpu.SMEM((1,), jnp.int32),                    # pass-1 carry seg
-        pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA((2,)),                  # cov sems
+        pltpu.SemaphoreType.DMA((2,)),                  # out sems
     ]
     n_prefetch = 7  # rank_lo, trank_lo, next_first, run1, run2, misc, base
     if with_images:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
-        scratch.insert(1, pltpu.VMEM((CWI, 1024), jnp.float32))  # fg window
-        scratch.insert(-1, pltpu.SemaphoreType.DMA)              # sem_fg
-        n_prefetch = 8  # + irank_lo
+        scratch.insert(1, pltpu.VMEM((2, CWI, 1024), jnp.float32))  # fg 2-buf
+        scratch.insert(-1, pltpu.SemaphoreType.DMA((2,)))           # sem_fg
+        n_prefetch = 8  # + irank_lo (interleaved [start, has_img] pairs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(n_chunks,),
@@ -735,6 +786,11 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
             [xp.zeros(1, xp.int32), icum[C - 1 :: C][:-1]]
         )
         irank_lo = xp.clip(irank_lo, 0, max(IRC - 1, 0))
+        # Interleave [window start, has_img] per chunk: the kernel gates
+        # its double-buffered fg DMA (start AND wait) on has_img, so the
+        # flag must ride scalar prefetch alongside the start.
+        has_img_c = xp.any(P_p.reshape(n_chunks, C), axis=1).astype(xp.int32)
+        irank_lo = xp.stack([irank_lo, has_img_c], axis=1).reshape(-1)
         out = call(
             rank_lo.astype(xp.int32),
             trank_lo.astype(xp.int32),
