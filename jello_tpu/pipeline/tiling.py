@@ -300,7 +300,7 @@ def path_count_params(xp, lines, paths, caps):
     return P, n_cross, n_rows_per_line, prt
 
 
-def path_count(xp, lines, paths, caps):
+def path_count(xp, lines, paths, caps, upto=None):
     """Per-line crossing/backdrop computation (cpu.go PathCount).
 
     lines: dict from flatten_stage.
@@ -308,6 +308,10 @@ def path_count(xp, lines, paths, caps):
         the caller: the `line_path` indices address paths[] directly).
     Returns crossing records (sorted by tile slot), per-tile segment
     counts/starts, and the backdrop array (post prefix-sum).
+
+    upto: profiling cut point (tools/profile_path_count.py) — one of
+    "params", "compact", "expand", "backdrop", "sort", "bincount";
+    returns the intermediate arrays at that point instead.
     """
     L = lines["line_x0"].shape[0]
     T = caps["tiles_cap"]
@@ -318,6 +322,8 @@ def path_count(xp, lines, paths, caps):
         path_count_params(xp, lines, paths, caps)
     )
     RC = caps["row_cap"]
+    if upto == "params":
+        return (P, n_cross, n_rows_per_line, ymin)
 
     if caps.get("_stats_only") and not ops.is_jax(xp):
         return _path_count_stats(
@@ -370,15 +376,22 @@ def path_count(xp, lines, paths, caps):
         PRTc = ops.gather_guarded(xp, PRT6, ridx)
         nrr = xp.where(xp.arange(RLC, dtype=xp.int32) < n_nz_r,
                        PRTc[:, 5].astype(xp.int32), 0)
+        if upto == "compact":
+            return (Pc, PRTc, ncc, nrr)
 
         tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta, \
             c_total, r_total = path_count_expansions(
                 xp, Pc[:, :21], PRTc[:, :5], ncc, nrr, T, caps,
                 assume_compact=True,
             )
+        if upto == "expand":
+            return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot,
+                    r_delta)
         backdrop = xp.zeros(T + 1, dtype=xp.int32)
         backdrop = ops.scatter_add(xp, backdrop, r_slot, r_delta)
         backdrop = ops.scatter_add(xp, backdrop, bump_slot, bump_delta)
+        if upto == "backdrop":
+            return (backdrop, tile_slot, seg_pre)
     else:
         # ---- Backdrop row deltas (column 0 of each path row) -----------
         # Narrow 5-column table: gathering the full 21-wide P here
@@ -467,6 +480,8 @@ def path_count(xp, lines, paths, caps):
         "seg_y1": sy1,
         "seg_y_edge": sye,
     }
+    if upto == "sort":
+        return (sorted_slot, segs, backdrop)
 
     # Per-tile start/count: the sort is keyed by slot, so tile t's
     # segments occupy [excl_cumsum(counts)[t], +counts[t]) — one SC-row
@@ -494,6 +509,8 @@ def path_count(xp, lines, paths, caps):
     has = (seg_count > 0).astype(xp.int32)
     row_of_slot = ops.exclusive_cumsum(xp, has)
     n_rows = row_of_slot[-1] + has[-1]
+    if upto == "bincount":
+        return (seg_start, bd_prefix, row_of_slot, sorted_slot)
 
     overflow = (c_total > SC) | (r_total > RC) | compact_overflow
     return {

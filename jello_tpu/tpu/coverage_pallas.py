@@ -52,14 +52,34 @@ def make_coverage_kernel(AR_out, n_chunks, C, offsets, interpret=False):
     CS = C + _SLACK
     S = 1 if offsets is None else len(offsets)
 
-    def kernel(stream_ref, bd_ref, out_hbm, stage, outbuf, carry, crow_s,
-               bdwin, sem_bd, sem_out):
+    def kernel(row0_s, stream_ref, bd_ref, out_hbm, stage, outbuf2, carry,
+               crow_s, bdwin2, sem_bd, sem_out):
         c = pl.program_id(0)
+        # Two-buffer DMA pipeline: chunk c+1's backdrop window streams
+        # in during chunk c's compute (per-chunk first-row indices ride
+        # scalar prefetch), and the output flush of chunk c-1 is waited
+        # only after chunk c's compute. Consecutive output windows
+        # OVERLAP (open rows are rewritten by the completing block), so
+        # at most one out-DMA is in flight to preserve write order.
+        parity = jax.lax.rem(c, 2)
+
+        def bd_copy(j, slot):
+            jc = jnp.minimum(j, n_chunks - 1)
+            r8 = pl.multiple_of((row0_s[jc] // 8) * 8, 8)
+            return pltpu.make_async_copy(
+                bd_ref.at[pl.ds(r8, CS + 8), :], bdwin2.at[slot],
+                sem_bd.at[slot],
+            )
 
         @pl.when(c == 0)
         def _():
             crow_s[0] = -1
             carry[...] = jnp.zeros((S, 1, 256), jnp.float32)
+            bd_copy(0, 0).start()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            bd_copy(c + 1, 1 - parity).start()
 
         blk = stream_ref[...]  # (C, 8)
         sx0 = blk[:, 0:1]
@@ -78,10 +98,6 @@ def make_coverage_kernel(AR_out, n_chunks, C, offsets, interpret=False):
         # Backdrop/rule window for the rows this block can complete.
         row0_8 = pl.multiple_of((row0 // 8) * 8, 8)
         d = row0 - row0_8
-        dma_bd = pltpu.make_async_copy(
-            bd_ref.at[pl.ds(row0_8, CS + 8), :], bdwin, sem_bd
-        )
-        dma_bd.start()
 
         # Pixel-center coordinates.
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
@@ -153,13 +169,13 @@ def make_coverage_kernel(AR_out, n_chunks, C, offsets, interpret=False):
                                  sums + merge * carry[s, :, :], sums)
                 stage[s, :, :] = sums
 
-        dma_bd.wait()
+        bd_copy(c, parity).wait()
 
         # bdwin rows [d, d+CS) -> (CS, 1): dynamic rotate (sublane
         # slices must start 8-aligned, rotates are unconstrained).
         WB = CS + 8
 
-        bdwin_v = bdwin[...]
+        bdwin_v = bdwin2.at[parity][...]
 
         def win_col(col):
             rolled = pltpu.roll(bdwin_v, WB - d, 0)
@@ -184,14 +200,25 @@ def make_coverage_kernel(AR_out, n_chunks, C, offsets, interpret=False):
         # a later block. The out array is 3-D (rows, 1, 256) so the
         # leading dim is outside the (8, 128) tiling and the DMA offset
         # needs no sublane alignment.
-        outbuf[:, 0, :] = out_rows
-        out_dma = pltpu.make_async_copy(
-            outbuf,
-            out_hbm.at[pl.ds(jnp.minimum(row0, AR_out - 1), CS)],
-            sem_out,
-        )
-        out_dma.start()
-        out_dma.wait()
+        outbuf2.at[parity][:, 0, :] = out_rows
+
+        def out_copy(j, slot):
+            jc = jnp.minimum(j, n_chunks - 1)
+            r0 = jnp.minimum(row0_s[jc], AR_out - 1)
+            return pltpu.make_async_copy(
+                outbuf2.at[slot], out_hbm.at[pl.ds(r0, CS)],
+                sem_out.at[slot],
+            )
+
+        @pl.when(c >= 1)
+        def _():
+            out_copy(c - 1, 1 - parity).wait()
+
+        out_copy(c, parity).start()
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_copy(c, parity).wait()
 
         # Carry = the last (open) row's per-sample sums; extracted with
         # a one-hot contraction (no dynamic sublane slice).
@@ -208,21 +235,21 @@ def make_coverage_kernel(AR_out, n_chunks, C, offsets, interpret=False):
         crow_s[0] = row_last
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,  # per-chunk first-row indices (row0s)
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((C, 8), lambda c: (c, 0)),             # stream
+            pl.BlockSpec((C, 8), lambda c, s: (c, 0)),          # stream
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # bd table
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
             pltpu.VMEM((S, CS, 256), jnp.float32),      # per-sample sums
-            pltpu.VMEM((CS, 1, 256), jnp.float32),      # out staging
+            pltpu.VMEM((2, CS, 1, 256), jnp.float32),   # out staging (2-buf)
             pltpu.VMEM((S, 1, 256), jnp.float32),       # carry
             pltpu.SMEM((1,), jnp.int32),                # carry row
-            pltpu.VMEM((CS + 8, 128), jnp.float32),     # bd window
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CS + 8, 128), jnp.float32),  # bd windows (2-buf)
+            pltpu.SemaphoreType.DMA((2,)),              # bd sems
+            pltpu.SemaphoreType.DMA((2,)),              # out sems
         ],
     )
     return pl.pallas_call(
@@ -317,7 +344,10 @@ def compute_area_rows_pallas(xp, cmds, counted, caps):
     bd_tab = bd_tab.at[:, 1].set(eo_vec)
 
     call = make_coverage_kernel(AR, n_chunks, C, offsets, interpret=interpret)
-    area_sr = call(stream.reshape(SCpad, 8), bd_tab)
+    # Per-chunk first rows (for the kernel's prefetched bd-window and
+    # deferred out-flush DMAs; identical to the in-block rows_i[0, 0]).
+    row0s = stream[0::C, 5].astype(xp.int32)
+    area_sr = call(row0s, stream.reshape(SCpad, 8), bd_tab)
     area_sr = area_sr.reshape(area_sr.shape[0], 256)
 
     # Permute slot-rank rows into record-rank order (rows, not

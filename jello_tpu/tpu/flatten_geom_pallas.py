@@ -56,7 +56,10 @@ from .lockstep_pallas import _transpose_mxu, lockstep_walk
 
 # Slots per grid step (matches LOCKSTEP_CHUNK's VMEM footprint).
 GEOM_CHUNK = 256
-IN_COLS = 32  # 21 used; padded to a sublane-friendly width
+# 21 used; padded to one full lane tile: Mosaic requires HBM<->VMEM DMA
+# slices to be 128-aligned along the lane dim (a (W, 32) window buffer
+# fails real-TPU lowering even though interpret mode accepts it).
+IN_COLS = 128
 
 # outS column layout.
 S_ACT_A = 0
@@ -68,7 +71,8 @@ S_ARC_GEOM = 19   # bx, by, ex, ey, cx, cy
 # Decode-mode extras (so XLA's style/transform gathers DCE entirely):
 S_FILL = 25       # style fill-rule bit (drives path_draw_flags)
 S_T6 = 26         # the slot's transform (drives the arc table)
-S_COLS = 32
+S_COLS = 32       # logical columns returned to the caller
+S_PAD = 128       # stored lane width (same 128-alignment DMA rule)
 
 
 def _scrub(v):
@@ -276,13 +280,13 @@ def make_geom_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
         out_specs=[
             pl.BlockSpec((C, 128), lambda c: (c, 0)),
             pl.BlockSpec((C, 128), lambda c: (c, 0)),
-            pl.BlockSpec((C, S_COLS), lambda c: (c, 0)),
+            pl.BlockSpec((C, S_PAD), lambda c: (c, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, IN_COLS), jnp.float32),
             pltpu.VMEM((128, C), jnp.float32),
             pltpu.VMEM((128, C), jnp.float32),
-            pltpu.VMEM((S_COLS, C), jnp.float32),
+            pltpu.VMEM((S_PAD, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -292,7 +296,7 @@ def make_geom_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
         out_shape=[
             jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks * C, S_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * C, S_PAD), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -305,7 +309,7 @@ D_STY_WORD = 2     # style_base + style_idx (wrapped pre-style -> base)
 D_TR_WORD = 3      # transform_base + 6 * trans_idx (wrapped -> base)
 D_PATH = 4
 D_ACTIVE = 5
-DEC_COLS = 8
+DEC_COLS = 128  # 6 used; full lane tile (DMA alignment)
 
 
 def make_geom_decode_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
@@ -391,7 +395,7 @@ def make_geom_decode_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
         out_specs=[
             pl.BlockSpec((C, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec((C, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((C, S_COLS), lambda c, *_: (c, 0)),
+            pl.BlockSpec((C, S_PAD), lambda c, *_: (c, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, DEC_COLS), jnp.float32),
@@ -400,7 +404,7 @@ def make_geom_decode_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
             pltpu.VMEM((TR_WROWS, 128), jnp.uint32),
             pltpu.VMEM((128, C), jnp.float32),
             pltpu.VMEM((128, C), jnp.float32),
-            pltpu.VMEM((S_COLS, C), jnp.float32),
+            pltpu.VMEM((S_PAD, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -410,7 +414,7 @@ def make_geom_decode_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
         out_shape=[
             jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks * C, S_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * C, S_PAD), jnp.float32),
         ],
         interpret=interpret,
     )

@@ -328,6 +328,11 @@ class Renderer:
             routing["_coverage_pallas"] = True
             if self.use_image_tap:
                 routing["_image_tap"] = True
+            if os.environ.get("JELLO_V2_CHUNK", ""):
+                # A/B knob: records per fine_v2 chunk (default 128).
+                # Larger chunks amortize per-grid-step overhead against
+                # VMEM window size; tune on-chip.
+                routing["v2_chunk"] = int(os.environ["JELLO_V2_CHUNK"])
             if os.environ.get("JELLO_INTERPRET", "") == "1":
                 # Run every Pallas kernel in interpret mode: the full
                 # production routing on a CPU-only machine (UseCPU,
