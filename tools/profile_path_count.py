@@ -106,6 +106,9 @@ def main():
                 if isinstance(v, dict):
                     for vv in v.values():
                         acc(vv)
+                elif isinstance(v, (tuple, list)):
+                    for vv in v:
+                        acc(vv)
                 elif hasattr(v, "sum"):
                     s = s + v.sum().astype(jnp.float32)
 
