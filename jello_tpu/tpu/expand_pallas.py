@@ -42,9 +42,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Chunk geometry. C outputs per grid step; the table window holds
-# C + 16 rows (8 alignment + 8 slack around the window start).
+# Chunk geometry. C outputs per sub-chunk; each grid step processes
+# SUB sub-chunks on (SUB, C) blocks — the compute body then runs on
+# full (8, 128)-shaped VPU registers instead of (1, C) lane rows (1/8
+# sublane utilization, the measured cause of the geometry-megakernel
+# regression; BASELINE.md round-3). The table window holds
+# SUB*C + 32 rows: one aligned DMA per grid step covers all SUB
+# sub-windows (counts >= 1 per owning row bounds the span).
 EXPAND_CHUNK = 512
+EXPAND_SUB = 8
 _WIN_PAD = 16
 
 # Reserved parameter-table columns (appended after the caller's).
@@ -81,7 +87,7 @@ def build_expand_table(xp, cols, counts, out_cap, chunk=EXPAND_CHUNK,
     assert len(cols) <= 128
     table = xp.stack(cols, axis=1)  # [R, n_cols]
     ncol = table.shape[1]
-    W = chunk + _WIN_PAD
+    W = EXPAND_SUB * chunk + 2 * _WIN_PAD
     # Pad rows so every window DMA is in bounds; padded incl = +inf so
     # padded rows never win the ownership count.
     pad = xp.zeros((W, ncol), dtype=xp.float32)
@@ -110,46 +116,72 @@ def _is_jax(xp):
 
 
 def make_expand_call(n_cols, n_out, n_chunks, compute, chunk=EXPAND_CHUNK,
-                     interpret=False):
+                     interpret=False, sub=EXPAND_SUB):
     """Build the pallas_call.
 
-    compute(p, j, within, valid) -> list of n_out (1, C) f32 arrays,
-      where p(k) returns parameter column k as a (1, C) array, j is the
-      global output index (f32), within the index within the record,
-      valid a {0,1} f32 mask (0 for clamped dead slots / tail).
+    compute(p, j, within, valid) -> list of n_out (SUB, C) f32 arrays,
+      where p(k) returns parameter column k as a (SUB, C) array, j is
+      the global output index (f32), within the index within the
+      record, valid a {0,1} f32 mask (0 for clamped dead slots / tail).
+
+    Each grid step covers SUB consecutive C-output sub-chunks: one
+    window DMA (the sub-windows of consecutive chunks overlap, so the
+    union is <= SUB*C + 32 rows), one ownership one-hot + MXU param
+    landing per sub-chunk into a (128, SUB, C) scratch, and the
+    transform body on (SUB, C) blocks — full VPU shape. Output layout
+    (n_out, n_super, SUB, C) is row-major in the global output index,
+    so a reshape to (n_out, N) needs no transpose.
     """
     C = chunk
-    W = C + _WIN_PAD
+    SUB = sub
+    # Per-sub-chunk window: ws[c] >= owner(c*C) - 15 and the chunk's
+    # owners end <= owner(c*C) + C, so C + 16 rows cover it (the
+    # original single-chunk bound). Super-window: rel offsets are
+    # bounded by (SUB-1)*C + 15, so SUB*C + 32 rows cover every
+    # sub-window slice.
+    Wc = C + _WIN_PAD              # per-sub-chunk window rows
+    W = SUB * C + 2 * _WIN_PAD     # super-window rows (one DMA)
     col_incl = n_cols
     col_cnt = n_cols + 1
+    n_super = -(-n_chunks // SUB)
 
-    def kernel(win_start_s, tab_hbm, out_ref, win, sem):
+    def kernel(win_start_s, tab_hbm, out_ref, win, params, sem):
         c = pl.program_id(0)
-        ws = pl.multiple_of(win_start_s[c], 8)
-        dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(ws, W), :], win, sem)
+        c0 = jnp.minimum(c * SUB, n_chunks - 1)
+        ws0 = pl.multiple_of(win_start_s[c0], 8)
+        dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(ws0, W), :], win, sem)
         dma.start()
         dma.wait()
 
-        jf = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + c * C
-        ).astype(jnp.float32)
-        incl_col = win[:, col_incl : col_incl + 1]  # (W, 1)
-        # Vectorized lower_bound: local owner index = #{incl <= j}.
-        lam = jnp.sum(
-            (incl_col <= jf).astype(jnp.int32), axis=0, keepdims=True
-        )  # (1, C) i32
-
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
-        onehot = (iota_w == lam).astype(jnp.float32)  # (W, C)
-        params = jax.lax.dot_general(
-            win[...], onehot, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (128, C): row k = column k of the table, per output
+        for j in range(SUB):
+            cj = jnp.minimum(c * SUB + j, n_chunks - 1)
+            rel = pl.multiple_of(win_start_s[cj] - ws0, 8)
+            sub_win = win[pl.ds(rel, Wc), :]  # (Wc, 128)
+            jf_row = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + cj * C
+            ).astype(jnp.float32)
+            incl_col = sub_win[:, col_incl : col_incl + 1]  # (Wc, 1)
+            # Vectorized lower_bound: local owner index = #{incl <= j}.
+            lam = jnp.sum(
+                (incl_col <= jf_row).astype(jnp.int32), axis=0, keepdims=True
+            )  # (1, C) i32
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (Wc, C), 0)
+            onehot = (iota_w == lam).astype(jnp.float32)  # (Wc, C)
+            params[:, j, :] = jax.lax.dot_general(
+                sub_win, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (128, C): row k = column k of the table, per output
 
         def p(k):
-            return params[k : k + 1, :]
+            return params[k, :, :]  # (SUB, C)
 
+        # Global output index per (sub-chunk, lane).
+        jf = (
+            jax.lax.broadcasted_iota(jnp.int32, (SUB, C), 0) * C
+            + jax.lax.broadcasted_iota(jnp.int32, (SUB, C), 1)
+            + c * SUB * C
+        ).astype(jnp.float32)
         incl_o = p(col_incl)
         cnt_o = p(col_cnt)
         cnt1_o = jnp.maximum(cnt_o, 1.0)
@@ -160,26 +192,34 @@ def make_expand_call(n_cols, n_out, n_chunks, compute, chunk=EXPAND_CHUNK,
 
         outs = compute(p, jf, within, valid)
         for k in range(n_out):
-            out_ref[k : k + 1, :] = outs[k]
+            out_ref[k, 0, :, :] = outs[k]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        grid=(n_super,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # table (HBM)
         ],
-        out_specs=pl.BlockSpec((n_out, C), lambda c, s: (0, c)),
+        out_specs=pl.BlockSpec((n_out, 1, SUB, C), lambda c, s: (0, c, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((W, 128), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, n_chunks * C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, n_super, SUB, C), jnp.float32),
         interpret=interpret,
     )
+
+    def run(ws, tab):
+        out = call(ws, tab)
+        # Row-major (super, sub, lane) == global output order.
+        return out.reshape(n_out, n_super * SUB * C)[:, : n_chunks * C]
+
+    return run
 
 
 def _crossing_compute(T):

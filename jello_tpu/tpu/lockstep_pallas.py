@@ -33,7 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import flatten_math as fm
 from .kmath import kernel_xp
-from .expand_pallas import EXPAND_CHUNK, _WIN_PAD, make_expand_call, _euler_compute
+from .expand_pallas import (
+    EXPAND_CHUNK, EXPAND_SUB, _WIN_PAD, make_expand_call, _euler_compute,
+)
 
 # Rows per grid step. 256 f32 rows x 128 lanes = 128 KB block.
 LOCKSTEP_CHUNK = 256
@@ -149,20 +151,28 @@ def lockstep_walk(P, offset, scale, act, IT):
     return rec_t0, rec_t1, rec_n, cnt, ~done
 
 
-def make_lockstep_call(IT, n_chunks, chunk=LOCKSTEP_CHUNK, interpret=False):
+def make_lockstep_call(IT, n_chunks, chunk=LOCKSTEP_CHUNK, interpret=False,
+                       sub=EXPAND_SUB):
+    """Each grid step walks SUB sub-blocks of C work items: the table
+    rows are transposed per sub-block into a (128, SUB, C) scratch so
+    the transcendental-heavy walk runs on (SUB, C) = full-VPU shapes
+    instead of (1, C) lane rows (1/8 sublane utilization)."""
     assert 21 + 3 * IT + 3 <= 128, "IT too large for the 128-lane table"
     C = chunk
+    SUB = sub
     f32 = jnp.float32
     col_cnt = 22 + 3 * IT
     col_ovf = 23 + 3 * IT
+    n_super = -(-n_chunks // SUB)
 
-    def kernel(in_ref, out_ref, scratch):
-        win = in_ref[...]  # (C, 128)
+    def kernel(in_ref, out_ref, tws, scratch):
+        win = in_ref[...]  # (SUB*C, 128)
         win = jnp.where(win == win, win, 0.0)  # NaN-scrub for the MXU pass
-        tw = _transpose_mxu(win, 128)  # (128, C): row k = column k
+        for j in range(SUB):
+            tws[:, j, :] = _transpose_mxu(win[j * C : (j + 1) * C, :], 128)
 
         def r(k):
-            return tw[k : k + 1, :]
+            return tws[k, :, :]  # (SUB, C)
 
         P = tuple(r(k) for k in range(8))
         offset, scale = r(8), r(9)
@@ -172,26 +182,33 @@ def make_lockstep_call(IT, n_chunks, chunk=LOCKSTEP_CHUNK, interpret=False):
             P, offset, scale, act, IT
         )
 
-        scratch[:, :] = jnp.zeros(scratch.shape, jnp.float32)
-        scratch[0:21, :] = tw[0:21, :]
+        scratch[:, :, :] = jnp.zeros(scratch.shape, jnp.float32)
+        scratch[0:21, :, :] = tws[0:21, :, :]
         for it in range(IT):
-            scratch[21 + it : 22 + it, :] = rec_t0[it]
-            scratch[21 + IT + it : 22 + IT + it, :] = rec_t1[it]
-            scratch[21 + 2 * IT + it : 22 + 2 * IT + it, :] = rec_n[it]
-        scratch[col_cnt : col_cnt + 1, :] = cnt
-        scratch[col_ovf : col_ovf + 1, :] = not_done.astype(f32)
-        out_ref[...] = _transpose_mxu(scratch[...], C)
+            scratch[21 + it, :, :] = rec_t0[it]
+            scratch[21 + IT + it, :, :] = rec_t1[it]
+            scratch[21 + 2 * IT + it, :, :] = rec_n[it]
+        scratch[col_cnt, :, :] = cnt
+        scratch[col_ovf, :, :] = not_done.astype(f32)
+        for j in range(SUB):
+            out_ref[j * C : (j + 1) * C, :] = _transpose_mxu(
+                scratch[:, j, :], C
+            )
 
     return pl.pallas_call(
         kernel,
-        grid=(n_chunks,),
+        grid=(n_super,),
         in_specs=[
-            pl.BlockSpec((C, 128), lambda c: (c, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((SUB * C, 128), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((C, 128), lambda c: (c, 0),
+        out_specs=pl.BlockSpec((SUB * C, 128), lambda c: (c, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((128, C), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n_super * SUB * C, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+        ],
         interpret=interpret,
     )
 
@@ -209,8 +226,8 @@ def flatten_lockstep_expansion(xp, table21, valid, IT, EC, n_paths_cap, caps):
     interpret = bool(caps.get("_expand_interpret", False))
     NW = table21.shape[0]
     C = LOCKSTEP_CHUNK
-    Wexp = EXPAND_CHUNK + _WIN_PAD
-    Rp = -(-(NW + Wexp) // C) * C
+    Wexp = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
+    Rp = -(-(NW + Wexp) // (EXPAND_SUB * C)) * (EXPAND_SUB * C)
     n_chunks = Rp // C
 
     tab_in = xp.zeros((Rp, 128), dtype=xp.float32)
@@ -232,8 +249,8 @@ def lockstep_tables_expansion(xp, table128, IT, EC, n_paths_cap, caps):
     interpret = bool(caps.get("_expand_interpret", False))
     NW = table128.shape[0]
     C = LOCKSTEP_CHUNK
-    Wexp = EXPAND_CHUNK + _WIN_PAD
-    Rp = -(-(NW + Wexp) // C) * C
+    Wexp = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
+    Rp = -(-(NW + Wexp) // (EXPAND_SUB * C)) * (EXPAND_SUB * C)
     tab = xp.zeros((Rp, 128), dtype=xp.float32)
     tab = tab.at[:NW, :].set(table128)
     return _expand_record_table(xp, tab, NW, IT, EC, n_paths_cap, interpret)

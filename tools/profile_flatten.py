@@ -110,7 +110,55 @@ def main():
                 for c in g["tabB"]:
                     s = s + c.sum()
                 return s
+            if stage == "worklists":
+                NWA = caps["work_a_cap"]
+                NWB = caps["work_b_cap"]
+                wl_a, _, wla_valid, _, na = fm.expand_by_counts(
+                    xp, g["act_a"].astype(xp.int32), NWA)
+                wl_b, _, wlb_valid, _, nb = fm.expand_by_counts(
+                    xp, g["act_b"].astype(xp.int32), NWB)
+                return (wl_a.sum() + wl_b.sum() + na + nb
+                        + wla_valid.sum() + wlb_valid.sum())
+            if stage == "rows":
+                NWA = caps["work_a_cap"]
+                NWB = caps["work_b_cap"]
+                wl_a, _, wla_valid, _, na = fm.expand_by_counts(
+                    xp, g["act_a"].astype(xp.int32), NWA)
+                wl_b, _, wlb_valid, _, nb = fm.expand_by_counts(
+                    xp, g["act_b"].astype(xp.int32), NWB)
+                tabA_N = xp.stack(g["tabA"], axis=1)
+                tabB_N = xp.stack(g["tabB"], axis=1)
+                rowsA = _ops.gather_guarded(xp, tabA_N, wl_a)
+                rowsB = _ops.gather_guarded(xp, tabB_N, wl_b)
+                return rowsA.sum() + rowsB.sum() + na + nb
+            if stage == "lockstep":
+                from jello_tpu.tpu.lockstep_pallas import (
+                    flatten_lockstep_expansion,
+                )
+                NWA = caps["work_a_cap"]
+                NWB = caps["work_b_cap"]
+                EC = caps["euler_line_cap"]
+                IT = caps["max_iters"]
+                wl_a, _, wla_valid, _, na = fm.expand_by_counts(
+                    xp, g["act_a"].astype(xp.int32), NWA)
+                wl_b, _, wlb_valid, _, nb = fm.expand_by_counts(
+                    xp, g["act_b"].astype(xp.int32), NWB)
+                tabA_N = xp.stack(g["tabA"], axis=1)
+                tabB_N = xp.stack(g["tabB"], axis=1)
+                rowsA = _ops.gather_guarded(xp, tabA_N, wl_a)
+                rowsB = _ops.gather_guarded(xp, tabB_N, wl_b)
+                table = xp.concatenate([rowsA, rowsB], axis=0)
+                wvalid = xp.concatenate([wla_valid, wlb_valid])
+                (e_x0, e_y0, e_x1, e_y1, e_path, e_valid, e_total,
+                 e_real, ovf) = flatten_lockstep_expansion(
+                    xp, table, wvalid, IT, EC, caps["n_paths_cap"], caps)
+                return (e_x0.sum() + e_y1.sum() + e_path.sum()
+                        + e_valid.sum() + e_total)
             fl = fm.flatten_stage(xp, scene, layout, caps)
+            if stage == "nobbox":
+                return (fl["line_x0"].sum() + fl["line_y1"].sum()
+                        + fl["n_lines"]
+                        + fl["line_path"].sum() + fl["line_valid"].sum())
             if stage == "full":
                 return (fl["line_x0"].sum() + fl["line_y1"].sum()
                         + fl["path_bbox"].sum() + fl["n_lines"]
@@ -118,7 +166,8 @@ def main():
             raise ValueError(stage)
         return body
 
-    stages = ["monoids", "decode", "geometry", "full"]
+    stages = ["monoids", "decode", "geometry", "worklists", "rows",
+              "lockstep", "nobbox", "full"]
     prev = 0.0
     for st in stages:
         fn = jax.jit(upto(st))
