@@ -214,21 +214,44 @@ def main():
     head = bench_one(scene, params, args.iters)
 
     if not args.quick:
+        # Print a provisional headline line NOW: if the driver kills the
+        # full sweep mid-way, the last complete JSON line on stdout is
+        # still the main metric instead of nothing.
+        print(json.dumps({
+            "metric": f"config{args.config}_ms_frame", "value": head["ms"],
+            "unit": "ms", "vs_baseline": round(2.0 / head["ms"], 4),
+            "extra": {"backend": extra["backend"], "provisional": True,
+                      "warmup_s": head["warmup_s"]},
+        }), flush=True)
+        # Per-config budget: each additional config costs one server-side
+        # compile (~2 min) + host calibration; stop adding configs when
+        # the sweep already spent its budget so the final (complete)
+        # line always prints.
+        budget_s = float(os.environ.get("JELLO_BENCH_BUDGET_S", "2400"))
         configs = {}
+        truncated = []
         for cfg in (1, 2, 3, 4, 5):
             if cfg == args.config:
                 configs[str(cfg)] = head
+                continue
+            if time.time() - t_start > budget_s:
+                truncated.append(str(cfg))
                 continue
             s, p = make(cfg)
             configs[str(cfg)] = bench_one(s, p, args.iters)
         # MSAA modes on config 4 (clips/blends @1080p).
         s, p = make(4)
         for mode, aa in (("msaa8", AaConfig.MSAA8), ("msaa16", AaConfig.MSAA16)):
+            if time.time() - t_start > budget_s:
+                truncated.append("4_" + mode)
+                continue
             p2 = RenderParams(width=p.width, height=p.height,
                               base_color=p.base_color, antialiasing_method=aa)
             configs["4_" + mode] = bench_one(s, p2, max(2, args.iters // 2))
         extra["configs"] = configs
-        if not args.no_parity:
+        if truncated:
+            extra["configs_truncated"] = truncated
+        if not args.no_parity and time.time() - t_start < budget_s * 1.25:
             extra["parity_max_err"] = {
                 k: round(v, 6) for k, v in parity_check().items()
             }

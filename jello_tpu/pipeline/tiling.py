@@ -387,12 +387,34 @@ def path_count(xp, lines, paths, caps, upto=None):
         if upto == "expand":
             return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot,
                     r_delta)
-        backdrop = xp.zeros(T + 1, dtype=xp.int32)
-        backdrop = ops.scatter_add(xp, backdrop, r_slot, r_delta)
-        backdrop = ops.scatter_add(xp, backdrop, bump_slot, bump_delta)
+        # One scatter_add serves all three T-indexed accumulations
+        # (backdrop row deltas, top-edge bumps, per-tile segment
+        # bincount): the bincount lands at offset T+1 in a doubled
+        # target. Same total scattered rows, two fewer top-level
+        # scatter launches (ops carry ~1-3 ms apiece on this fabric).
+        slot_clamped = xp.where((tile_slot >= 0) & (tile_slot < T),
+                                tile_slot, T)
+        # Clamp the backdrop slots too: on an overflow frame (estimate
+        # class too small) they can exceed T, and in the doubled target
+        # they would land in the bincount half instead of falling off
+        # the array end (the old T+1 arrays dropped them as OOB).
+        def _cl(s):
+            return xp.where((s >= 0) & (s <= T), s, T)
+
+        merged = ops.scatter_add(
+            xp,
+            xp.zeros(2 * (T + 1), dtype=xp.int32),
+            xp.concatenate([_cl(r_slot), _cl(bump_slot),
+                            slot_clamped + (T + 1)]),
+            xp.concatenate([r_delta, bump_delta,
+                            xp.ones(SC, dtype=xp.int32)]),
+        )
+        backdrop = merged[: T + 1]
+        binc_pallas = merged[T + 1 :]
         if upto == "backdrop":
             return (backdrop, tile_slot, seg_pre)
     else:
+        binc_pallas = None
         # ---- Backdrop row deltas (column 0 of each path row) -----------
         # Narrow 5-column table: gathering the full 21-wide P here
         # measured ~6x slower (transposed-layout roulette on wide row
@@ -489,13 +511,14 @@ def path_count(xp, lines, paths, caps, upto=None):
     # run-boundary scatters (random-access rows are the frame's
     # currency: ~10 ns/row). Intra-tile order is whatever the sort
     # produced; coverage is a sum over segments and order-independent.
-    binc = ops.scatter_add(
-        xp,
-        xp.zeros(T + 1, dtype=xp.int32),
-        xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T),
-        xp.ones(SC, dtype=xp.int32),
-    )
-    seg_count = binc[:T]
+    if binc_pallas is None:
+        binc_pallas = ops.scatter_add(
+            xp,
+            xp.zeros(T + 1, dtype=xp.int32),
+            xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T),
+            xp.ones(SC, dtype=xp.int32),
+        )
+    seg_count = binc_pallas[:T]
     seg_start = ops.exclusive_cumsum(xp, seg_count)
 
     # ---- Backdrop prefix along rows ------------------------------------

@@ -50,7 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 # SUB*C + 32 rows: one aligned DMA per grid step covers all SUB
 # sub-windows (counts >= 1 per owning row bounds the span).
 EXPAND_CHUNK = 512
-EXPAND_SUB = 8
+# JELLO_EXPAND_SUB: A/B knob for the sublane batch factor (compile-time
+# vs runtime trade: bigger SUB = fuller VPU sublanes but an 8x-unrolled
+# kernel body that XLA takes longer to compile).
+import os as _os
+
+EXPAND_SUB = int(_os.environ.get("JELLO_EXPAND_SUB", "8"))
 _WIN_PAD = 16
 
 # Reserved parameter-table columns (appended after the caller's).
