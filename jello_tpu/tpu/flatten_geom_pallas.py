@@ -52,10 +52,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .kmath import kernel_xp
+from .expand_pallas import EXPAND_SUB
 from .lockstep_pallas import _transpose_mxu, lockstep_walk
 
 # Slots per grid step (matches LOCKSTEP_CHUNK's VMEM footprint).
 GEOM_CHUNK = 256
+# Sub-chunks per grid step: the walks and slot_geometry run on
+# (SUB, C) = full-VPU shapes instead of (1, C) lane rows — the 1/8
+# sublane utilization measured as this kernel's regression vs the
+# split XLA path (BASELINE.md round-3 A/B). Same batching as the
+# expand/lockstep kernels; shares their JELLO_EXPAND_SUB knob.
+GEOM_SUB = EXPAND_SUB
 # 21 used; padded to one full lane tile: Mosaic requires HBM<->VMEM DMA
 # slices to be 128-aligned along the lane dim (a (W, 32) window buffer
 # fails real-TPU lowering even though interpret mode accepts it).
@@ -187,12 +194,18 @@ def _decode_points(words, tag_i32):
 
 def _geometry_walks_emit(kxp, args, IT, n_paths_cap, sA, sB, sS,
                          outA, outB, outS, C, extras=()):
-    """Shared kernel tail: slot_geometry + both walks + output writes."""
+    """Shared kernel tail: slot_geometry + both walks + output writes.
+
+    The args arrays and scratches are sublane-batched: every argument
+    is (SUB, C), the scratches are (128/S_PAD, SUB, C), and the outputs
+    are (SUB*C, lane) blocks written with one exact MXU transpose per
+    sub-chunk."""
     from ..pipeline.flatten import slot_geometry
 
     f32 = jnp.float32
     col_cnt = 22 + 3 * IT
     col_ovf = 23 + 3 * IT
+    SUB = sA.shape[1]
 
     g = slot_geometry(kxp, *args, n_paths_cap)
 
@@ -203,46 +216,52 @@ def _geometry_walks_emit(kxp, args, IT, n_paths_cap, sA, sB, sS,
         rec_t0, rec_t1, rec_n, cnt, not_done = lockstep_walk(
             tuple(tab[:8]), tab[8], tab[9], act, IT
         )
-        scratch[:, :] = jnp.zeros(scratch.shape, f32)
+        scratch[:, :, :] = jnp.zeros(scratch.shape, f32)
         for k in range(21):
-            scratch[k : k + 1, :] = _scrub(tab[k])
+            scratch[k, :, :] = _scrub(tab[k])
         for it in range(IT):
-            scratch[21 + it : 22 + it, :] = rec_t0[it]
-            scratch[21 + IT + it : 22 + IT + it, :] = rec_t1[it]
-            scratch[21 + 2 * IT + it : 22 + 2 * IT + it, :] = rec_n[it]
-        scratch[col_cnt : col_cnt + 1, :] = cnt
-        scratch[col_ovf : col_ovf + 1, :] = not_done.astype(f32)
-        out[...] = _transpose_mxu(scratch[...], C)
+            scratch[21 + it, :, :] = rec_t0[it]
+            scratch[21 + IT + it, :, :] = rec_t1[it]
+            scratch[21 + 2 * IT + it, :, :] = rec_n[it]
+        scratch[col_cnt, :, :] = cnt
+        scratch[col_ovf, :, :] = not_done.astype(f32)
+        for j in range(SUB):
+            out[j * C : (j + 1) * C, :] = _transpose_mxu(
+                scratch[:, j, :], C
+            )
 
-    sS[:, :] = jnp.zeros(sS.shape, f32)
-    sS[S_ACT_A : S_ACT_A + 1, :] = g["act_a"].astype(f32)
-    sS[S_ACT_B : S_ACT_B + 1, :] = g["act_b"].astype(f32)
+    sS[:, :, :] = jnp.zeros(sS.shape, f32)
+    sS[S_ACT_A, :, :] = g["act_a"].astype(f32)
+    sS[S_ACT_B, :, :] = g["act_b"].astype(f32)
     for k, (sv, x0, y0, x1, y1) in enumerate(g["s_lines"]):
         base = S_SL + 5 * k
-        sS[base : base + 1, :] = sv.astype(f32)
+        sS[base, :, :] = sv.astype(f32)
         for j, v in enumerate((x0, y0, x1, y1)):
-            sS[base + 1 + j : base + 2 + j, :] = _scrub(v)
-    sS[S_ARC_N : S_ARC_N + 1, :] = _scrub(g["arc_n"])
-    sS[S_ARC_THETA : S_ARC_THETA + 1, :] = _scrub(g["arc_theta"])
+            sS[base + 1 + j, :, :] = _scrub(v)
+    sS[S_ARC_N, :, :] = _scrub(g["arc_n"])
+    sS[S_ARC_THETA, :, :] = _scrub(g["arc_theta"])
     for j, key in enumerate(
         ("arc_bx", "arc_by", "arc_ex", "arc_ey", "arc_cx", "arc_cy")
     ):
-        sS[S_ARC_GEOM + j : S_ARC_GEOM + j + 1, :] = _scrub(g[key])
+        sS[S_ARC_GEOM + j, :, :] = _scrub(g[key])
     for col, v in extras:
-        sS[col : col + 1, :] = v
-    outS[...] = _transpose_mxu(sS[...], C)
+        sS[col, :, :] = v
+    for j in range(SUB):
+        outS[j * C : (j + 1) * C, :] = _transpose_mxu(sS[:, j, :], C)
 
 
 def make_geom_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
-                   interpret=False):
+                   interpret=False, sub=None):
     assert 23 + 3 * IT < 128, "IT too large for the 128-lane table"
     C = chunk
-    W = C + 8
+    SUB = GEOM_SUB if sub is None else sub
+    n_super = -(-n_chunks // SUB)
+    W = SUB * C + 8
     i32 = jnp.int32
 
-    def kernel(tab_hbm, outA, outB, outS, win, sA, sB, sS, sem):
+    def kernel(tab_hbm, outA, outB, outS, win, tws, twsn, sA, sB, sS, sem):
         c = pl.program_id(0)
-        ws = pl.multiple_of(c * C, 8)
+        ws = pl.multiple_of(c * SUB * C, 8)
         dma = pltpu.make_async_copy(
             tab_hbm.at[pl.ds(ws, W), :], win, sem
         )
@@ -251,14 +270,16 @@ def make_geom_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
 
         w = win[...]
         w = jnp.where(w == w, w, 0.0)  # NaN-scrub for the MXU transposes
-        cur = _transpose_mxu(w[0:C], IN_COLS)          # (IN_COLS, C)
-        nxt = _transpose_mxu(pltpu.roll(w, W - 1, 0)[0:C], IN_COLS)
+        wn = pltpu.roll(w, W - 1, 0)   # row i -> row i+1 of the table
+        for j in range(SUB):
+            tws[:, j, :] = _transpose_mxu(w[j * C : (j + 1) * C], IN_COLS)
+            twsn[:, j, :] = _transpose_mxu(wn[j * C : (j + 1) * C], IN_COLS)
 
         def r(k):
-            return cur[k : k + 1, :]
+            return tws[k, :, :]  # (SUB, C)
 
         def rn(k):
-            return nxt[k : k + 1, :]
+            return twsn[k, :, :]
 
         kxp = kernel_xp()
         tag = r(8).astype(i32)
@@ -275,18 +296,20 @@ def make_geom_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_chunks,),
+        grid=(n_super,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=[
-            pl.BlockSpec((C, 128), lambda c: (c, 0)),
-            pl.BlockSpec((C, 128), lambda c: (c, 0)),
-            pl.BlockSpec((C, S_PAD), lambda c: (c, 0)),
+            pl.BlockSpec((SUB * C, 128), lambda c: (c, 0)),
+            pl.BlockSpec((SUB * C, 128), lambda c: (c, 0)),
+            pl.BlockSpec((SUB * C, S_PAD), lambda c: (c, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, IN_COLS), jnp.float32),
-            pltpu.VMEM((128, C), jnp.float32),
-            pltpu.VMEM((128, C), jnp.float32),
-            pltpu.VMEM((S_PAD, C), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+            pltpu.VMEM((S_PAD, SUB, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -294,9 +317,9 @@ def make_geom_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks * C, S_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((n_super * SUB * C, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_super * SUB * C, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_super * SUB * C, S_PAD), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -313,56 +336,83 @@ DEC_COLS = 128  # 6 used; full lane tile (DMA alignment)
 
 
 def make_geom_decode_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
-                          interpret=False):
+                          interpret=False, sub=None):
     """The megakernel with the scene decode fused in: fetches segment
     points, style words and transforms from per-chunk scene windows
     (see module banner) instead of XLA-decoded input columns."""
     assert 23 + 3 * IT < 128, "IT too large for the 128-lane table"
     C = chunk
-    W = C + 8
+    SUB = GEOM_SUB if sub is None else sub
+    n_super = -(-n_chunks // SUB)
+    W = SUB * C + 8
     i32 = jnp.int32
 
     def kernel(ws_pts_s, ws_sty_s, ws_tr_s, scene_hbm, tab_hbm,
                outA, outB, outS,
-               win, pw, sw, tw, sA, sB, sS, sem):
+               win, pw, sw, tw, tws, twsn, sA, sB, sS, sem):
         c = pl.program_id(0)
-        ws = pl.multiple_of(c * C, 8)
-        for src, dst in (
-            (tab_hbm.at[pl.ds(ws, W), :], win),
-            (scene_hbm.at[pl.ds(pl.multiple_of(ws_pts_s[c], 8),
-                                PTS_WROWS), :], pw),
-            (scene_hbm.at[pl.ds(pl.multiple_of(ws_sty_s[c], 8),
-                                STY_WROWS), :], sw),
-            (scene_hbm.at[pl.ds(pl.multiple_of(ws_tr_s[c], 8),
-                                TR_WROWS), :], tw),
-        ):
-            dma = pltpu.make_async_copy(src, dst, sem)
-            dma.start()
-            dma.wait()
+        ws = pl.multiple_of(c * SUB * C, 8)
+        dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(ws, W), :], win, sem)
+        dma.start()
+        dma.wait()
 
         w = win[...]
         w = jnp.where(w == w, w, 0.0)
-        cur = _transpose_mxu(w[0:C], DEC_COLS)
-        nxt = _transpose_mxu(pltpu.roll(w, W - 1, 0)[0:C], DEC_COLS)
+        wn = pltpu.roll(w, W - 1, 0)
+        for j in range(SUB):
+            tws[:, j, :] = _transpose_mxu(w[j * C : (j + 1) * C], DEC_COLS)
+            twsn[:, j, :] = _transpose_mxu(wn[j * C : (j + 1) * C], DEC_COLS)
 
         def r(k):
-            return cur[k : k + 1, :]
+            return tws[k, :, :]  # (SUB, C)
 
         def rn(k):
-            return nxt[k : k + 1, :]
+            return twsn[k, :, :]
 
         kxp = kernel_xp()
         tag = r(D_TAG).astype(i32)
         tagn = rn(D_TAG).astype(i32)
 
-        pts_base = ws_pts_s[c] * 128
-        sty_base = ws_sty_s[c] * 128
-        tr_base = ws_tr_s[c] * 128
-        pts_w = _fetch_words(pw[...], r(D_PTS_WORD).astype(i32) - pts_base, 8)
-        ptsn_w = _fetch_words(pw[...], rn(D_PTS_WORD).astype(i32) - pts_base, 8)
-        sty_w = _fetch_words(sw[...], r(D_STY_WORD).astype(i32) - sty_base, 2)
-        styn_w = _fetch_words(sw[...], rn(D_STY_WORD).astype(i32) - sty_base, 1)
-        tr_w = _fetch_words(tw[...], r(D_TR_WORD).astype(i32) - tr_base, 6)
+        # Per-sub scene windows: the word fetches are MXU one-hot
+        # contractions (shape-indifferent), so only the window DMAs and
+        # fetches run per sub-chunk; the decoded values stack to
+        # (SUB, C) for the full-VPU geometry/walk tail.
+        pts_js, ptsn_js, sty_js, styn_js, tr_js = [], [], [], [], []
+        for j in range(SUB):
+            cj = c * SUB + j
+            for src, dst in (
+                (scene_hbm.at[pl.ds(pl.multiple_of(ws_pts_s[cj], 8),
+                                    PTS_WROWS), :], pw),
+                (scene_hbm.at[pl.ds(pl.multiple_of(ws_sty_s[cj], 8),
+                                    STY_WROWS), :], sw),
+                (scene_hbm.at[pl.ds(pl.multiple_of(ws_tr_s[cj], 8),
+                                    TR_WROWS), :], tw),
+            ):
+                dma = pltpu.make_async_copy(src, dst, sem)
+                dma.start()
+                dma.wait()
+            pts_base = ws_pts_s[cj] * 128
+            sty_base = ws_sty_s[cj] * 128
+            tr_base = ws_tr_s[cj] * 128
+            pts_loc = tws[D_PTS_WORD, j : j + 1, :].astype(i32) - pts_base
+            ptsn_loc = twsn[D_PTS_WORD, j : j + 1, :].astype(i32) - pts_base
+            sty_loc = tws[D_STY_WORD, j : j + 1, :].astype(i32) - sty_base
+            styn_loc = twsn[D_STY_WORD, j : j + 1, :].astype(i32) - sty_base
+            tr_loc = tws[D_TR_WORD, j : j + 1, :].astype(i32) - tr_base
+            pts_js.append(_fetch_words(pw[...], pts_loc, 8))
+            ptsn_js.append(_fetch_words(pw[...], ptsn_loc, 8))
+            sty_js.append(_fetch_words(sw[...], sty_loc, 2))
+            styn_js.append(_fetch_words(sw[...], styn_loc, 1))
+            tr_js.append(_fetch_words(tw[...], tr_loc, 6))
+
+        def stack(js, k):
+            return jnp.concatenate([js[j][k] for j in range(SUB)], axis=0)
+
+        pts_w = [stack(pts_js, k) for k in range(8)]
+        ptsn_w = [stack(ptsn_js, k) for k in range(8)]
+        sty_w = [stack(sty_js, k) for k in range(2)]
+        styn_w = [stack(styn_js, 0)]
+        tr_w = [stack(tr_js, k) for k in range(6)]
 
         pts_raw = _decode_points(pts_w, tag)
         pts_next = _decode_points(ptsn_w, tagn)
@@ -387,24 +437,26 @@ def make_geom_decode_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_chunks,),
+        grid=(n_super,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # scene2d
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # slot table
         ],
         out_specs=[
-            pl.BlockSpec((C, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((C, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((C, S_PAD), lambda c, *_: (c, 0)),
+            pl.BlockSpec((SUB * C, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((SUB * C, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((SUB * C, S_PAD), lambda c, *_: (c, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, DEC_COLS), jnp.float32),
             pltpu.VMEM((PTS_WROWS, 128), jnp.uint32),
             pltpu.VMEM((STY_WROWS, 128), jnp.uint32),
             pltpu.VMEM((TR_WROWS, 128), jnp.uint32),
-            pltpu.VMEM((128, C), jnp.float32),
-            pltpu.VMEM((128, C), jnp.float32),
-            pltpu.VMEM((S_PAD, C), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+            pltpu.VMEM((128, SUB, C), jnp.float32),
+            pltpu.VMEM((S_PAD, SUB, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -412,9 +464,9 @@ def make_geom_decode_call(IT, n_chunks, n_paths_cap, chunk=GEOM_CHUNK,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks * C, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks * C, S_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((n_super * SUB * C, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_super * SUB * C, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_super * SUB * C, S_PAD), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -430,7 +482,8 @@ def flatten_geom_tables(xp, cols, IT, n_paths_cap, caps):
     N = cols[0].shape[0]
     C = GEOM_CHUNK
     n_chunks = max(-(-N // C), 1)
-    Np = n_chunks * C + 8
+    n_super = -(-n_chunks // GEOM_SUB)
+    Np = n_super * GEOM_SUB * C + 8
     tab = xp.zeros((Np, IN_COLS), dtype=xp.float32)
     tab = tab.at[:N, :21].set(xp.stack(cols, axis=1))
     call = make_geom_call(IT, n_chunks, n_paths_cap, C, interpret=interpret)
@@ -454,7 +507,9 @@ def flatten_geom_tables_decode(xp, scene, tag_col, pts_word, sty_word,
     N = tag_col.shape[0]
     C = GEOM_CHUNK
     n_chunks = max(-(-N // C), 1)
-    Np = n_chunks * C + 8
+    n_super = -(-n_chunks // GEOM_SUB)
+    n_sub_total = n_super * GEOM_SUB
+    Np = n_sub_total * C + 8
     f32 = xp.float32
     tab = xp.zeros((Np, DEC_COLS), dtype=f32)
     tab = tab.at[:N, :6].set(xp.stack(
@@ -472,8 +527,10 @@ def flatten_geom_tables_decode(xp, scene, tag_col, pts_word, sty_word,
         )
         rows = min_rows
 
+    # One window start per sub-chunk (the kernel indexes c*SUB + j);
+    # padded tail sub-chunks clamp to the last real slot.
     first = xp.minimum(
-        xp.arange(n_chunks, dtype=xp.int32) * C, max(N - 1, 0)
+        xp.arange(n_sub_total, dtype=xp.int32) * C, max(N - 1, 0)
     )
 
     def ws_of(col, wrows):
