@@ -6,7 +6,11 @@ execution, steady state, post-compile. vs_baseline: ratio of the
 2 ms/frame driver target to the measured time (>1.0 = faster than
 target). `extra` carries all five configs, the MSAA modes on config 4,
 the on-device pixel-parity gate (the UseCPU cross-check discipline of
-the reference, wgpu.go:454-513 — always on), and compile metrics.
+the reference, wgpu.go:454-513 — runs unless the sweep blew its time
+budget, in which case parity_max_err = "skipped_budget"), and compile
+metrics. Consumers must take the LAST config{N}_ms_frame line; an
+early `config{N}_ms_frame_provisional` line is emitted as a crash
+guard and carries no configs/parity.
 
 Usage: python bench.py [--config N] [--paths N] [--iters N]
        [--quick] (headline config only, parity skipped)
@@ -217,8 +221,12 @@ def main():
         # Print a provisional headline line NOW: if the driver kills the
         # full sweep mid-way, the last complete JSON line on stdout is
         # still the main metric instead of nothing.
+        # Distinct metric name: a consumer that takes the FIRST matching
+        # JSON line (or aggregates all lines) must never pick up this
+        # record — it lacks configs/parity (advisor r3).
         print(json.dumps({
-            "metric": f"config{args.config}_ms_frame", "value": head["ms"],
+            "metric": f"config{args.config}_ms_frame_provisional",
+            "value": head["ms"],
             "unit": "ms", "vs_baseline": round(2.0 / head["ms"], 4),
             "extra": {"backend": extra["backend"], "provisional": True,
                       "warmup_s": head["warmup_s"]},
@@ -255,6 +263,10 @@ def main():
             extra["parity_max_err"] = {
                 k: round(v, 6) for k, v in parity_check().items()
             }
+        elif not args.no_parity:
+            # Explicit marker: "skipped on budget" is distinguishable
+            # from "never ran" in the output JSON (advisor r3).
+            extra["parity_max_err"] = "skipped_budget"
 
     ms = head["ms"]
     mpx = params.width * params.height / 1e6

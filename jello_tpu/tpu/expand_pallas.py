@@ -56,6 +56,11 @@ EXPAND_CHUNK = 512
 import os as _os
 
 EXPAND_SUB = int(_os.environ.get("JELLO_EXPAND_SUB", "8"))
+if EXPAND_SUB < 1:
+    raise ValueError(
+        f"JELLO_EXPAND_SUB must be >= 1 (got {EXPAND_SUB}); it is the "
+        "sublane batch factor of the expand/lockstep/geometry kernels"
+    )
 _WIN_PAD = 16
 
 # Reserved parameter-table columns (appended after the caller's).
