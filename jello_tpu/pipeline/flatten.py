@@ -786,89 +786,22 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     is_stroke = cur(is_stroke_e)
     T = [cur(t) for t in T_e]
 
-    # Fused geometry+walk megakernel (tpu/flatten_geom_pallas.py): the
-    # whole per-slot portion — slot_geometry, both lockstep walks and
-    # the record tables — runs as one streaming Pallas kernel; XLA only
-    # compacts the output rows to the active worklists below.
-    use_geom_pallas = (
-        caps.get("_geom_pallas")
-        and caps.get("_expand_pallas")  # the expansion consumer is Pallas
-        and ops.is_jax(xp)
-        and IT <= 32
-        and not caps.get("_stats_only")
+    g = slot_geometry(
+        xp, tags, nxt(tags_e), pts_raw, [nxt(a) for a in pts_raw_e],
+        seg_type0, nxt(seg_type0_e), is_stroke, nxt(is_stroke_e),
+        style_flags, linewidth, miter_limit, T, path_idx, active,
+        n_paths_cap,
     )
-    geom_decode = bool(caps.get("_geom_decode")) and use_geom_pallas
-    if geom_decode:
-        # Decode-fused mode: the kernel fetches points/styles/transforms
-        # from scene windows itself; the S8 row table and its three
-        # megarow gathers above become dead code XLA eliminates.
-        from ..tpu import flatten_geom_pallas as fgp
-
-        wrap_s = (style_idx_e & xp.uint32(0x80000000)) != 0
-        sty_word = (
-            layout["style_base"]
-            + xp.where(wrap_s, xp.uint32(0), style_idx_e)
-        ).astype(xp.int32)
-        wrap_t = (trans_idx_e & xp.uint32(0x80000000)) != 0
-        tr_word = (
-            layout["transform_base"]
-            + xp.uint32(6) * xp.where(wrap_t, xp.uint32(0), trans_idx_e)
-        ).astype(xp.int32)
-        outA_e, outB_e, outS_e = fgp.flatten_geom_tables_decode(
-            xp, scene, tags_e.astype(f32), base_words_e.astype(xp.int32),
-            sty_word, tr_word, path_idx_e.astype(f32),
-            active_e.astype(f32), IT, n_paths_cap, caps,
-        )
-        outA, outB, outS = cur(outA_e), cur(outB_e), cur(outS_e)
-        g = None
-        act_a = outS[:, fgp.S_ACT_A] > 0.5
-        act_b = outS[:, fgp.S_ACT_B] > 0.5
-    elif use_geom_pallas:
-        from ..tpu import flatten_geom_pallas as fgp
-
-        geom_cols = list(pts_raw_e) + [
-            tags_e.astype(f32),
-            (style_flags_e & xp.uint32(0x3F000000)).astype(f32),
-            is_stroke_e.astype(f32),
-            linewidth_e,
-            f16_to_f32(
-                xp, (style_flags_e & MITER_LIMIT_MASK).astype(xp.uint32)
-            ),
-        ] + list(T_e) + [
-            path_idx_e.astype(f32),
-            active_e.astype(f32),
-        ]
-        outA_e, outB_e, outS_e = fgp.flatten_geom_tables(
-            xp, geom_cols, IT, n_paths_cap, caps
-        )
-        outA, outB, outS = cur(outA_e), cur(outB_e), cur(outS_e)
-        g = None
-        act_a = outS[:, fgp.S_ACT_A] > 0.5
-        act_b = outS[:, fgp.S_ACT_B] > 0.5
-    else:
-        g = slot_geometry(
-            xp, tags, nxt(tags_e), pts_raw, [nxt(a) for a in pts_raw_e],
-            seg_type0, nxt(seg_type0_e), is_stroke, nxt(is_stroke_e),
-            style_flags, linewidth, miter_limit, T, path_idx, active,
-            n_paths_cap,
-        )
-        act_a, act_b = g["act_a"], g["act_b"]
+    act_a, act_b = g["act_a"], g["act_b"]
 
     # Per-path draw flags / transform index, written at path-marker
     # slots (flatten.go:675-683). Under a shard each marker slot lives
     # in exactly one shard, so a cross-device psum combines the arrays.
-    if geom_decode:
-        df = xp.where(
-            outS[:, fgp.S_FILL] > 0.5,
-            xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
-            xp.uint32(0),
-        )
-    else:
-        df = xp.where(
-            (style_flags & FLAGS_FILL_BIT) == 0,
-            xp.uint32(0),
-            xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
-        )
+    df = xp.where(
+        (style_flags & FLAGS_FILL_BIT) == 0,
+        xp.uint32(0),
+        xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
+    )
     path_draw_flags = ops.scatter_set(
         xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, df
     )
@@ -893,13 +826,11 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # One packed [N, 21] table per pass + one row gather each replaces
     # ~21 independent element gathers per pass (gathers cost per row,
     # not per byte).
-    if not use_geom_pallas:
-        tabA_N = xp.stack(g["tabA"], axis=1)
-        tabB_N = xp.stack(g["tabB"], axis=1)
-        rowsA = ops.gather_guarded(xp, tabA_N, wl_a)
-        rowsB = ops.gather_guarded(xp, tabB_N, wl_b)
-    # Lockstep walk placement: inside the fused geometry megakernel
-    # (already ran above), inside a Pallas kernel (the default on
+    tabA_N = xp.stack(g["tabA"], axis=1)
+    tabB_N = xp.stack(g["tabB"], axis=1)
+    rowsA = ops.gather_guarded(xp, tabA_N, wl_a)
+    rowsB = ops.gather_guarded(xp, tabB_N, wl_b)
+    # Lockstep walk placement: inside a Pallas kernel (the default on
     # the Pallas path — tpu/lockstep_pallas.py) or as the XLA
     # while_loop below.
     use_lockstep_pallas = (
@@ -908,7 +839,7 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         and IT <= 32
         and not caps.get("_no_lockstep_pallas")
     )
-    if not use_geom_pallas and not use_lockstep_pallas:
+    if not use_lockstep_pallas:
         PA_w = [rowsA[:, i] for i in range(8)]
         PB_w = [rowsB[:, i] for i in range(8)]
         rec_a = lockstep_euler_pass(
@@ -930,28 +861,7 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # Euler lines.
     EC = caps["euler_line_cap"]
 
-    if use_geom_pallas:
-        # Compact the megakernel's pre-walked record rows to the active
-        # worklists (two row gathers; width is nearly free on this
-        # fabric) and expand. Rows past the real worklist come back
-        # index-clamped from gather_guarded — zero them so their count
-        # column contributes the same one dead slot as the unfused path.
-        from ..tpu.lockstep_pallas import lockstep_tables_expansion
-
-        recA = xp.where(
-            wla_valid[:, None], ops.gather_guarded(xp, outA, wl_a), 0.0
-        )
-        recB = xp.where(
-            wlb_valid[:, None], ops.gather_guarded(xp, outB, wl_b), 0.0
-        )
-        (e_x0, e_y0, e_x1, e_y1, e_path, e_valid, e_total, e_real,
-         ovf_ls) = lockstep_tables_expansion(
-            xp, xp.concatenate([recA, recB], axis=0), IT, EC,
-            n_paths_cap, caps
-        )
-        overflow_euler = ovf_ls | (na > NWA) | (nb > NWB)
-        lockstep_iters = xp.int32(IT)
-    elif use_lockstep_pallas:
+    if use_lockstep_pallas:
         from ..tpu.lockstep_pallas import flatten_lockstep_expansion
 
         table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
@@ -1053,29 +963,15 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # Simple lines (device-space already; one packed row gather).
     SC = caps["simple_line_cap"]
     fpath = path_idx.astype(f32)
-    if use_geom_pallas:
-        from ..tpu import flatten_geom_pallas as fgp
-
-        s_cols = [
-            [outS[:, fgp.S_SL + 5 * k + c] for k in range(3)]
-            for c in range(5)
-        ]
-        s_counts = xp.concatenate(s_cols[0]).astype(xp.int32)
-        stab = xp.stack(
-            [xp.concatenate(s_cols[c]) for c in range(1, 5)]
-            + [xp.concatenate([fpath, fpath, fpath])],
-            axis=1,
-        )  # [3N, 5]
-    else:
-        s_counts = xp.concatenate(
-            [sl[0].astype(xp.int32) for sl in g["s_lines"]]
-        )
-        stab = xp.stack(
-            [xp.concatenate([g["s_lines"][k][c] for k in range(3)])
-             for c in range(1, 5)]
-            + [xp.concatenate([fpath, fpath, fpath])],
-            axis=1,
-        )  # [3N, 5]
+    s_counts = xp.concatenate(
+        [sl[0].astype(xp.int32) for sl in g["s_lines"]]
+    )
+    stab = xp.stack(
+        [xp.concatenate([g["s_lines"][k][c] for k in range(3)])
+         for c in range(1, 5)]
+        + [xp.concatenate([fpath, fpath, fpath])],
+        axis=1,
+    )  # [3N, 5]
     s_rec, _, s_valid, _, s_total = expand_by_counts(
         xp, s_counts, _cap(s_counts, SC)
     )
@@ -1087,25 +983,15 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # Arc lines (one packed [N, 15] row gather instead of 14 element
     # gathers).
     AC = caps["arc_line_cap"]
-    if use_geom_pallas:
-        arc_n = outS[:, fgp.S_ARC_N]
-        arc_geom = [outS[:, fgp.S_ARC_GEOM + j] for j in range(6)]
-        arc_theta_c = outS[:, fgp.S_ARC_THETA]
-    else:
-        arc_n = g["arc_n"]
-        arc_geom = [g["arc_bx"], g["arc_by"], g["arc_ex"], g["arc_ey"],
-                    g["arc_cx"], g["arc_cy"]]
-        arc_theta_c = g["arc_theta"]
+    arc_n = g["arc_n"]
+    arc_geom = [g["arc_bx"], g["arc_by"], g["arc_ex"], g["arc_ey"],
+                g["arc_cx"], g["arc_cy"]]
+    arc_theta_c = g["arc_theta"]
     a_rec, a_i, a_valid, a_excl, a_total = expand_by_counts(
         xp, arc_n, _cap(arc_n, AC)
     )
-    # Decode-fused mode sources the transform from the kernel so the
-    # XLA transform gather stays dead.
-    T_arc = (
-        [outS[:, fgp.S_T6 + i] for i in range(6)] if geom_decode else T
-    )
     atab = xp.stack(
-        arc_geom + [arc_theta_c, arc_n] + list(T_arc) + [fpath],
+        arc_geom + [arc_theta_c, arc_n] + list(T) + [fpath],
         axis=1,
     )
     arow = ops.gather_guarded(xp, atab, a_rec)

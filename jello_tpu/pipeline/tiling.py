@@ -159,13 +159,16 @@ def _line_setup(xp, x0, y0, x1, y1):
     }
 
 
-def path_count_params(xp, lines, paths, caps):
+def path_count_params(xp, lines, paths, caps, upto=None):
     """Per-line DDA + bbox-clip parameters (the pure per-line half of
     PathCount, shared by the single-chip path and the line-sharded
     multi-chip pipeline in tpu/sharded2.py).
 
     Returns (P [L,21] f32 table, n_cross [L] i32, n_rows_per_line [L]
     i32, prt: tuple of the five backdrop-row columns).
+
+    upto: profiling cut point — "setup" (DDA line setup only),
+    "pgather" (+ per-path row gather), "clip" (+ bbox i-range clip).
     """
     L = lines["line_x0"].shape[0]
     f32 = xp.float32
@@ -174,6 +177,8 @@ def path_count_params(xp, lines, paths, caps):
         xp, lines["line_x0"], lines["line_y0"], lines["line_x1"], lines["line_y1"]
     )
     valid = lines["line_valid"] & ~ls["skip"]
+    if upto == "setup":
+        return (ls["a"], ls["b"], ls["count"], valid)
 
     # One row gather for the five per-path fields (vs five element
     # gathers over the line array).
@@ -189,6 +194,8 @@ def path_count_params(xp, lines, paths, caps):
         axis=1,
     )
     prow = ops.gather_guarded(xp, ptab, pidx)
+    if upto == "pgather":
+        return (ls["a"], ls["b"], ls["count"], valid, prow)
     bb0, bb1, bb2, bb3 = prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3]
     stride = (bb2 - bb0).astype(xp.int32)
     tiles_base = prow[:, 4].astype(xp.int32)
@@ -257,6 +264,8 @@ def path_count_params(xp, lines, paths, caps):
     imax = xp.where(line_dead, f32(0.0), imax)
     ymin = xp.where(line_dead, f32(0.0), ymin)
     ymax = xp.where(line_dead, f32(0.0), ymax)
+    if upto == "clip":
+        return (imin, imax, ymin, ymax)
 
     # ---- Packed per-line parameter table -------------------------------
     # Both expansions below (rows, crossings) and path_tiling read a
@@ -318,6 +327,8 @@ def path_count(xp, lines, paths, caps, upto=None):
     SC = caps["seg_cap"]
     f32 = xp.float32
 
+    if upto in ("setup", "pgather", "clip"):
+        return path_count_params(xp, lines, paths, caps, upto=upto)
     P, n_cross, n_rows_per_line, (ymin, tiles_base, bb1, stride, delta) = (
         path_count_params(xp, lines, paths, caps)
     )

@@ -239,23 +239,6 @@ def flatten_lockstep_expansion(xp, table21, valid, IT, EC, n_paths_cap, caps):
     return _expand_record_table(xp, tab, NW, IT, EC, n_paths_cap, interpret)
 
 
-def lockstep_tables_expansion(xp, table128, IT, EC, n_paths_cap, caps):
-    """Euler line expansion from pre-walked record rows.
-
-    table128: [NW, 128] rows already in the record layout (the flatten
-    geometry megakernel's outA/outB rows compacted to the active
-    worklists; see tpu/flatten_geom_pallas.py). Same returns as
-    flatten_lockstep_expansion."""
-    interpret = bool(caps.get("_expand_interpret", False))
-    NW = table128.shape[0]
-    C = LOCKSTEP_CHUNK
-    Wexp = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
-    Rp = -(-(NW + Wexp) // (EXPAND_SUB * C)) * (EXPAND_SUB * C)
-    tab = xp.zeros((Rp, 128), dtype=xp.float32)
-    tab = tab.at[:NW, :].set(table128)
-    return _expand_record_table(xp, tab, NW, IT, EC, n_paths_cap, interpret)
-
-
 def _expand_record_table(xp, tab, NW, IT, EC, n_paths_cap, interpret):
     Rp = tab.shape[0]
     col_cnt = 22 + 3 * IT

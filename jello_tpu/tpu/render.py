@@ -55,12 +55,6 @@ class Renderer:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
-        # Fused flatten geometry megakernel (tpu/flatten_geom_pallas.py)
-        # — opt-in until measured faster than the split path on the
-        # real chip (flip the default with the measurement).
-        self.use_geom_pallas = (
-            use_pallas and os.environ.get("JELLO_GEOM_PALLAS", "") == "1"
-        )
         # Image-tap kernel (tpu/image_tap.py): image paints through the
         # record-stream fine kernel; only nested-clip/blend tiles take
         # the per-tile interpreter. Default on (the tap does the same
@@ -339,10 +333,6 @@ class Renderer:
                 # wgpu.go:454-513 — here per-process instead of
                 # per-shader).
                 routing["_expand_interpret"] = True
-            if self.use_geom_pallas:
-                routing["_geom_pallas"] = True
-                if os.environ.get("JELLO_GEOM_DECODE", "") == "1":
-                    routing["_geom_decode"] = True
         caps = dict(caps)
         caps.update(routing)
 

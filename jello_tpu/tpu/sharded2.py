@@ -107,12 +107,8 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
         caps_l["_expand_interpret"] = True
     caps_l["_expand_pallas"] = True
     caps_l["_coverage_pallas"] = True
-    # The flatten geometry megakernel runs per shard when routed
-    # (flatten_stage handles the shard context: extended decode,
-    # linear successor).
-    for k in ("_geom_pallas", "_geom_decode", "_image_tap"):
-        if caps.get(k):
-            caps_l[k] = True
+    if caps.get("_image_tap"):
+        caps_l["_image_tap"] = True
     T = caps["tiles_cap"]
     N_l = caps_l["n_tag_slots"]
     PEX = caps_l["seg_ex_cap"]
@@ -475,17 +471,16 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
     return jax.jit(fn)
 
 
-def dryrun(n_devices: int, full_profile: bool = False, geom: bool = False,
+def dryrun(n_devices: int, full_profile: bool = False,
            image_tap: bool = False, aa: str = "area"):
     """Compile + run one geometry-sharded frame on an n-device mesh and
     cross-check against the single-device numpy oracle.
 
     full_profile=True uses a larger scene with clips, gradients and an
     image crossing stripe boundaries (the driver's tiny scene plus
-    feature coverage). geom=True routes flatten through the
-    decode-fused geometry megakernel inside each shard. image_tap=True
-    routes image paints through the image-tap kernel + record-stream
-    fine inside each shard (tpu/image_tap.py)."""
+    feature coverage). image_tap=True routes image paints through the
+    image-tap kernel + record-stream fine inside each shard
+    (tpu/image_tap.py)."""
     import jello_tpu as jt
     from ..cpu.pipeline import build_image_atlas, build_layout_dict
     from ..pipeline.fine_ref import assemble_image
@@ -552,10 +547,6 @@ def dryrun(n_devices: int, full_profile: bool = False, geom: bool = False,
     ramps_arr = stops_table_or_empty(ramps)
     atlas = build_image_atlas(images)
 
-    if geom:
-        caps = dict(caps)
-        caps["_geom_pallas"] = True
-        caps["_geom_decode"] = True
     if image_tap:
         caps = dict(caps)
         caps["_image_tap"] = True

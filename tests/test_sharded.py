@@ -38,17 +38,6 @@ def test_dryrun_geometry_sharded_full_features():
 
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
-def test_dryrun_geometry_sharded_megakernel():
-    """The decode-fused flatten geometry megakernel inside each shard
-    (extended tag decode, linear successor, per-shard scene windows)."""
-    from jello_tpu.tpu.sharded2 import dryrun
-
-    err = dryrun(8, geom=True)
-    assert err < 8e-3
-
-
-@pytest.mark.slow
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_dryrun_geometry_sharded_image_tap():
     """Image paints through the image-tap kernel + record-stream fine
     inside each shard: the full-feature scene's image spans stripe

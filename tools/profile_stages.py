@@ -65,10 +65,6 @@ def main():
     if r.use_pallas:
         caps["_expand_pallas"] = True
         caps["_coverage_pallas"] = True
-        if r.use_geom_pallas:  # JELLO_GEOM_PALLAS=1
-            caps["_geom_pallas"] = True
-            if os.environ.get("JELLO_GEOM_DECODE", "") == "1":
-                caps["_geom_decode"] = True
     print("calibrated caps:", {k: v for k, v in sorted(caps.items())}, flush=True)
 
     res = Resolver()
