@@ -104,6 +104,158 @@ def _expand(xp, counts, cap, total=None):
     return expand_by_counts(xp, counts, cap, total)
 
 
+def line_dda_clip(xp, x0, y0, x1, y1, lvalid, bb0, bb1, bb2, bb3, tiles_base):
+    """Full per-line DDA setup + bbox i-range clip, all-f32 and
+    shape-agnostic (cpu.go:770-941). Shared verbatim between the XLA
+    path (path_count_params) and the Pallas expand-kernel bodies
+    (tpu/expand_pallas.py raw-table route), so the f32 op sequence —
+    and therefore every count and crossing — is bit-identical in both.
+
+    bb0..bb3/tiles_base: per-line path-rect fields (already gathered).
+    Returns a dict of f32 blocks; counts are exact integers in f32.
+    """
+    f32 = xp.float32
+    is_down = y1 >= y0
+    ax0 = xp.where(is_down, x0, x1)
+    ay0 = xp.where(is_down, y0, y1)
+    ax1 = xp.where(is_down, x1, x0)
+    ay1 = xp.where(is_down, y1, y0)
+    s0x = ax0 * TILE_SCALE
+    s0y = ay0 * TILE_SCALE
+    s1x = ax1 * TILE_SCALE
+    s1y = ay1 * TILE_SCALE
+
+    def span_f(a, b):
+        return xp.maximum(
+            xp.ceil(xp.maximum(a, b)) - xp.floor(xp.minimum(a, b)), 1.0
+        )
+
+    count_x = span_f(s0x, s1x) - 1.0
+    count = count_x + span_f(s0y, s1y)
+    dx = xp.abs(s1x - s0x)
+    dy = s1y - s0y
+    skip = (dx + dy == 0.0) | ((dy == 0.0) & (xp.floor(s0y) == s0y))
+    safe = xp.where(skip, f32(1.0), dx + dy)
+    idxdy = 1.0 / safe
+    a = dx * idxdy
+    is_positive = s1x >= s0x
+    sign = xp.where(is_positive, f32(1.0), f32(-1.0))
+    xt0 = xp.floor(s0x * sign)
+    c = s0x * sign - xt0
+    y0i = xp.floor(s0y)
+    ytop = xp.where(s0y == s1y, xp.ceil(s0y), y0i + 1.0)
+    b = xp.minimum((dy * c + dx * (ytop - s0y)) * idxdy, f32(ONE_MINUS_ULP))
+    robust_err = xp.floor(a * (count - 1.0) + b) - count_x
+    a = xp.where(
+        robust_err != 0.0,
+        a - xp.where(robust_err > 0, 1.0, -1.0) * ROBUST_EPSILON,
+        a,
+    )
+    x0f = xt0 * sign + xp.where(is_positive, f32(0.0), f32(-1.0))
+
+    valid = lvalid & ~skip
+    stride = bb2 - bb0
+    xmin = xp.minimum(s0x, s1x)
+    line_dead = (
+        (s0y >= bb3) | (s1y < bb1) | (xmin >= bb2) | (stride == 0.0) | ~valid
+    )
+
+    # Clip i-range to the path bbox (cpu.go:838-907).
+    one_minus_a = 1.0 - a
+    safe_oma = xp.where(one_minus_a == 0.0, f32(1e-12), one_minus_a)
+    iminf = xp.round((bb1 - y0i + b - a) / safe_oma) - 1.0
+    iminf = xp.where(y0i + iminf - xp.floor(a * iminf + b) < bb1, iminf + 1.0, iminf)
+    imin = xp.where(s0y < bb1, iminf, f32(0.0))
+    imaxf = xp.round((bb3 - y0i + b - a) / safe_oma) - 1.0
+    imaxf = xp.where(y0i + imaxf - xp.floor(a * imaxf + b) < bb3, imaxf + 1.0, imaxf)
+    imax = xp.where(s1y > bb3, imaxf, count)
+
+    delta = xp.where(is_down, f32(-1.0), f32(1.0))
+    ymin = xp.zeros_like(s0y)
+    ymax = xp.zeros_like(s0y)
+
+    all_left = xp.maximum(s0x, s1x) < bb0
+    ymin = xp.where(all_left, xp.ceil(s0y), ymin)
+    ymax = xp.where(all_left, xp.ceil(s1y), ymax)
+    imax = xp.where(all_left, imin, imax)
+
+    fudge = xp.where(is_positive, f32(0.0), f32(1.0))
+    safe_a = xp.where(a == 0.0, f32(1e-12), a)
+    left_case = ~all_left & (xmin < bb0)
+    fl = xp.round((sign * (bb0 - x0f) - b + fudge) / safe_a)
+    fl = xp.where(
+        (x0f + sign * xp.floor(safe_a * fl + b) < bb0) == is_positive, fl + 1.0, fl
+    )
+    ynext = y0i + fl - xp.floor(safe_a * fl + b) + 1.0
+    pos_upd = left_case & is_positive & (fl > imin)
+    ymin = xp.where(pos_upd, y0i + xp.where(y0i == s0y, f32(0.0), f32(1.0)), ymin)
+    ymax = xp.where(pos_upd, ynext, ymax)
+    imin = xp.where(pos_upd, fl, imin)
+    neg_upd = left_case & ~is_positive & (fl < imax)
+    ymin = xp.where(neg_upd, ynext, ymin)
+    ymax = xp.where(neg_upd, xp.ceil(s1y), ymax)
+    imax = xp.where(neg_upd, fl, imax)
+    right_case = ~all_left & (xp.maximum(s0x, s1x) > bb2)
+    fr = xp.round((sign * (bb2 - x0f) - b + fudge) / safe_a)
+    fr = xp.where(
+        (x0f + sign * xp.floor(safe_a * fr + b) < bb2) == is_positive, fr + 1.0, fr
+    )
+    imax = xp.where(right_case & is_positive, xp.minimum(imax, fr), imax)
+    imin = xp.where(right_case & ~is_positive, xp.maximum(imin, fr), imin)
+
+    imax = xp.maximum(imin, imax)
+    ymin = xp.maximum(ymin, bb1)
+    ymax = xp.minimum(ymax, bb3)
+    zero = f32(0.0)
+    imin = xp.where(line_dead, zero, imin)
+    imax = xp.where(line_dead, zero, imax)
+    ymin = xp.where(line_dead, zero, ymin)
+    ymax = xp.where(line_dead, zero, ymax)
+
+    return {
+        "a": a,
+        "b": b,
+        "sign": sign,
+        "y0i": y0i,
+        "x0f": x0f,
+        "s0y": s0y,
+        "imin": imin,
+        "imax": imax,
+        "ymin": ymin,
+        "ymax": ymax,
+        "count": count,
+        "is_down": is_down,
+        "is_positive": is_positive,
+        "stride": stride,
+        "delta": delta,
+        "xy0x": ax0,
+        "xy0y": ay0,
+        "xy1x": ax1,
+        "xy1y": ay1,
+        "n_cross": xp.maximum(imax - imin, 0.0),
+        "n_rows": xp.maximum(ymax - ymin, 0.0),
+    }
+
+
+def path_rect_rows(xp, lines, paths):
+    """One row gather for the five per-path rect fields (vs five
+    element gathers over the line array): [L, 5] f32 rows of
+    (rect_x0, rect_y0, rect_x1, rect_y1, tile_offset)."""
+    f32 = xp.float32
+    pidx = xp.minimum(lines["line_path"], paths["rect_x0"].shape[0] - 1)
+    ptab = xp.stack(
+        [
+            paths["rect_x0"].astype(f32),
+            paths["rect_y0"].astype(f32),
+            paths["rect_x1"].astype(f32),
+            paths["rect_y1"].astype(f32),
+            paths["tile_offset"].astype(f32),
+        ],
+        axis=1,
+    )
+    return ops.gather_guarded(xp, ptab, pidx)
+
+
 def _line_setup(xp, x0, y0, x1, y1):
     """Common DDA parameters for one line (cpu.go:770-821)."""
     is_down = y1 >= y0
@@ -180,92 +332,17 @@ def path_count_params(xp, lines, paths, caps, upto=None):
     if upto == "setup":
         return (ls["a"], ls["b"], ls["count"], valid)
 
-    # One row gather for the five per-path fields (vs five element
-    # gathers over the line array).
-    pidx = xp.minimum(lines["line_path"], paths["rect_x0"].shape[0] - 1)
-    ptab = xp.stack(
-        [
-            paths["rect_x0"].astype(f32),
-            paths["rect_y0"].astype(f32),
-            paths["rect_x1"].astype(f32),
-            paths["rect_y1"].astype(f32),
-            paths["tile_offset"].astype(f32),
-        ],
-        axis=1,
-    )
-    prow = ops.gather_guarded(xp, ptab, pidx)
+    prow = path_rect_rows(xp, lines, paths)
     if upto == "pgather":
         return (ls["a"], ls["b"], ls["count"], valid, prow)
-    bb0, bb1, bb2, bb3 = prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3]
-    stride = (bb2 - bb0).astype(xp.int32)
-    tiles_base = prow[:, 4].astype(xp.int32)
 
-    s0x, s0y, s1x, s1y = ls["s0x"], ls["s0y"], ls["s1x"], ls["s1y"]
-    a, b, sign = ls["a"], ls["b"], ls["sign"]
-    y0i, x0f = ls["y0i"], ls["x0f"]
-    count = ls["count"].astype(f32)
-    is_positive = ls["is_positive"]
-    xmin = xp.minimum(s0x, s1x)
-
-    line_dead = (
-        (s0y >= bb3) | (s1y < bb1) | (xmin >= bb2) | (stride == 0) | ~valid
+    d = line_dda_clip(
+        xp, lines["line_x0"], lines["line_y0"], lines["line_x1"],
+        lines["line_y1"], lines["line_valid"],
+        prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3], prow[:, 4],
     )
-
-    # Clip i-range to the path bbox (cpu.go:838-907).
-    one_minus_a = 1.0 - a
-    safe_oma = xp.where(one_minus_a == 0.0, f32(1e-12), one_minus_a)
-    iminf = xp.round((bb1 - y0i + b - a) / safe_oma) - 1.0
-    iminf = xp.where(y0i + iminf - xp.floor(a * iminf + b) < bb1, iminf + 1.0, iminf)
-    imin = xp.where(s0y < bb1, iminf, f32(0.0))
-    imaxf = xp.round((bb3 - y0i + b - a) / safe_oma) - 1.0
-    imaxf = xp.where(y0i + imaxf - xp.floor(a * imaxf + b) < bb3, imaxf + 1.0, imaxf)
-    imax = xp.where(s1y > bb3, imaxf, count)
-
-    delta = xp.where(ls["is_down"], xp.int32(-1), xp.int32(1))
-    ymin = xp.zeros(L, dtype=f32)
-    ymax = xp.zeros(L, dtype=f32)
-
-    all_left = xp.maximum(s0x, s1x) < bb0
-    # Entirely to the left: every crossed row gets a backdrop delta.
-    ymin = xp.where(all_left, xp.ceil(s0y), ymin)
-    ymax = xp.where(all_left, xp.ceil(s1y), ymax)
-    imax = xp.where(all_left, imin, imax)
-
-    fudge = xp.where(is_positive, f32(0.0), f32(1.0))
-    safe_a = xp.where(a == 0.0, f32(1e-12), a)
-    # Left clip.
-    left_case = ~all_left & (xmin < bb0)
-    fl = xp.round((sign * (bb0 - x0f) - b + fudge) / safe_a)
-    fl = xp.where(
-        (x0f + sign * xp.floor(safe_a * fl + b) < bb0) == is_positive, fl + 1.0, fl
-    )
-    ynext = y0i + fl - xp.floor(safe_a * fl + b) + 1.0
-    pos_upd = left_case & is_positive & (fl > imin)
-    ymin = xp.where(pos_upd, y0i + xp.where(y0i == s0y, f32(0.0), f32(1.0)), ymin)
-    ymax = xp.where(pos_upd, ynext, ymax)
-    imin = xp.where(pos_upd, fl, imin)
-    neg_upd = left_case & ~is_positive & (fl < imax)
-    ymin = xp.where(neg_upd, ynext, ymin)
-    ymax = xp.where(neg_upd, xp.ceil(s1y), ymax)
-    imax = xp.where(neg_upd, fl, imax)
-    # Right clip.
-    right_case = ~all_left & (xp.maximum(s0x, s1x) > bb2)
-    fr = xp.round((sign * (bb2 - x0f) - b + fudge) / safe_a)
-    fr = xp.where(
-        (x0f + sign * xp.floor(safe_a * fr + b) < bb2) == is_positive, fr + 1.0, fr
-    )
-    imax = xp.where(right_case & is_positive, xp.minimum(imax, fr), imax)
-    imin = xp.where(right_case & ~is_positive, xp.maximum(imin, fr), imin)
-
-    imax = xp.maximum(imin, imax)
-    ymin = xp.maximum(ymin, bb1)
-    ymax = xp.minimum(ymax, bb3)
-    imin = xp.where(line_dead, f32(0.0), imin)
-    imax = xp.where(line_dead, f32(0.0), imax)
-    ymin = xp.where(line_dead, f32(0.0), ymin)
-    ymax = xp.where(line_dead, f32(0.0), ymax)
     if upto == "clip":
-        return (imin, imax, ymin, ymax)
+        return (d["imin"], d["imax"], d["ymin"], d["ymax"])
 
     # ---- Packed per-line parameter table -------------------------------
     # Both expansions below (rows, crossings) and path_tiling read a
@@ -278,34 +355,35 @@ def path_count_params(xp, lines, paths, caps, upto=None):
     # (|value| < 2^24).
     P = xp.stack(
         [
-            imin,                                  # 0
-            a,                                     # 1
-            b,                                     # 2
-            sign,                                  # 3
-            y0i,                                   # 4
-            x0f,                                   # 5
-            bb0,                                   # 6
-            bb1,                                   # 7
-            bb2,                                   # 8
-            stride.astype(f32),                    # 9
-            tiles_base.astype(f32),                # 10
-            s0y,                                   # 11
-            delta.astype(f32),                     # 12
-            ymin,                                  # 13
-            ls["xy0x"],                            # 14  (path_tiling)
-            ls["xy0y"],                            # 15
-            ls["xy1x"],                            # 16
-            ls["xy1y"],                            # 17
-            ls["is_down"].astype(f32),             # 18
-            ls["count"].astype(f32),               # 19
-            ls["is_positive"].astype(f32),         # 20
+            d["imin"],                             # 0
+            d["a"],                                # 1
+            d["b"],                                # 2
+            d["sign"],                             # 3
+            d["y0i"],                              # 4
+            d["x0f"],                              # 5
+            prow[:, 0],                            # 6  bb0
+            prow[:, 1],                            # 7  bb1
+            prow[:, 2],                            # 8  bb2
+            d["stride"],                           # 9
+            prow[:, 4],                            # 10 tiles_base
+            d["s0y"],                              # 11
+            d["delta"],                            # 12
+            d["ymin"],                             # 13
+            d["xy0x"],                             # 14  (path_tiling)
+            d["xy0y"],                             # 15
+            d["xy1x"],                             # 16
+            d["xy1y"],                             # 17
+            d["is_down"].astype(f32),              # 18
+            d["count"],                            # 19
+            d["is_positive"].astype(f32),          # 20
         ],
         axis=1,
     )
 
-    n_rows_per_line = xp.maximum((ymax - ymin).astype(xp.int32), 0)
-    n_cross = xp.maximum((imax - imin).astype(xp.int32), 0)
-    prt = (ymin, tiles_base, bb1, stride, delta)
+    n_rows_per_line = d["n_rows"].astype(xp.int32)
+    n_cross = d["n_cross"].astype(xp.int32)
+    prt = (d["ymin"], prow[:, 4].astype(xp.int32), prow[:, 1],
+           d["stride"].astype(xp.int32), d["delta"].astype(xp.int32))
     return P, n_cross, n_rows_per_line, prt
 
 
@@ -329,6 +407,17 @@ def path_count(xp, lines, paths, caps, upto=None):
 
     if upto in ("setup", "pgather", "clip"):
         return path_count_params(xp, lines, paths, caps, upto=upto)
+
+    use_raw = (
+        caps.get("_expand_pallas")
+        and ops.is_jax(xp)
+        and caps.get("_pc_raw", True)
+        and not caps.get("_stats_only")
+        and upto != "params"  # legacy-path profiling cut
+    )
+    if use_raw:
+        return _path_count_raw(xp, lines, paths, caps, upto=upto)
+
     P, n_cross, n_rows_per_line, (ymin, tiles_base, bb1, stride, delta) = (
         path_count_params(xp, lines, paths, caps)
     )
@@ -491,6 +580,199 @@ def path_count(xp, lines, paths, caps, upto=None):
         }
         seg_pre = _tile_clip_segments(xp, ls_c, ci, z, last_z, cx, cy)
 
+    stats = {
+        # Capacity-independent actuals for calibration (the clamped
+        # totals above include one slot per line-cap slot).
+        "real_cross": xp.sum(n_cross),
+        "real_bd_rows": xp.sum(n_rows_per_line),
+        # Nonzero-count line totals sizing the compaction caps.
+        "real_cross_lines": xp.sum((n_cross > 0).astype(xp.int32)),
+        "real_bd_lines": xp.sum((n_rows_per_line > 0).astype(xp.int32)),
+    }
+    return _sort_count_tail(
+        xp, T, SC, RC, caps, paths, tile_slot, seg_pre, backdrop,
+        binc_pallas, c_total, r_total, compact_overflow, stats, upto,
+    )
+
+
+def _path_count_raw(xp, lines, paths, caps, upto=None):
+    """path_count on the raw-table Pallas route (VERDICT r4 item #1).
+
+    The via-P formulation pays three megarow random-access ops per
+    compaction (cumsum positions + scatter_set of indices + a 22-wide
+    row gather) plus the [L, 21] P-table materialization — ~16 ms of
+    the 62 ms stage on the config5 profile. Here:
+
+      - ONE [L, 4] column cumsum yields both expansions' inclusive
+        prefixes and compacted positions;
+      - a streaming Pallas compaction kernel (tpu/compact_pallas.py)
+        gathers the nonzero-count RAW line rows (coords + path rect)
+        into dense tables with contiguous traffic only;
+      - the expand kernel bodies recompute the DDA/clip parameters from
+        the raw columns (tpu/expand_pallas.py::path_count_expansions_raw,
+        bit-identical math via tiling.line_dda_clip), so the P table is
+        never built.
+
+    Same returns as path_count. Reference semantics: path_count.wgsl /
+    cpu/cpu.go:763-941.
+    """
+    from ..tpu.compact_pallas import CH as _CCH, compact_rows
+    from ..tpu.expand_pallas import (
+        EXPAND_CHUNK, EXPAND_SUB, _WIN_PAD, RAW_NC, RAW_NCROSS, RAW_NROWS,
+        RAW_POS_C, RAW_POS_R, path_count_expansions_raw,
+    )
+
+    f32 = xp.float32
+    L = lines["line_x0"].shape[0]
+    T = caps["tiles_cap"]
+    SC = caps["seg_cap"]
+    RC = caps["row_cap"]
+    LCC = caps["cross_lines_cap"]
+    RLC = caps["row_lines_cap"]
+    interpret = bool(caps.get("_expand_interpret", False))
+
+    prow = path_rect_rows(xp, lines, paths)
+    d = line_dda_clip(
+        xp, lines["line_x0"], lines["line_y0"], lines["line_x1"],
+        lines["line_y1"], lines["line_valid"],
+        prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3], prow[:, 4],
+    )
+    n_cross_f = d["n_cross"]
+    n_rows_f = d["n_rows"]
+    keep_c = (n_cross_f > 0).astype(f32)
+    keep_r = (n_rows_f > 0).astype(f32)
+    # One multi-column cumsum serves both expansions' inclusive
+    # prefixes AND both compactions' positions (cumsums cost per row,
+    # not per column).
+    cum4 = xp.cumsum(
+        xp.stack([n_cross_f, keep_c, n_rows_f, keep_r], axis=1), axis=0
+    )
+    incl_c = cum4[:, 0]
+    pos_c = cum4[:, 1] - keep_c
+    incl_r = cum4[:, 2]
+    pos_r = cum4[:, 3] - keep_r
+    total_c = cum4[L - 1, 0].astype(xp.int32)
+    n_nz_c = cum4[L - 1, 1].astype(xp.int32)
+    total_r = cum4[L - 1, 2].astype(xp.int32)
+    n_nz_r = cum4[L - 1, 3].astype(xp.int32)
+    if upto == "rawcum":
+        return (incl_c, pos_c, incl_r, pos_r)
+
+    table = xp.stack(
+        [
+            lines["line_x0"], lines["line_y0"],
+            lines["line_x1"], lines["line_y1"],
+            prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3], prow[:, 4],
+            n_cross_f, incl_c, pos_c,
+            n_rows_f, incl_r, pos_r,
+            lines["line_valid"].astype(f32),
+        ],
+        axis=1,
+    )  # [L, RAW_NC]
+    assert table.shape[1] == RAW_NC
+    pad = (-L) % _CCH
+    if pad:
+        table = xp.concatenate(
+            [table, xp.zeros((pad, RAW_NC), dtype=f32)], axis=0
+        )
+        pos_c_p = xp.concatenate(
+            [pos_c, xp.broadcast_to(cum4[L - 1, 1], (pad,))]
+        )
+        pos_r_p = xp.concatenate(
+            [pos_r, xp.broadcast_to(cum4[L - 1, 3], (pad,))]
+        )
+    else:
+        pos_c_p, pos_r_p = pos_c, pos_r
+    if upto == "rawtab":
+        return (table, pos_c_p, pos_r_p)
+
+    tab_c = compact_rows(xp, table, RAW_POS_C, RAW_NCROSS, pos_c_p, LCC,
+                         interpret=interpret)
+    tab_r = compact_rows(xp, table, RAW_POS_R, RAW_NROWS, pos_r_p, RLC,
+                         interpret=interpret)
+    if upto == "compact":
+        return (tab_c, tab_r, n_nz_c, n_nz_r)
+
+    # Scalar-prefetch operands: per-chunk window starts (compacted row
+    # of the owner of output c*CHUNK, found through the UNcompacted
+    # inclusive prefix + position map), then [row_total | out_total].
+    W = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
+
+    def scalars(incl, pos, out_cap, row_total, out_total, tab_rows):
+        n_chunks = out_cap // EXPAND_CHUNK
+        q = xp.arange(n_chunks, dtype=f32) * f32(EXPAND_CHUNK)
+        owner = xp.searchsorted(incl, q, side="right").astype(xp.int32)
+        ws = ops.gather_guarded(
+            xp, pos[:, None], xp.minimum(owner, L - 1)
+        )[:, 0].astype(xp.int32)
+        ws = xp.maximum(ws - 8, 0) // 8 * 8
+        # The compacted table guarantees rows [0, row_total + 25)
+        # written (compact_pallas flush coverage); rows beyond the last
+        # flush are uninitialized HBM. Clamp each per-sub-chunk window
+        # under the written region (owners stay in-window: they are
+        # < row_total, and shifting a window earlier only widens its
+        # tail slack); the kernel additionally clamps the super-window
+        # DMA start by the appended ksuper scalar so the W-row read
+        # stays under row_total + 24 too.
+        from ..tpu.expand_pallas import _WIN_PAD as _WP
+
+        wc = EXPAND_CHUNK + _WP
+        ws = xp.minimum(ws, xp.maximum(row_total + 24 - wc, 0) // 8 * 8)
+        ws = xp.minimum(ws, max(tab_rows - W, 0))
+        ksuper = xp.minimum(
+            xp.maximum(row_total + 24 - W, 0) // 8 * 8,
+            max(tab_rows - W, 0),
+        )
+        return xp.concatenate(
+            [ws, row_total[None], out_total[None], ksuper[None]]
+        ).astype(xp.int32)
+
+    sc_c = scalars(incl_c, pos_c, SC, n_nz_c, total_c, tab_c.shape[0])
+    sc_r = scalars(incl_r, pos_r, RC, n_nz_r, total_r, tab_r.shape[0])
+
+    (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta) = (
+        path_count_expansions_raw(xp, tab_c, tab_r, sc_c, sc_r, T, caps)
+    )
+    if upto == "expand":
+        return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta)
+
+    # One scatter_add serves all three T-indexed accumulations
+    # (backdrop row deltas, top-edge bumps, per-tile segment bincount) —
+    # see path_count.
+    slot_clamped = xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T)
+
+    def _cl(s):
+        return xp.where((s >= 0) & (s <= T), s, T)
+
+    merged = ops.scatter_add(
+        xp,
+        xp.zeros(2 * (T + 1), dtype=xp.int32),
+        xp.concatenate([_cl(r_slot), _cl(bump_slot), slot_clamped + (T + 1)]),
+        xp.concatenate([r_delta, bump_delta, xp.ones(SC, dtype=xp.int32)]),
+    )
+    backdrop = merged[: T + 1]
+    binc_pallas = merged[T + 1:]
+    if upto == "backdrop":
+        return (backdrop, tile_slot, seg_pre)
+
+    compact_overflow = (n_nz_c > LCC) | (n_nz_r > RLC)
+    stats = {
+        "real_cross": total_c,
+        "real_bd_rows": total_r,
+        "real_cross_lines": n_nz_c,
+        "real_bd_lines": n_nz_r,
+    }
+    return _sort_count_tail(
+        xp, T, SC, RC, caps, paths, tile_slot, seg_pre, backdrop,
+        binc_pallas, total_c, total_r, compact_overflow, stats, upto,
+    )
+
+
+def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,
+                     backdrop, binc_pallas, c_total, r_total,
+                     compact_overflow, stats, upto):
+    """Shared path_count tail: the slot sort, per-tile start/count, and
+    the backdrop row prefix."""
     # Sort crossings by tile slot (stable), replacing atomic slice
     # alloc. The payload rides the compare-exchange network directly
     # (one multi-operand lax.sort) — measured ~2x cheaper than
@@ -547,8 +829,7 @@ def path_count(xp, lines, paths, caps, upto=None):
         return (seg_start, bd_prefix, row_of_slot, sorted_slot)
 
     overflow = (c_total > SC) | (r_total > RC) | compact_overflow
-    return {
-        "line_params": P,
+    out = {
         "sorted_slot": sorted_slot,
         "segs": segs,
         "seg_start": seg_start,
@@ -558,15 +839,10 @@ def path_count(xp, lines, paths, caps, upto=None):
         "n_rows": n_rows,
         "n_segs": c_total,
         "r_total": r_total,
-        # Capacity-independent actuals for calibration (the clamped
-        # totals above include one slot per line-cap slot).
-        "real_cross": xp.sum(n_cross),
-        "real_bd_rows": xp.sum(n_rows_per_line),
-        # Nonzero-count line totals sizing the compaction caps.
-        "real_cross_lines": xp.sum((n_cross > 0).astype(xp.int32)),
-        "real_bd_lines": xp.sum((n_rows_per_line > 0).astype(xp.int32)),
         "overflow": overflow,
     }
+    out.update(stats)
+    return out
 
 
 def _path_count_stats(xp, P, n_cross, n_rows_per_line, ymin, tiles_base,
@@ -638,7 +914,6 @@ def _path_count_stats(xp, P, n_cross, n_rows_per_line, ymin, tiles_base,
     n_rows = row_of_slot[-1] + has[-1]
     zeros = xp.zeros(SC, dtype=f32)
     return {
-        "line_params": P,
         "sorted_slot": xp.full(SC, T, dtype=xp.int32),
         "segs": {k: zeros for k in
                  ("seg_x0", "seg_y0", "seg_x1", "seg_y1", "seg_y_edge")},

@@ -164,12 +164,41 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     stops_pad = stops_pad.at[:, :W].set(ramps)
     img_flat, img_shape = atlas_planar(images)
 
-    call = make_fine_kernel(
-        caps_s, img_shape, interpret=interpret, n_ramp_rows=NR, n_programs=LT
-    )
-    legacy_out, ovf = call(
-        counts, legacy_ids, scalars, slab, area_blk, stops_pad, img_flat
-    )
+    if caps_s.get("_interp_batch", True):
+        from .fine_pallas import make_fine_kernel_b8, slab_kind_masks
+
+        LT8 = -(-LT // 8) * 8
+        padn = LT8 - LT
+        if padn:
+            slab = xp.concatenate(
+                [slab, xp.zeros((padn, MC, 16), dtype=xp.uint32)], axis=0
+            )
+            legacy_ids = xp.concatenate(
+                [legacy_ids, xp.full(padn, GRID, dtype=xp.int32)]
+            )
+            counts = xp.concatenate(
+                [counts[:-1], xp.zeros(padn, dtype=xp.int32), counts[-1:]]
+            )
+        kmask = slab_kind_masks(xp, slab)
+        call = make_fine_kernel_b8(
+            caps_s, img_shape, interpret=interpret, n_ramp_rows=NR,
+            n_programs=LT8,
+        )
+        legacy_out, ovf = call(
+            counts, legacy_ids, scalars, kmask, slab, area_blk, stops_pad,
+            img_flat,
+        )
+        legacy_out = legacy_out[:LT]
+        ovf = ovf[:LT]
+        legacy_ids = legacy_ids[:LT]
+    else:
+        call = make_fine_kernel(
+            caps_s, img_shape, interpret=interpret, n_ramp_rows=NR,
+            n_programs=LT
+        )
+        legacy_out, ovf = call(
+            counts, legacy_ids, scalars, slab, area_blk, stops_pad, img_flat
+        )
     flags["blend_depth_overflow"] = xp.any((ovf & 1) > 0)
     flags["image_region_overflow"] = xp.any((ovf & 2) > 0)
     if tap_flags:

@@ -575,6 +575,510 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
     )
 
 
+def slab_kind_masks(xp, slab):
+    """Per-8-tile-program OR of (1 << kind) over the tapes — the
+    batched interpreter's program-level branch guards. slab: [LT, MC,
+    16] u32 (zero pad rows contribute bit 0, which no branch tests)."""
+    LT = slab.shape[0]
+    bits = xp.left_shift(
+        xp.uint32(1), (slab[:, :, 0] & xp.uint32(15)).astype(xp.uint32)
+    ).reshape(LT // 8, -1)
+    return jax.lax.reduce(
+        bits, xp.uint32(0), jax.lax.bitwise_or, (1,)
+    ).astype(xp.int32)
+
+
+def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
+                        n_programs=None):
+    """Batched per-tile interpreter: EIGHT tiles per program in
+    lockstep (VERDICT r4 item #2). The 1-tile kernel computes on
+    (1, 256) / (4, 256) pixel planes — 1-2 of 8 VPU sublanes; here
+    every plane is (8, 256) (tile-major) so the VPU runs full.
+
+    The tape loop runs to the max count of the batch; per-record
+    scalars become (8, 1) column slices of the batched record block,
+    per-tile control state ((8, 1) vectors in the fori carry) replaces
+    the scalar clip/suppression state, and the blend stack push/pop is
+    a BD-unrolled masked select. Paint branches are guarded per
+    PROGRAM by prefetched kind bitmasks (a batch with no gradients
+    never runs gradient code). Images keep the serial region-DMA path
+    (per-tile pl.when) but apply their fg vectorized.
+
+    Same call signature/returns as make_fine_kernel with n_programs a
+    multiple of 8, plus the kind-mask prefetch operand:
+    call(counts, tile_ids, scalars, kind_masks, slab, rows, stops, img).
+    Reference shape: fine.wgsl:814-883 (one 64-thread workgroup per
+    tile; here one grid step per 8 tiles).
+    """
+    GRID = caps["tile_grid_cap"]
+    MC = caps["cmds_per_tile"]
+    BD = caps["blend_depth"]
+    MAX_STOPS = caps.get("max_stops", 2)
+    RESOLVED_COV = caps.get("aa_mode", "area") != "area"
+    if n_programs is None:
+        n_programs = GRID
+    assert n_programs % 8 == 0, n_programs
+    n_super = n_programs // 8
+    REGH, REGW = 64, 256
+    NT = 8
+
+    def kernel(counts_smem, tile_ids_smem, scalars_smem, kinds_smem,
+               cmd_ref, rows_hbm, ramps_ref, img_ref,
+               out_ref, ovf_ref, rgba, stack, area, area_dma, rrows,
+               fgimg, okimg, ovfimg, img_buf, sems, sem_img):
+        g = pl.program_id(0)
+        wit = counts_smem[counts_smem.shape[0] - 1]
+        kb = kinds_smem[g]
+
+        def has(kind_const):
+            return ((kb >> kind_const) & 1) > 0
+
+        # Per-tile pixel coordinates, tile-major (NT, 256).
+        lx1 = jnp.astype(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1) % 16,
+            jnp.float32)
+        ly1 = jnp.astype(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1) // 16,
+            jnp.float32)
+        gxs, gys = [], []
+        n_max = jnp.int32(0)
+        for k in range(NT):
+            t_k = tile_ids_smem[g * NT + k]
+            gxs.append(lx1 + jnp.astype((t_k % wit) * 16, jnp.float32))
+            gys.append(ly1 + jnp.astype((t_k // wit) * 16, jnp.float32))
+            n_max = jnp.maximum(n_max, counts_smem[g * NT + k])
+        gx = jnp.concatenate(gxs, axis=0)  # (NT, 256)
+        gy = jnp.concatenate(gys, axis=0)
+
+        for c in range(4):
+            rgba[c] = jnp.full((NT, 256), scalars_smem[c])
+        ovfimg[...] = jnp.zeros((NT, 128), jnp.int32)
+        # Scratch starts as garbage; masked-out lanes must still read
+        # FINITE values (mask * NaN = NaN), so zero the coverage plane.
+        area[...] = jnp.zeros((NT, 256), jnp.float32)
+
+        # Per-tile tape lengths as an (NT, 1) vector for the lockstep
+        # masks (a tile whose tape ended idles masked).
+        ncs = jnp.concatenate(
+            [jnp.full((1, 1), counts_smem[g * NT + k], jnp.int32)
+             for k in range(NT)], axis=0)  # (NT, 1)
+
+        def sample_ramp_b8(tpos):
+            """rrows: (NT, 128) stop-table rows; tpos (NT, 256) in
+            [0,1] -> 4 x (NT, 256) premultiplied channels."""
+            S = MAX_STOPS
+
+            def stop_c(k, c):
+                return rrows[:, 1 + S + 4 * k + c : 2 + S + 4 * k + c]
+
+            acc = [jnp.broadcast_to(stop_c(0, c), (NT, 256))
+                   for c in range(4)]
+            for k in range(S - 1):
+                pk = rrows[:, 1 + k : 2 + k]
+                dk = jnp.maximum(rrows[:, 2 + k : 3 + k] - pk, 1e-9)
+                u = jnp.clip((tpos - pk) / dk, 0.0, 1.0)
+                for c in range(4):
+                    acc[c] = acc[c] + (stop_c(k + 1, c) - stop_c(k, c)) * u
+
+            def eotf(x):
+                hi = jnp.exp(2.4 * jnp.log((x + 0.055) * (1.0 / 1.055)))
+                return jnp.where(x <= 0.04045, x * (1.0 / 12.92), hi)
+
+            a = acc[3]
+            return [eotf(acc[0]) * a, eotf(acc[1]) * a, eotf(acc[2]) * a, a]
+
+        def blend_over(fgs, a_cov, m):
+            """src-over of fgs (4 x (NT,256)) with coverage a_cov where
+            the (NT,1) bool mask m holds. where-based masking: rows of
+            the batch whose record is a DIFFERENT kind carry garbage
+            params (bitcast u32 can be NaN/Inf) and multiplicative
+            masking would poison the whole row (NaN * 0 = NaN)."""
+            cov = jnp.where(m, a_cov, 0.0)
+            fa = jnp.where(m, fgs[3], 0.0) * cov
+            for c in range(4):
+                fgc = jnp.where(m, fgs[c], 0.0)
+                rgba[c] = rgba[c] * (1.0 - fa) + fgc * cov
+
+        def body(ci, carry):
+            clip_depth, blend_depth, zero_depth, ovf = carry  # (NT,1) i32
+            rec_u = cmd_ref[:, pl.ds(ci, 1), :][:, 0, :]   # (NT, 16) u32
+            rec_f = pltpu.bitcast(rec_u, jnp.float32)
+            AR_rows = rows_hbm.shape[0]
+
+            def cu(k):
+                return rec_u[:, k : k + 1]  # (NT, 1) u32
+
+            def cf(k):
+                return rec_f[:, k : k + 1]  # (NT, 1) f32
+
+            live = ci < ncs
+            kind = jnp.where(live, cu(0).astype(jnp.int32), -1)
+            seg_raw = cu(2).astype(jnp.int32)
+            seg_pos = jnp.maximum(seg_raw, 0)
+            even_odd = (cu(4) & 1) != 0
+
+            sup = zero_depth > 0
+            fillish = (
+                (kind == CMD_COLOR) | (kind == CMD_LIN_GRAD)
+                | (kind == CMD_RAD_GRAD) | (kind == CMD_SWEEP_GRAD)
+                | (kind == CMD_IMAGE) | (kind == CMD_END_CLIP)
+            )
+
+            # Area rows: one 8-row window DMA per tile, all in flight
+            # together, then a per-tile row pick.
+            starts8 = []
+            for k in range(NT):
+                ar_k = jnp.clip(
+                    cmd_ref[k, ci, 1].astype(jnp.int32), 0, AR_rows - 1
+                )
+                s8 = pl.multiple_of(
+                    jnp.minimum((ar_k // 8) * 8, AR_rows - 8), 8
+                )
+                starts8.append((ar_k, s8))
+                pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(s8, 8), :], area_dma.at[k],
+                    sems.at[k],
+                ).start()
+            rows_now = []
+            for k in range(NT):
+                ar_k, s8 = starts8[k]
+                pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(s8, 8), :], area_dma.at[k],
+                    sems.at[k],
+                ).wait()
+                rows_now.append(area_dma[k, pl.ds(ar_k - s8, 1), :])
+            a_raw = jnp.concatenate(rows_now, axis=0)  # (NT, 256)
+
+            if RESOLVED_COV:
+                cov = jnp.clip(a_raw, 0.0, 1.0)
+            else:
+                eo = jnp.abs(a_raw - 2.0 * jnp.round(0.5 * a_raw))
+                nz = jnp.minimum(jnp.abs(a_raw), 1.0)
+                use_eo = even_odd & (kind != CMD_END_CLIP)
+                cov = jnp.where(use_eo, eo, nz)
+            set_cov = ~sup & fillish & (seg_pos > 0)
+            set_one = ~sup & fillish & (seg_raw == 0)
+            area[...] = jnp.where(
+                set_cov, cov, jnp.where(set_one, 1.0, area[...])
+            )
+
+            # ---- paints (program-level kind guards) ----
+            @pl.when(has(CMD_COLOR))
+            def _():
+                m = ~sup & (kind == CMD_COLOR)
+                fgs = [jnp.broadcast_to(cf(5 + c), (NT, 256))
+                       for c in range(4)]
+                blend_over(fgs, area[...], m)
+
+            def load_ramp_rows():
+                for k in range(NT):
+                    rid = jnp.clip(
+                        cmd_ref[k, ci, 15].astype(jnp.int32), 0,
+                        n_ramp_rows - 1)
+                    rrows[pl.ds(k, 1), :] = ramps_ref[pl.ds(rid, 1), :]
+
+            @pl.when(has(CMD_LIN_GRAD))
+            def _():
+                load_ramp_rows()
+                m = ~sup & (kind == CMD_LIN_GRAD)
+                ext = cu(5).astype(jnp.int32)
+                dpos = cf(6) * gx + cf(7) * gy + cf(8)
+                fgs = sample_ramp_b8(_extend(dpos, ext))
+                blend_over(fgs, area[...], m)
+
+            @pl.when(has(CMD_RAD_GRAD))
+            def _():
+                load_ramp_rows()
+                m0, m1, m2, m3 = cf(6), cf(7), cf(8), cf(9)
+                xl, yl = cf(10), cf(11)
+                focal_x = cf(12)
+                radius = cf(13)
+                kf = cu(14)
+                rkind = (kf & 0x7).astype(jnp.int32)
+                rflags = (kf >> 3).astype(jnp.int32)
+                ext = cu(5).astype(jnp.int32)
+                lxr = m0 * gx + m2 * gy + xl
+                lyr = m1 * gx + m3 * gy + yl
+                xx = lxr * lxr
+                yy = lyr * lyr
+                is_strip = rkind == RAD_GRAD_KIND_STRIP
+                is_circ = rkind == RAD_GRAD_KIND_CIRCULAR
+                is_foc = rkind == RAD_GRAD_KIND_FOCAL_ON_CIRCLE
+                is_swapped = (rflags & RAD_GRAD_SWAPPED) != 0
+                r1r = jnp.where(
+                    is_circ, 0.0,
+                    1.0 / jnp.where(radius == 0, 1.0, radius))
+                less_scale = jnp.where(
+                    is_swapped | ((1.0 - focal_x) < 0.0), -1.0, 1.0)
+                t_sign = jnp.sign(1.0 - focal_x)
+                a_s = radius - yy
+                t_strip = jnp.sqrt(jnp.maximum(a_s, 0.0)) + lxr
+                v_strip = a_s >= 0.0
+                safe_x = jnp.where(lxr == 0.0, 1.0, lxr)
+                t_foc = (xx + yy) / safe_x
+                v_foc = (t_foc >= 0.0) & (lxr != 0.0)
+                t_big = jnp.sqrt(xx + yy) - lxr * r1r
+                a_c = xx - yy
+                t_cone = less_scale * jnp.sqrt(jnp.maximum(a_c, 0.0)) - lxr * r1r
+                v_cone = (a_c >= 0.0) & (t_cone >= 0.0)
+                tr = jnp.where(is_strip, t_strip,
+                               jnp.where(is_foc, t_foc,
+                                         jnp.where(radius > 1.0, t_big,
+                                                   t_cone)))
+                vrf = jnp.where(
+                    is_strip,
+                    jnp.astype(v_strip, jnp.float32),
+                    jnp.where(
+                        is_foc,
+                        jnp.astype(v_foc, jnp.float32),
+                        jnp.where(radius > 1.0, 1.0,
+                                  jnp.astype(v_cone, jnp.float32)),
+                    ),
+                )
+                tr = _extend(focal_x + t_sign * tr, ext)
+                tr = jnp.where(is_swapped, 1.0 - tr, tr)
+                fgs = sample_ramp_b8(tr)
+                m = ~sup & (kind == CMD_RAD_GRAD)
+                blend_over([f * vrf for f in fgs], area[...] * vrf, m)
+
+            @pl.when(has(CMD_SWEEP_GRAD))
+            def _():
+                load_ramp_rows()
+                m0, m1, m2, m3 = cf(6), cf(7), cf(8), cf(9)
+                xl, yl = cf(10), cf(11)
+                t0s, t1s = cf(12), cf(13)
+                ext = cu(5).astype(jnp.int32)
+                lxs = m0 * gx + m2 * gy + xl
+                lys = m1 * gx + m3 * gy + yl
+                xabs = jnp.abs(lxs)
+                yabs = jnp.abs(lys)
+                mx = jnp.maximum(xabs, yabs)
+                slope = jnp.minimum(xabs, yabs) / jnp.where(mx == 0, 1.0, mx)
+                s2 = slope * slope
+                phi = slope * (
+                    0.15912117063999176025390625
+                    + s2 * (-5.185396969318389892578125e-2
+                            + s2 * (2.476101927459239959716796875e-2
+                                    + s2 * (-7.0547382347285747528076171875e-3))))
+                phi = jnp.where(xabs < yabs, 0.25 - phi, phi)
+                phi = jnp.where(lxs < 0.0, 0.5 - phi, phi)
+                phi = jnp.where(lys < 0.0, 1.0 - phi, phi)
+                phi = jnp.where(phi != phi, 0.0, phi)
+                safe_dt = jnp.where(t1s == t0s, 1.0, t1s - t0s)
+                phi = (phi - t0s) / safe_dt
+                fgs = sample_ramp_b8(_extend(phi, ext))
+                m = ~sup & (kind == CMD_SWEEP_GRAD)
+                blend_over(fgs, area[...], m)
+
+            if img_shape is not None:
+                @pl.when(has(CMD_IMAGE))
+                def _():
+                    for c in range(4):
+                        fgimg[c] = jnp.zeros((NT, 256), jnp.float32)
+                    okimg[...] = jnp.zeros((NT, 256), jnp.float32)
+                    for k in range(NT):
+                        @pl.when(cmd_ref[k, ci, 0].astype(jnp.int32)
+                                 == CMD_IMAGE)
+                        def _(k=k):
+                            gx1 = gx[k:k + 1, :]
+                            gy1 = gy[k:k + 1, :]
+                            rec1 = cmd_ref[k, pl.ds(ci, 1), :]  # (1,16)
+                            rec1f = pltpu.bitcast(rec1, jnp.float32)
+                            m0, m1 = rec1f[0, 6], rec1f[0, 7]
+                            m2, m3 = rec1f[0, 8], rec1f[0, 9]
+                            xl, yl = rec1f[0, 10], rec1f[0, 11]
+                            axy = rec1[0, 12]
+                            ax = (axy & 0xFFFF).astype(jnp.int32)
+                            ay = (axy >> 16).astype(jnp.int32)
+                            wh = rec1[0, 13]
+                            iwi = (wh >> 16).astype(jnp.int32)
+                            ihi = (wh & 0xFFFF).astype(jnp.int32)
+                            iw = jnp.astype(iwi, jnp.float32)
+                            ih = jnp.astype(ihi, jnp.float32)
+                            AH, AW = img_shape
+                            ux = m0 * gx1 + m2 * gy1 + xl
+                            uy = m1 * gx1 + m3 * gy1 + yl
+                            inb = (ux < iw) & (uy < ih) & (ux >= 0.0) & (uy >= 0.0)
+                            x0f = jnp.floor(ux)
+                            y0f = jnp.floor(uy)
+                            fx = ux - x0f
+                            fy = uy - y0f
+
+                            def clampx(v):
+                                return jnp.clip(v.astype(jnp.int32), 0, iwi - 1)
+
+                            def clampy(v):
+                                return jnp.clip(v.astype(jnp.int32), 0, ihi - 1)
+
+                            rx0 = ax + jnp.min(clampx(x0f), axis=1,
+                                               keepdims=True)[0, 0]
+                            ry0 = ay + jnp.min(clampy(y0f), axis=1,
+                                               keepdims=True)[0, 0]
+                            rx1 = ax + jnp.max(clampx(jnp.ceil(ux)), axis=1,
+                                               keepdims=True)[0, 0]
+                            ry1 = ay + jnp.max(clampy(jnp.ceil(uy)), axis=1,
+                                               keepdims=True)[0, 0]
+                            x_lo = pl.multiple_of(
+                                jnp.clip((rx0 // 128) * 128, 0, AW - REGW), 128)
+                            y_lo = pl.multiple_of(
+                                jnp.clip((ry0 // 8) * 8, 0, AH - REGH), 8)
+                            region_bad = ((rx1 - x_lo) >= REGW) | ((ry1 - y_lo) >= REGH)
+
+                            dma = pltpu.make_async_copy(
+                                img_ref.at[:, pl.ds(y_lo, REGH),
+                                           pl.ds(x_lo, REGW)],
+                                img_buf, sem_img,
+                            )
+                            dma.start()
+                            dma.wait()
+
+                            iota_h = jax.lax.broadcasted_iota(
+                                jnp.int32, (REGH, 256), 0)
+                            iota_w = jax.lax.broadcasted_iota(
+                                jnp.int32, (REGW, 256), 0)
+                            lc0 = ax + clampx(x0f) - x_lo
+                            lc1 = ax + clampx(jnp.ceil(ux)) - x_lo
+                            lr0 = ay + clampy(y0f) - y_lo
+                            lr1 = ay + clampy(jnp.ceil(uy)) - y_lo
+                            ohc = (
+                                jnp.astype(iota_w == lc0, jnp.float32) * (1 - fx)
+                                + jnp.astype(iota_w == lc1, jnp.float32) * fx
+                            )
+                            wrow = (
+                                jnp.astype(iota_h == lr0, jnp.float32) * (1 - fy)
+                                + jnp.astype(iota_h == lr1, jnp.float32) * fy
+                            )
+                            okf = jnp.astype(inb & ~region_bad, jnp.float32)
+                            for chn in range(4):
+                                m1c = jax.lax.dot_general(
+                                    img_buf[chn], ohc, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                )
+                                fgimg[chn, pl.ds(k, 1), :] = jnp.sum(
+                                    wrow * m1c, axis=0, keepdims=True)
+                            okimg[pl.ds(k, 1), :] = okf
+                            ovfimg[pl.ds(k, 1), :] = jnp.full(
+                                (1, 128), region_bad.astype(jnp.int32)
+                            ) | ovfimg[pl.ds(k, 1), :]
+                    m = ~sup & (kind == CMD_IMAGE)
+                    ok = okimg[...]
+                    blend_over([fgimg[c] * ok for c in range(4)],
+                               area[...] * ok, m)
+
+            # ---- clips (vectorized stack ops) ----
+            is_begin = kind == CMD_BEGIN_CLIP
+            is_end = kind == CMD_END_CLIP
+            begin_zero = is_begin & (seg_raw < 0)
+
+            clip_depth_new = clip_depth + jnp.where(
+                is_begin, 1, jnp.where(is_end, -1, 0))
+            unsuppress = sup & is_end & (clip_depth == zero_depth)
+            zero_depth = jnp.where(unsuppress, 0, zero_depth)
+            start_sup = ~sup & begin_zero
+            zero_depth = jnp.where(start_sup, clip_depth + 1, zero_depth)
+
+            do_push = ~sup & is_begin & ~begin_zero
+            ovf = ovf | (do_push & (blend_depth >= BD)).astype(jnp.int32)
+            bd_idx = jnp.clip(blend_depth, 0, BD - 1)
+            do_pop = ~sup & is_end
+            blend_depth_pop = blend_depth - jnp.where(do_pop, 1, 0)
+            bd_idx2 = jnp.clip(blend_depth_pop, 0, BD - 1)
+
+            @pl.when(has(CMD_BEGIN_CLIP) | has(CMD_END_CLIP))
+            def _():
+                # where-based stack ops: unpushed stack rows are
+                # garbage scratch; select, never multiply.
+                for dd in range(BD):
+                    at_d = do_push & (bd_idx == dd)
+                    for c in range(4):
+                        stack[dd, c] = jnp.where(at_d, rgba[c], stack[dd, c])
+                for c in range(4):
+                    rgba[c] = jnp.where(do_push, 0.0, rgba[c])
+
+                # Pop: gather the per-tile stack rows at bd_idx2, blend.
+                bg = [jnp.zeros((NT, 256), jnp.float32) for _ in range(4)]
+                for dd in range(BD):
+                    at_d = do_pop & (bd_idx2 == dd)
+                    for c in range(4):
+                        bg[c] = jnp.where(at_d, stack[dd, c], bg[c])
+                blend_word = cu(5).astype(jnp.int32)
+                alpha = cf(6)
+                a_cov = area[...] * alpha
+                fr = rgba[0] * a_cov
+                fgc = rgba[1] * a_cov
+                fb = rgba[2] * a_cov
+                fa = rgba[3] * a_cov
+                rr, rg, rb, ra = bm.blend_mix_compose(
+                    jnp, (bg[0], bg[1], bg[2], bg[3]), (fr, fgc, fb, fa),
+                    blend_word,
+                )
+                for c, v in enumerate((rr, rg, rb, ra)):
+                    rgba[c] = jnp.where(do_pop, v, rgba[c])
+
+            blend_depth = jnp.where(
+                do_push, blend_depth + 1, blend_depth_pop)
+            return (clip_depth_new, blend_depth, zero_depth, ovf)
+
+        zero8 = jnp.zeros((NT, 1), jnp.int32)
+        carry = (zero8, zero8, zero8, zero8)
+        carry = jax.lax.fori_loop(0, n_max, body, carry)
+
+        ovf_ref[...] = jnp.broadcast_to(
+            carry[3].astype(jnp.int32), (NT, 128)
+        ) | (ovfimg[...] << 1)
+
+        a_inv = 1.0 / jnp.maximum(rgba[3], 1e-6)
+        for c in range(3):
+            out_ref[:, c, :] = rgba[c] * a_inv
+        out_ref[:, 3, :] = rgba[3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # counts(+wit), tile_ids, base_color, kinds
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec((NT, MC, 16),
+                         lambda t, c, i_, s, kk: (t, 0, 0)),  # cmd slab
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # area rows
+            pl.BlockSpec((n_ramp_rows, 128), lambda t, c, i_, s, kk: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # images
+        ],
+        out_specs=(
+            pl.BlockSpec((NT, 4, 256), lambda t, c, i_, s, kk: (t, 0, 0)),
+            pl.BlockSpec((NT, 128), lambda t, c, i_, s, kk: (t, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, NT, 256), jnp.float32),       # rgba (ch-major)
+            pltpu.VMEM((BD, 4, NT, 256), jnp.float32),   # blend stack
+            pltpu.VMEM((NT, 256), jnp.float32),          # area
+            pltpu.VMEM((NT, 8, 256), jnp.float32),       # area row windows
+            pltpu.VMEM((NT, 128), jnp.float32),          # ramp rows
+            pltpu.VMEM((4, NT, 256), jnp.float32),       # image fg
+            pltpu.VMEM((NT, 256), jnp.float32),          # image ok
+            pltpu.VMEM((NT, 128), jnp.int32),            # image region ovf
+            pltpu.VMEM((4, REGH, REGW), jnp.float32),    # atlas region
+            pltpu.SemaphoreType.DMA((NT,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_programs, 4, 256), jnp.float32),
+            jax.ShapeDtypeStruct((n_programs, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )
+
+    def run(counts, tile_ids, scalars, kind_masks, slab, rows, stops, img):
+        out, ovf = call(counts, tile_ids, scalars, kind_masks, slab,
+                        rows, stops, img)
+        return out, ovf.reshape(n_programs, 1, 128)
+
+    return run
+
+
 def atlas_planar(images):
     """[AH, AW, 4] atlas plane -> channel-planar [4, AHp, AWp] padded to
     at least one region window (fine kernel DMA source).
@@ -623,8 +1127,17 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
     scalars = jnp.asarray(layout["base_color"], dtype=jnp.float32)
     tile_ids = jnp.arange(caps["tile_grid_cap"], dtype=jnp.int32)
 
-    call = make_fine_kernel(caps, img_shape, interpret=interpret, n_ramp_rows=NR)
-    out, ovf = call(counts, tile_ids, scalars, slab, area_blk, stops_pad, img_flat)
+    if caps.get("_interp_batch", True) and caps["tile_grid_cap"] % 8 == 0:
+        call = make_fine_kernel_b8(caps, img_shape, interpret=interpret,
+                                   n_ramp_rows=NR)
+        kmask = slab_kind_masks(jnp, slab)
+        out, ovf = call(counts, tile_ids, scalars, kmask, slab, area_blk,
+                        stops_pad, img_flat)
+    else:
+        call = make_fine_kernel(caps, img_shape, interpret=interpret,
+                                n_ramp_rows=NR)
+        out, ovf = call(counts, tile_ids, scalars, slab, area_blk,
+                        stops_pad, img_flat)
     fine_out = jnp.transpose(out, (1, 0, 2))  # [4, GRID, 256]
     flags = {
         "cmd_slab_overflow": slab_overflow,

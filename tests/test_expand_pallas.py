@@ -52,7 +52,11 @@ def test_expand_kernel_generic_toy():
     assert np.abs(out[2, n:]).max() == 0.0  # tail slots invalid
 
 
-def test_path_count_pallas_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("raw", [False, True])
+def test_path_count_pallas_matches_xla(raw):
     scene = jt.Scene()
     path = jt.BezPath().move_to(30, 40).cubic_to(90, 10, 150, 220, 200, 240).close()
     scene.fill(jt.Fill.NON_ZERO, jt.Affine.identity(),
@@ -96,6 +100,7 @@ def test_path_count_pallas_matches_xla():
         if use_pallas:
             c["_expand_pallas"] = True
             c["_expand_interpret"] = True
+            c["_pc_raw"] = raw
         return tiling.path_count(xp, fl, paths, c)
 
     c1 = run(False)

@@ -116,8 +116,8 @@ def main():
             return s
         return body
 
-    points = ["pre", "setup", "pgather", "clip", "params", "compact",
-              "expand", "backdrop", "sort", "bincount", None]
+    points = ["pre", "setup", "pgather", "clip", "rawcum", "rawtab",
+              "compact", "expand", "backdrop", "sort", "bincount", None]
     prev = 0.0
     for pt in points:
         fn = jax.jit(upto(pt))
