@@ -43,16 +43,28 @@ OUT_WIN = CH + 32         # flush window rows (slack so coverage
                           # always reaches n_nz + 25: no pre-zeroing)
 
 
-def _kernel(nc, pos_col, cnt_col):
+def _kernel(nc, pos_col, cnt_col, n_super):
     # The output table is 128 lanes wide (columns nc..127 zero): Mosaic
     # requires manually-DMA'd HBM slices to be lane-tiling (128)
     # aligned, so a narrow [*, 16] output cannot be window-flushed. The
     # input table stays narrow — it rides the static BlockSpec
     # pipeline, which handles sub-tile widths.
-    def kernel(pos_sub_s, blk, out_hbm, outbuf, head, sem):
+    def kernel(pos_sub_s, blk, out_hbm, outbuf2, head, sem_out):
         c = pl.program_id(0)
+        parity = jax.lax.rem(c, 2)
+        outbuf = outbuf2.at[parity]
         base = pos_sub_s[c * COMPACT_SUB]
         base_al = pl.multiple_of(base // 8 * 8, 8)
+
+        def out_copy(j, slot):
+            jc = jnp.minimum(j, n_super - 1)
+            b_al = pl.multiple_of(
+                pos_sub_s[jc * COMPACT_SUB] // 8 * 8, 8
+            )
+            return pltpu.make_async_copy(
+                outbuf2.at[slot], out_hbm.at[pl.ds(b_al, OUT_WIN)],
+                sem_out.at[slot],
+            )
 
         # This step's aligned window can start up to 7 rows before its
         # first owned output row; those rows hold the PREVIOUS step's
@@ -65,9 +77,9 @@ def _kernel(nc, pos_col, cnt_col):
 
         @pl.when(c > 0)
         def _():
-            head[...] = outbuf[pl.ds(d8, 8), :]
+            head[...] = outbuf2.at[1 - parity][pl.ds(d8, 8), :]
 
-        outbuf[...] = jnp.zeros_like(outbuf)
+        outbuf[...] = jnp.zeros((OUT_WIN, 128), jnp.float32)
 
         @pl.when(c > 0)
         def _():
@@ -94,11 +106,19 @@ def _kernel(nc, pos_col, cnt_col):
             )                                                # (528, NC)
             cur = outbuf[pl.ds(w_al, SUB_ROWS + 16), pl.ds(0, nc)]
             outbuf[pl.ds(w_al, SUB_ROWS + 16), pl.ds(0, nc)] = cur + landed
-        dma = pltpu.make_async_copy(
-            outbuf, out_hbm.at[pl.ds(base_al, OUT_WIN)], sem
-        )
-        dma.start()
-        dma.wait()
+        # Deferred two-buffer flush (coverage-kernel idiom): wait for
+        # flush c-1 only after this step's compute, keep exactly one
+        # out-DMA in flight (consecutive windows overlap, so write
+        # order must be preserved).
+        @pl.when(c >= 1)
+        def _():
+            out_copy(c - 1, 1 - parity).wait()
+
+        out_copy(c, parity).start()
+
+        @pl.when(c == n_super - 1)
+        def _():
+            out_copy(c, parity).wait()
 
     return kernel
 
@@ -141,13 +161,13 @@ def compact_rows(xp, table, pos_col, cnt_col, pos_excl, cap,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
-            pltpu.VMEM((OUT_WIN, 128), jnp.float32),
+            pltpu.VMEM((2, OUT_WIN, 128), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     call = pl.pallas_call(
-        _kernel(NC, pos_col, cnt_col),
+        _kernel(NC, pos_col, cnt_col, n_super),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cap_out, 128), jnp.float32),
         interpret=interpret,

@@ -255,15 +255,38 @@ def make_expand_call_v2(n_cols, n_out, n_chunks, compute, col_incl, col_cnt,
     W = SUB * C + 2 * _WIN_PAD
     n_super = -(-n_chunks // SUB)
 
-    def kernel(sc_s, tab_hbm, out_ref, win, params, sem):
+    def kernel(sc_s, tab_hbm, out_ref, win2, params, sem):
         c = pl.program_id(0)
+        parity = jax.lax.rem(c, 2)
         row_total = sc_s[n_chunks]
         out_total = sc_s[n_chunks + 1]
-        c0 = jnp.minimum(c * SUB, n_chunks - 1)
-        ws0 = pl.multiple_of(jnp.minimum(sc_s[c0], sc_s[n_chunks + 2]), 8)
-        dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(ws0, W), :], win, sem)
-        dma.start()
-        dma.wait()
+
+        def ws_of(g):
+            gc = jnp.minimum(g, n_super - 1)
+            c0 = jnp.minimum(gc * SUB, n_chunks - 1)
+            return pl.multiple_of(
+                jnp.minimum(sc_s[c0], sc_s[n_chunks + 2]), 8
+            )
+
+        def win_copy(g, slot):
+            return pltpu.make_async_copy(
+                tab_hbm.at[pl.ds(ws_of(g), W), :], win2.at[slot],
+                sem.at[slot],
+            )
+
+        # Two-buffer window pipeline: step c+1's table window streams
+        # in during step c's compute.
+        @pl.when(c == 0)
+        def _():
+            win_copy(0, 0).start()
+
+        @pl.when(c + 1 < n_super)
+        def _():
+            win_copy(c + 1, 1 - parity).start()
+
+        win_copy(c, parity).wait()
+        win = win2.at[parity]
+        ws0 = ws_of(c)
 
         for j in range(SUB):
             cj = jnp.minimum(c * SUB + j, n_chunks - 1)
@@ -318,9 +341,9 @@ def make_expand_call_v2(n_cols, n_out, n_chunks, compute, col_incl, col_cnt,
         ],
         out_specs=pl.BlockSpec((n_out, 1, SUB, C), lambda c, s: (0, c, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((W, 128), jnp.float32),
+            pltpu.VMEM((2, W, 128), jnp.float32),
             pltpu.VMEM((128, SUB, C), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     call = pl.pallas_call(

@@ -86,5 +86,12 @@ def test_production_kernels_smoke_interpret():
         fine_impl,
     )
     assert not any(bool(v) for v in out_flags.values()), out_flags
-    img = assemble_image(np, np.asarray(fine_out), ld)
+    if isinstance(fine_out, tuple):
+        from jello_tpu.tpu.fine_v2 import assemble_compact
+
+        compact, tile2rank = fine_out
+        img = assemble_compact(np, np.asarray(compact),
+                               np.asarray(tile2rank), ld)
+    else:
+        img = assemble_image(np, np.asarray(fine_out), ld)
     assert np.abs(np.asarray(img) - ref).max() < 8e-3

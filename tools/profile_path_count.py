@@ -32,6 +32,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=5)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--points", default="", help="comma list; default all")
     args = ap.parse_args()
 
     import jax
@@ -118,6 +119,9 @@ def main():
 
     points = ["pre", "setup", "pgather", "clip", "rawcum", "rawtab",
               "compact", "expand", "backdrop", "sort", "bincount", None]
+    if args.points:
+        sel = args.points.split(",")
+        points = [None if p == "full" else p for p in sel]
     prev = 0.0
     for pt in points:
         fn = jax.jit(upto(pt))
