@@ -320,6 +320,14 @@ class Renderer:
             # (tpu/coverage_pallas.py).
             routing["_expand_pallas"] = True
             routing["_coverage_pallas"] = True
+            # Raw-table path_count route (compact kernel + in-body DDA);
+            # JELLO_PC_RAW=0 falls back to the via-P formulation.
+            if os.environ.get("JELLO_PC_RAW", "1") == "0":
+                routing["_pc_raw"] = False
+            # Batched (8 tiles/program) fine interpreter;
+            # JELLO_INTERP_BATCH=0 falls back to 1 tile/program.
+            if os.environ.get("JELLO_INTERP_BATCH", "1") == "0":
+                routing["_interp_batch"] = False
             if self.use_image_tap:
                 routing["_image_tap"] = True
             if os.environ.get("JELLO_V2_CHUNK", ""):

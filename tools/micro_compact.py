@@ -54,6 +54,25 @@ def main():
         jnp, tab, 11, 9, pos, LCC).sum(), mk)
     print(f"compact kernel 1.07M x16 -> 811k: {t:7.2f} ms", flush=True)
 
+    # In-pipeline shape: the table is PRODUCED by an XLA stack feeding
+    # the custom call (layout/copy at the boundary?).
+    def stacked(tab, pos):
+        cols = [tab[:, k] * 1.0000001 for k in range(16)]
+        t2 = jnp.stack(cols, axis=1)
+        return compact_rows(jnp, t2, 11, 9, pos, LCC).sum()
+
+    t3 = bench(stacked, mk)
+    print(f"compact w/ XLA-stacked input:     {t3:7.2f} ms", flush=True)
+
+    # Both compactions from ONE table (the production pattern).
+    def two(tab, pos):
+        a = compact_rows(jnp, tab, 11, 9, pos, LCC).sum()
+        b = compact_rows(jnp, tab, 14, 12, pos, 8192).sum()
+        return a + b
+
+    t4 = bench(two, mk)
+    print(f"two compactions, same table:      {t4:7.2f} ms", flush=True)
+
     def xla_compact(tab, pos):
         nz = tab[:, 9] > 0
         idx = jnp.full(LCC, L, jnp.int32).at[

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--config", type=int, default=5)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--points", default="", help="comma list; default all")
+    ap.add_argument("--raw", default="", help="force _pc_raw 0/1")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +56,8 @@ def main():
     if r.use_pallas:
         caps["_expand_pallas"] = True
         caps["_coverage_pallas"] = True
+    if args.raw:
+        caps["_pc_raw"] = args.raw == "1"
 
     res = Resolver()
     layout, ramps, images, scene_u32 = res.resolve(scene.encoding)
