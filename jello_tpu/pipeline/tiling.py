@@ -408,10 +408,18 @@ def path_count(xp, lines, paths, caps, upto=None):
     if upto in ("setup", "pgather", "clip"):
         return path_count_params(xp, lines, paths, caps, upto=upto)
 
+    # Raw-table route: OPT-IN after losing its on-chip A/B (same-session
+    # full-path_count: raw 151.7 ms vs via-P 102.2 ms on config5;
+    # standalone ensemble 67.3 ms). The compaction kernel itself beats
+    # the XLA compaction (15.2 vs 33.5 ms standalone), but the expand
+    # bodies' per-OUTPUT DDA/clip recompute (~270 VPU ops with divides
+    # and rounds per lane) costs far more than the via-P route's
+    # per-LINE XLA evaluation, which fuses to near-zero and is amortized
+    # over all crossings of the line. BASELINE.md round-4.
     use_raw = (
         caps.get("_expand_pallas")
         and ops.is_jax(xp)
-        and caps.get("_pc_raw", True)
+        and caps.get("_pc_raw", False)
         and not caps.get("_stats_only")
         and upto != "params"  # legacy-path profiling cut
     )

@@ -320,10 +320,12 @@ class Renderer:
             # (tpu/coverage_pallas.py).
             routing["_expand_pallas"] = True
             routing["_coverage_pallas"] = True
-            # Raw-table path_count route (compact kernel + in-body DDA);
-            # JELLO_PC_RAW=0 falls back to the via-P formulation.
-            if os.environ.get("JELLO_PC_RAW", "1") == "0":
-                routing["_pc_raw"] = False
+            # Raw-table path_count route (compact kernel + in-body
+            # DDA): opt-in via JELLO_PC_RAW=1 — it lost its on-chip
+            # A/B (BASELINE.md round-4: 151.7 vs 102.2 ms full
+            # path_count on config5).
+            if os.environ.get("JELLO_PC_RAW", "0") == "1":
+                routing["_pc_raw"] = True
             # Batched (8 tiles/program) fine interpreter;
             # JELLO_INTERP_BATCH=0 falls back to 1 tile/program.
             if os.environ.get("JELLO_INTERP_BATCH", "1") == "0":

@@ -68,12 +68,13 @@ def test_production_kernels_smoke_interpret():
     sp[: len(scene_u32)] = scene_u32
 
     caps = dict(caps)
-    # The full production routing: raw-table path_count (compact +
-    # expand kernels), streaming coverage, hybrid fine (record-stream +
-    # batched interpreter).
+    # Production routing + the opt-in raw path_count route so the
+    # compaction and raw-expand kernels stay covered by the fast suite
+    # even while they are off by default (lost their on-chip A/B).
     caps["_expand_pallas"] = True
     caps["_coverage_pallas"] = True
     caps["_expand_interpret"] = True
+    caps["_pc_raw"] = True
 
     fine_impl = functools.partial(fine_hybrid, interpret=True)
     fine_out, out_flags = render_mod.render_frame(
