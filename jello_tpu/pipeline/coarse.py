@@ -283,18 +283,33 @@ def build_commands(
     nxt = xp.concatenate([st[1:], xp.full(1, GRID + 1, st.dtype)])
     first = (st != prev) & (st < GRID)
     last = (st != nxt) & (st < GRID)
-    tile_start = xp.zeros(GRID, dtype=xp.int32)
-    tile_end = xp.zeros(GRID, dtype=xp.int32)
     if ops.is_jax(xp):
-        tile_start = tile_start.at[xp.where(first, st, GRID)].set(
-            i_ids, mode="drop", unique_indices=True
+        # ONE scatter serves both boundary writes (the doubled-target
+        # trick of path_count's merged backdrop scatter): tile_start
+        # lands in [0, GRID), tile_end at GRID + tile (ops carry ~1-3
+        # ms apiece on this fabric; same scattered rows either way).
+        # Masked-out rows target index 2*GRID == out of bounds, so
+        # mode="drop" discards them (an in-bounds junk bin would break
+        # the unique_indices contract).
+        both = xp.zeros(2 * GRID, dtype=xp.int32)
+        both = both.at[
+            xp.concatenate(
+                [xp.where(first, st, 2 * GRID),
+                 xp.where(last, st + GRID, 2 * GRID)]
+            )
+        ].set(
+            xp.concatenate([i_ids, i_ids + 1]),
+            mode="drop", unique_indices=True,
         )
-        tile_end = tile_end.at[xp.where(last, st, GRID)].set(
-            i_ids + 1, mode="drop", unique_indices=True
-        )
+        tile_start = both[:GRID]
+        tile_end = both[GRID:]
     else:
-        tile_start = ops.scatter_set(xp, tile_start, xp.where(first, st, GRID), i_ids)
-        tile_end = ops.scatter_set(xp, tile_end, xp.where(last, st, GRID), i_ids + 1)
+        tile_start = ops.scatter_set(
+            xp, xp.zeros(GRID, dtype=xp.int32),
+            xp.where(first, st, GRID), i_ids)
+        tile_end = ops.scatter_set(
+            xp, xp.zeros(GRID, dtype=xp.int32),
+            xp.where(last, st, GRID), i_ids + 1)
     cmds["tile_start"] = tile_start
     cmds["tile_end"] = tile_end
     cmds["n_cmds"] = n_cmds_true
