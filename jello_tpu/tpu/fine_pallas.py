@@ -724,8 +724,32 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                 | (kind == CMD_IMAGE) | (kind == CMD_END_CLIP)
             )
 
-            # Area rows: one 8-row window DMA per tile, all in flight
-            # together, then a per-tile row pick.
+            # Per-ITERATION scalar kind reads: gate every branch (and
+            # every area DMA) by what this lockstep step actually
+            # holds — a clip-heavy tape must not pay gradient code,
+            # and clip records must not pay row DMAs (the first b8
+            # build DMA'd 8 windows unconditionally per step and
+            # measured SLOWER than the 1-tile kernel on config4).
+            kscal = [cmd_ref[k, ci, 0].astype(jnp.int32) for k in range(NT)]
+            segscal = [cmd_ref[k, ci, 2].astype(jnp.int32) for k in range(NT)]
+
+            def anyk(*kcs):
+                p = None
+                for kk in kscal:
+                    for kc in kcs:
+                        q = kk == kc
+                        p = q if p is None else (p | q)
+                return p
+
+            def is_fill_scal(kk):
+                return (
+                    (kk == CMD_COLOR) | (kk == CMD_LIN_GRAD)
+                    | (kk == CMD_RAD_GRAD) | (kk == CMD_SWEEP_GRAD)
+                    | (kk == CMD_IMAGE) | (kk == CMD_END_CLIP)
+                )
+
+            # Area rows: per-tile 8-row window DMAs, issued only for
+            # records that consume coverage, all in flight together.
             starts8 = []
             for k in range(NT):
                 ar_k = jnp.clip(
@@ -734,18 +758,27 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                 s8 = pl.multiple_of(
                     jnp.minimum((ar_k // 8) * 8, AR_rows - 8), 8
                 )
-                starts8.append((ar_k, s8))
-                pltpu.make_async_copy(
-                    rows_hbm.at[pl.ds(s8, 8), :], area_dma.at[k],
-                    sems.at[k],
-                ).start()
+                need = is_fill_scal(kscal[k]) & (segscal[k] > 0)
+                starts8.append((ar_k, s8, need))
+
+                @pl.when(need)
+                def _(k=k, s8=s8):
+                    pltpu.make_async_copy(
+                        rows_hbm.at[pl.ds(s8, 8), :], area_dma.at[k],
+                        sems.at[k],
+                    ).start()
             rows_now = []
             for k in range(NT):
-                ar_k, s8 = starts8[k]
-                pltpu.make_async_copy(
-                    rows_hbm.at[pl.ds(s8, 8), :], area_dma.at[k],
-                    sems.at[k],
-                ).wait()
+                ar_k, s8, need = starts8[k]
+
+                @pl.when(need)
+                def _(k=k, s8=s8):
+                    pltpu.make_async_copy(
+                        rows_hbm.at[pl.ds(s8, 8), :], area_dma.at[k],
+                        sems.at[k],
+                    ).wait()
+                # Stale rows for un-DMA'd tiles are harmless: the area
+                # update below selects them away with where().
                 rows_now.append(area_dma[k, pl.ds(ar_k - s8, 1), :])
             a_raw = jnp.concatenate(rows_now, axis=0)  # (NT, 256)
 
@@ -762,8 +795,8 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                 set_cov, cov, jnp.where(set_one, 1.0, area[...])
             )
 
-            # ---- paints (program-level kind guards) ----
-            @pl.when(has(CMD_COLOR))
+            # ---- paints (per-iteration scalar kind guards) ----
+            @pl.when(anyk(CMD_COLOR))
             def _():
                 m = ~sup & (kind == CMD_COLOR)
                 fgs = [jnp.broadcast_to(cf(5 + c), (NT, 256))
@@ -777,7 +810,7 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                         n_ramp_rows - 1)
                     rrows[pl.ds(k, 1), :] = ramps_ref[pl.ds(rid, 1), :]
 
-            @pl.when(has(CMD_LIN_GRAD))
+            @pl.when(anyk(CMD_LIN_GRAD))
             def _():
                 load_ramp_rows()
                 m = ~sup & (kind == CMD_LIN_GRAD)
@@ -786,7 +819,7 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                 fgs = sample_ramp_b8(_extend(dpos, ext))
                 blend_over(fgs, area[...], m)
 
-            @pl.when(has(CMD_RAD_GRAD))
+            @pl.when(anyk(CMD_RAD_GRAD))
             def _():
                 load_ramp_rows()
                 m0, m1, m2, m3 = cf(6), cf(7), cf(8), cf(9)
@@ -841,7 +874,7 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                 m = ~sup & (kind == CMD_RAD_GRAD)
                 blend_over([f * vrf for f in fgs], area[...] * vrf, m)
 
-            @pl.when(has(CMD_SWEEP_GRAD))
+            @pl.when(anyk(CMD_SWEEP_GRAD))
             def _():
                 load_ramp_rows()
                 m0, m1, m2, m3 = cf(6), cf(7), cf(8), cf(9)
@@ -871,7 +904,7 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                 blend_over(fgs, area[...], m)
 
             if img_shape is not None:
-                @pl.when(has(CMD_IMAGE))
+                @pl.when(anyk(CMD_IMAGE))
                 def _():
                     for c in range(4):
                         fgimg[c] = jnp.zeros((NT, 256), jnp.float32)
@@ -984,7 +1017,7 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
             blend_depth_pop = blend_depth - jnp.where(do_pop, 1, 0)
             bd_idx2 = jnp.clip(blend_depth_pop, 0, BD - 1)
 
-            @pl.when(has(CMD_BEGIN_CLIP) | has(CMD_END_CLIP))
+            @pl.when(anyk(CMD_BEGIN_CLIP, CMD_END_CLIP))
             def _():
                 # where-based stack ops: unpushed stack rows are
                 # garbage scratch; select, never multiply.
@@ -1086,11 +1119,17 @@ def atlas_planar(images):
     Stored PREMULTIPLIED: fine.wgsl premultiplies each textureLoad
     before bilinear mixing, so with premultiplied texels the whole
     bilinear tap is linear — one x-weighted column matmul + one
-    y-weighted row reduce per channel instead of four taps."""
+    y-weighted row reduce per channel instead of four taps.
+
+    Padded by one extra region window in each axis so the image-tap
+    kernel's multi-window sweep (minified images, tpu/image_tap.py) can
+    step unclipped REGH x REGW windows from any aligned origin without
+    reading out of bounds."""
     if images is None:
         return jnp.zeros((4, 64, 256), dtype=jnp.float32), None
     AH, AW = int(images.shape[0]), int(images.shape[1])
-    AHp, AWp = max(AH, 64), max(AW, 256)
+    AHp = -(-max(AH, 64) // 8) * 8 + 64
+    AWp = -(-max(AW, 256) // 128) * 128 + 256
     pm = jnp.concatenate(
         [images[..., :3] * images[..., 3:4], images[..., 3:4]], axis=-1
     )

@@ -39,17 +39,23 @@ from ..pipeline.coarse import CMD_IMAGE
 # Atlas region window per record (matches fine_pallas's interpreter
 # image branch): a 16x16 tile maps (under the inverse transform) into
 # at most REGH x (REGW-128) source texels for scale factors down to
-# ~0.25; stronger minification raises the region-overflow flag and the
-# frame falls back to the XLA fine.
+# ~0.25. Stronger minification sweeps up to MAX_WIN sub-windows per
+# record instead of falling out of the Pallas fine entirely (VERDICT
+# r4 item #10): each corner tap matches the window-relative one-hot of
+# exactly one sub-window, so the accumulated sum is EXACTLY the single
+# bilinear tap (fine.wgsl:1068-1087 semantics) — only records needing
+# more than MAX_WIN windows (scale beyond ~16-24x) raise the
+# region-overflow flag and reroute the frame.
 REGH, REGW = 64, 256
+MAX_WIN = 12
 
 
 def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
     GRID = caps["tile_grid_cap"]
     AH, AW = img_shape
 
-    def kernel(misc_s, ylo_s, xlo_s, rec_ref, img_ref, out_ref, ovf_ref,
-               buf_a, buf_b, sem_a, sem_b):
+    def kernel(misc_s, ylo_s, xlo_s, nyx_s, rec_ref, img_ref, out_ref,
+               ovf_ref, buf_a, buf_b, buf_c, facc, sem_a, sem_b, sem_c):
         i = pl.program_id(0)
         wit = misc_s[0]
         rec_u = rec_ref[...][0]  # (1, 16) u32 (block carries a unit mid dim)
@@ -125,61 +131,96 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
         # Prefetched (wrapper-computed, identical math) region window.
         x_lo = pl.multiple_of(xlo_s[i], 128)
         y_lo = pl.multiple_of(ylo_s[i], 8)
-        rx1 = ax + jnp.max(clampx(jnp.ceil(ux)), axis=1, keepdims=True)[0, 0]
-        ry1 = ay + jnp.max(clampy(jnp.ceil(uy)), axis=1, keepdims=True)[0, 0]
-        region_bad = ((rx1 - x_lo) >= REGW) | ((ry1 - y_lo) >= REGH)
+        nyx = nyx_s[i]  # (ny << 8) | nx sub-window grid of this record
+        ny = nyx >> 8
+        nx = nyx & 0xFF
+        nw = ny * nx
+        region_bad = nw > MAX_WIN
 
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (REGH, 256), 0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (REGW, 256), 0)
 
-        # Atlas texels are premultiplied (atlas_planar), so the whole
-        # bilinear tap is linear: fold the x weights into ONE column
-        # matmul per channel and the y weights into one row reduce —
-        # 4 MXU contractions per record instead of 16.
-        lc0 = ax + clampx(x0f) - x_lo  # (1, 256)
-        lc1 = ax + clampx(jnp.ceil(ux)) - x_lo
-        lr0 = ay + clampy(y0f) - y_lo
-        lr1 = ay + clampy(jnp.ceil(uy)) - y_lo
-        ohc = (
-            jnp.astype(iota_w == lc0, jnp.float32) * (1.0 - fx)
-            + jnp.astype(iota_w == lc1, jnp.float32) * fx
-        )  # (REGW, 256)
-        wrow = (
-            jnp.astype(iota_h == lr0, jnp.float32) * (1.0 - fy)
-            + jnp.astype(iota_h == lr1, jnp.float32) * fy
-        )  # (REGH, 256)
+        # Atlas-absolute corner coordinates; per window they become
+        # window-relative, and the one-hot EQUALITY is the membership
+        # mask — a corner outside the window matches nothing, so the
+        # multi-window accumulation is exactly the single bilinear tap.
+        lc0a = ax + clampx(x0f)          # (1, 256)
+        lc1a = ax + clampx(jnp.ceil(ux))
+        lr0a = ay + clampy(y0f)
+        lr1a = ay + clampy(jnp.ceil(uy))
         okf = (
             jnp.astype(inb, jnp.float32)
             * jnp.astype(~region_bad, jnp.float32)
             * jnp.astype(valid, jnp.float32)
         )
 
-        def compute(buf):
+        def tap_terms(buf, xw, yw):
+            """Accumulate this window's share of the tap into facc."""
+            ohc = (
+                jnp.astype(iota_w == lc0a - xw, jnp.float32) * (1.0 - fx)
+                + jnp.astype(iota_w == lc1a - xw, jnp.float32) * fx
+            )  # (REGW, 256)
+            wrow = (
+                jnp.astype(iota_h == lr0a - yw, jnp.float32) * (1.0 - fy)
+                + jnp.astype(iota_h == lr1a - yw, jnp.float32) * fy
+            )  # (REGH, 256)
             for chn in range(4):
                 m1c = jax.lax.dot_general(
                     buf[chn], ohc, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (REGH, 256)
-                fg = jnp.sum(wrow * m1c, axis=0, keepdims=True) * okf
-                # Static lane-slice stores (offsets = 0 mod 128).
-                out_ref[0, :, 256 * chn : 256 * (chn + 1)] = fg
+                facc[chn : chn + 1, :] = facc[chn : chn + 1, :] + jnp.sum(
+                    wrow * m1c, axis=0, keepdims=True
+                )
+
+        facc[...] = jnp.zeros((4, 256), jnp.float32)
 
         @pl.when(even)
         def _():
             copy(i, buf_a, sem_a).wait()
-            compute(buf_a)
+            tap_terms(buf_a, x_lo, y_lo)
 
         @pl.when(~even)
         def _():
             copy(i, buf_b, sem_b).wait()
-            compute(buf_b)
+            tap_terms(buf_b, x_lo, y_lo)
+
+        # Minified records: sweep the remaining sub-windows serially
+        # (rare; the common nw == 1 case never enters the loop and keeps
+        # the cross-record two-buffer pipeline untouched). The atlas is
+        # padded by one window per axis (atlas_planar), so unclipped
+        # window origins stay in bounds.
+        # buf_c/sem_c are dedicated to the sweep: buf_a/buf_b may carry
+        # record i+1's in-flight prefetch at this point.
+        @pl.when((nw > 1) & ~region_bad & valid)
+        def _():
+            def wbody(w, _):
+                wy = w // nx
+                wx = w - wy * nx
+                yw = pl.multiple_of(y_lo + wy * REGH, 8)
+                xw = pl.multiple_of(x_lo + wx * REGW, 128)
+                dma = pltpu.make_async_copy(
+                    img_ref.at[:, pl.ds(yw, REGH), pl.ds(xw, REGW)],
+                    buf_c, sem_c,
+                )
+                dma.start()
+                dma.wait()
+                tap_terms(buf_c, xw, yw)
+                return 0
+
+            jax.lax.fori_loop(1, jnp.minimum(nw, MAX_WIN), wbody, 0)
+
+        for chn in range(4):
+            out_ref[0, :, 256 * chn : 256 * (chn + 1)] = (
+                facc[chn : chn + 1, :] * okf
+            )
 
         ovf_ref[0] = jnp.full(
             (1, 128), (region_bad & valid).astype(jnp.int32)
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # misc (wit), y_lo, x_lo
+        num_scalar_prefetch=4,  # misc (wit), y_lo, x_lo, nyx
         grid=(n_recs,),
         in_specs=[
             # Unit middle dim: a (1, 1, 16) block on [N, 1, 16] matches
@@ -196,6 +237,9 @@ def make_image_tap_kernel(caps, img_shape, n_recs, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((4, REGH, REGW), jnp.float32),  # region buffer A
             pltpu.VMEM((4, REGH, REGW), jnp.float32),  # region buffer B
+            pltpu.VMEM((4, REGH, REGW), jnp.float32),  # sweep buffer C
+            pltpu.VMEM((4, 256), jnp.float32),         # tap accumulator
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -241,11 +285,21 @@ def _region_offsets(xp, tap_rec, wit, GRID, AH, AW):
     uy = m1 * gx + m3 * gy + yl
     cxv = xp.clip(xp.floor(ux).astype(xp.int32), 0, xp.maximum(iwi - 1, 0))
     cyv = xp.clip(xp.floor(uy).astype(xp.int32), 0, xp.maximum(ihi - 1, 0))
+    cxv1 = xp.clip(xp.ceil(ux).astype(xp.int32), 0, xp.maximum(iwi - 1, 0))
+    cyv1 = xp.clip(xp.ceil(uy).astype(xp.int32), 0, xp.maximum(ihi - 1, 0))
     rx0 = ax[:, 0] + xp.min(cxv, axis=1)
     ry0 = ay[:, 0] + xp.min(cyv, axis=1)
+    rx1 = ax[:, 0] + xp.max(cxv1, axis=1)
+    ry1 = ay[:, 0] + xp.max(cyv1, axis=1)
     x_lo = xp.clip((rx0 // 128) * 128, 0, AW - REGW)
     y_lo = xp.clip((ry0 // 8) * 8, 0, AH - REGH)
-    return y_lo.astype(xp.int32), x_lo.astype(xp.int32)
+    # Sub-window grid for minified records (atlas padded by one window
+    # per axis, so unclipped steps from the aligned origin stay in
+    # bounds): ny/nx packed as (ny << 8) | nx.
+    nx = xp.maximum(rx1 - x_lo, 0) // REGW + 1
+    ny = xp.maximum(ry1 - y_lo, 0) // REGH + 1
+    nyx = (ny.astype(xp.int32) << 8) | nx.astype(xp.int32)
+    return y_lo.astype(xp.int32), x_lo.astype(xp.int32), nyx
 
 
 def image_tap(xp, rec, cmds, images, layout, caps, interpret=False):
@@ -274,12 +328,12 @@ def image_tap(xp, rec, cmds, images, layout, caps, interpret=False):
 
     img_flat, img_shape = atlas_planar(images)
     wit = layout["width_in_tiles"]
-    y_lo, x_lo = _region_offsets(
+    y_lo, x_lo, nyx = _region_offsets(
         xp, tap_rec, wit, GRID, img_shape[0], img_shape[1]
     )
     misc = xp.asarray(wit, dtype=xp.int32).reshape(1)
     call = make_image_tap_kernel(caps, img_shape, IRC, interpret=interpret)
-    fg_tab, ovf = call(misc, y_lo, x_lo, tap_rec[:, None, :], img_flat)
+    fg_tab, ovf = call(misc, y_lo, x_lo, nyx, tap_rec[:, None, :], img_flat)
     fg_tab = fg_tab.reshape(IRC, 1024)
     # Window pad so fine_v2's aligned CWI-row DMA never reads past the
     # table (and pad rows are zero, keeping the one-hot matmul NaN-free).
