@@ -164,7 +164,7 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     stops_pad = stops_pad.at[:, :W].set(ramps)
     img_flat, img_shape = atlas_planar(images)
 
-    if caps_s.get("_interp_batch", True):
+    if caps_s.get("_interp_batch", False):
         from .fine_pallas import make_fine_kernel_b8, slab_kind_masks
 
         LT8 = -(-LT // 8) * 8

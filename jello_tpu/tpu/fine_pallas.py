@@ -1166,7 +1166,7 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
     scalars = jnp.asarray(layout["base_color"], dtype=jnp.float32)
     tile_ids = jnp.arange(caps["tile_grid_cap"], dtype=jnp.int32)
 
-    if caps.get("_interp_batch", True) and caps["tile_grid_cap"] % 8 == 0:
+    if caps.get("_interp_batch", False) and caps["tile_grid_cap"] % 8 == 0:
         call = make_fine_kernel_b8(caps, img_shape, interpret=interpret,
                                    n_ramp_rows=NR)
         kmask = slab_kind_masks(jnp, slab)

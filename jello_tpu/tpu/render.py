@@ -326,10 +326,12 @@ class Renderer:
             # path_count on config5).
             if os.environ.get("JELLO_PC_RAW", "0") == "1":
                 routing["_pc_raw"] = True
-            # Batched (8 tiles/program) fine interpreter;
-            # JELLO_INTERP_BATCH=0 falls back to 1 tile/program.
-            if os.environ.get("JELLO_INTERP_BATCH", "1") == "0":
-                routing["_interp_batch"] = False
+            # Batched (8 tiles/program) fine interpreter: opt-in via
+            # JELLO_INTERP_BATCH=1 — even with per-iteration gating it
+            # measured 67.1 vs the 1-tile kernel's 63.8 ms on config4
+            # (BASELINE.md round-4).
+            if os.environ.get("JELLO_INTERP_BATCH", "0") == "1":
+                routing["_interp_batch"] = True
             if self.use_image_tap:
                 routing["_image_tap"] = True
             if os.environ.get("JELLO_V2_CHUNK", ""):

@@ -75,6 +75,7 @@ def test_production_kernels_smoke_interpret():
     caps["_coverage_pallas"] = True
     caps["_expand_interpret"] = True
     caps["_pc_raw"] = True
+    caps["_interp_batch"] = True
 
     fine_impl = functools.partial(fine_hybrid, interpret=True)
     fine_out, out_flags = render_mod.render_frame(
