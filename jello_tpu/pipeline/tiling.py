@@ -425,6 +425,20 @@ def path_count(xp, lines, paths, caps, upto=None):
     )
     if use_raw:
         return _path_count_raw(xp, lines, paths, caps, upto=upto)
+    # Kernel-compaction hybrid: XLA computes the fused per-line P table
+    # (the part XLA does best), the stream-compaction KERNEL moves the
+    # rows (the part it beat XLA at: 15.2 vs 33.5 ms standalone), and
+    # the v1 expand bodies read precomputed P columns. Opt-in pending
+    # its on-chip A/B (JELLO_PC_KC=1 / caps _pc_kc).
+    use_kc = (
+        caps.get("_expand_pallas")
+        and ops.is_jax(xp)
+        and caps.get("_pc_kc", False)
+        and not caps.get("_stats_only")
+        and upto != "params"
+    )
+    if use_kc:
+        return _path_count_kc(xp, lines, paths, caps, upto=upto)
 
     P, n_cross, n_rows_per_line, (ymin, tiles_base, bb1, stride, delta) = (
         path_count_params(xp, lines, paths, caps)
@@ -747,6 +761,167 @@ def _path_count_raw(xp, lines, paths, caps, upto=None):
     # One scatter_add serves all three T-indexed accumulations
     # (backdrop row deltas, top-edge bumps, per-tile segment bincount) —
     # see path_count.
+    slot_clamped = xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T)
+
+    def _cl(s):
+        return xp.where((s >= 0) & (s <= T), s, T)
+
+    merged = ops.scatter_add(
+        xp,
+        xp.zeros(2 * (T + 1), dtype=xp.int32),
+        xp.concatenate([_cl(r_slot), _cl(bump_slot), slot_clamped + (T + 1)]),
+        xp.concatenate([r_delta, bump_delta, xp.ones(SC, dtype=xp.int32)]),
+    )
+    backdrop = merged[: T + 1]
+    binc_pallas = merged[T + 1:]
+    if upto == "backdrop":
+        return (backdrop, tile_slot, seg_pre)
+
+    compact_overflow = (n_nz_c > LCC) | (n_nz_r > RLC)
+    stats = {
+        "real_cross": total_c,
+        "real_bd_rows": total_r,
+        "real_cross_lines": n_nz_c,
+        "real_bd_lines": n_nz_r,
+    }
+    return _sort_count_tail(
+        xp, T, SC, RC, caps, paths, tile_slot, seg_pre, backdrop,
+        binc_pallas, total_c, total_r, compact_overflow, stats, upto,
+    )
+
+
+def _path_count_kc(xp, lines, paths, caps, upto=None):
+    """path_count, kernel-compaction hybrid: the per-line DDA/clip
+    parameter table P comes from the fused XLA evaluation
+    (path_count_params — near-free in-pipeline), the nonzero-count rows
+    move through the streaming compaction kernel instead of the
+    cumsum+scatter_set+row-gather triple, and the expansions run the v1
+    compute bodies over the compacted precomputed columns (no in-body
+    DDA recompute — the raw route's measured loss)."""
+    from ..tpu.compact_pallas import CH as _CCH, compact_rows
+    from ..tpu.expand_pallas import (
+        EXPAND_CHUNK, EXPAND_SUB, _WIN_PAD, _crossing_compute,
+        make_expand_call_v2,
+    )
+
+    f32 = xp.float32
+    L = lines["line_x0"].shape[0]
+    T = caps["tiles_cap"]
+    SC = caps["seg_cap"]
+    RC = caps["row_cap"]
+    LCC = caps["cross_lines_cap"]
+    RLC = caps["row_lines_cap"]
+    interpret = bool(caps.get("_expand_interpret", False))
+
+    P, n_cross, n_rows_per_line, _prt = path_count_params(
+        xp, lines, paths, caps
+    )
+    n_cross_f = n_cross.astype(f32)
+    n_rows_f = n_rows_per_line.astype(f32)
+    keep_c = (n_cross_f > 0).astype(f32)
+    keep_r = (n_rows_f > 0).astype(f32)
+    cum4 = xp.cumsum(
+        xp.stack([n_cross_f, keep_c, n_rows_f, keep_r], axis=1), axis=0
+    )
+    incl_c = cum4[:, 0]
+    pos_c = cum4[:, 1] - keep_c
+    incl_r = cum4[:, 2]
+    pos_r = cum4[:, 3] - keep_r
+    total_c = cum4[L - 1, 0].astype(xp.int32)
+    n_nz_c = cum4[L - 1, 1].astype(xp.int32)
+    total_r = cum4[L - 1, 2].astype(xp.int32)
+    n_nz_r = cum4[L - 1, 3].astype(xp.int32)
+
+    # [L, 27]: P's 21 columns + both expansions' counts/prefixes/
+    # positions. Column indices below are the contract with the v1
+    # compute bodies (P cols 0..20 unchanged).
+    KC_NCROSS, KC_INCL_C, KC_POS_C = 21, 22, 23
+    KC_NROWS, KC_INCL_R, KC_POS_R = 24, 25, 26
+    table = xp.concatenate(
+        [P, xp.stack([n_cross_f, incl_c, pos_c, n_rows_f, incl_r, pos_r],
+                     axis=1)],
+        axis=1,
+    )
+    pad = (-L) % _CCH
+    if pad:
+        table = xp.concatenate(
+            [table, xp.zeros((pad, table.shape[1]), dtype=f32)], axis=0
+        )
+        pos_c_p = xp.concatenate(
+            [pos_c, xp.broadcast_to(cum4[L - 1, 1], (pad,))]
+        )
+        pos_r_p = xp.concatenate(
+            [pos_r, xp.broadcast_to(cum4[L - 1, 3], (pad,))]
+        )
+    else:
+        pos_c_p, pos_r_p = pos_c, pos_r
+
+    tab_c = compact_rows(xp, table, KC_POS_C, KC_NCROSS, pos_c_p, LCC,
+                         interpret=interpret)
+    tab_r = compact_rows(xp, table, KC_POS_R, KC_NROWS, pos_r_p, RLC,
+                         interpret=interpret)
+    if upto == "compact":
+        return (tab_c, tab_r, n_nz_c, n_nz_r)
+
+    W = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
+
+    def scalars(incl, pos, out_cap, row_total, out_total, tab_rows):
+        n_chunks = out_cap // EXPAND_CHUNK
+        q = xp.arange(n_chunks, dtype=f32) * f32(EXPAND_CHUNK)
+        owner = xp.searchsorted(incl, q, side="right").astype(xp.int32)
+        ws = ops.gather_guarded(
+            xp, pos[:, None], xp.minimum(owner, L - 1)
+        )[:, 0].astype(xp.int32)
+        ws = xp.maximum(ws - 8, 0) // 8 * 8
+        wc = EXPAND_CHUNK + _WIN_PAD
+        ws = xp.minimum(ws, xp.maximum(row_total + 24 - wc, 0) // 8 * 8)
+        ws = xp.minimum(ws, max(tab_rows - W, 0))
+        ksuper = xp.minimum(
+            xp.maximum(row_total + 24 - W, 0) // 8 * 8,
+            max(tab_rows - W, 0),
+        )
+        return xp.concatenate(
+            [ws, row_total[None], out_total[None], ksuper[None]]
+        ).astype(xp.int32)
+
+    sc_c = scalars(incl_c, pos_c, SC, n_nz_c, total_c, tab_c.shape[0])
+    sc_r = scalars(incl_r, pos_r, RC, n_nz_r, total_r, tab_r.shape[0])
+
+    call = make_expand_call_v2(27, 8, SC // EXPAND_CHUNK,
+                               _crossing_compute(T), KC_INCL_C, KC_NCROSS,
+                               interpret=interpret)
+    out = call(sc_c, tab_c)
+    tile_slot = out[0].astype(xp.int32)
+    seg_pre = {
+        "seg_x0": out[1], "seg_y0": out[2],
+        "seg_x1": out[3], "seg_y1": out[4],
+        "seg_y_edge": out[5],
+    }
+    bump_slot = out[6].astype(xp.int32)
+    bump_delta = out[7].astype(xp.int32)
+
+    def row_body(T_):
+        def compute(p, j, within, valid):
+            import jax.numpy as jnp
+
+            r_y = p(13) + within                 # ymin
+            r_slot = p(10) + (r_y - p(7)) * p(9)  # tiles_base/bb1/stride
+            ok = valid > 0.0
+            return [
+                jnp.where(ok, r_slot, jnp.float32(T_)),
+                jnp.where(ok, p(12), 0.0),        # delta
+            ]
+
+        return compute
+
+    rcall = make_expand_call_v2(27, 2, RC // EXPAND_CHUNK, row_body(T),
+                                KC_INCL_R, KC_NROWS, interpret=interpret)
+    rout = rcall(sc_r, tab_r)
+    r_slot = rout[0].astype(xp.int32)
+    r_delta = rout[1].astype(xp.int32)
+    if upto == "expand":
+        return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta)
+
     slot_clamped = xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T)
 
     def _cl(s):

@@ -326,6 +326,10 @@ class Renderer:
             # path_count on config5).
             if os.environ.get("JELLO_PC_RAW", "0") == "1":
                 routing["_pc_raw"] = True
+            # Kernel-compaction hybrid (XLA-built P + compaction kernel
+            # + v1 expand bodies): opt-in for the on-chip A/B.
+            if os.environ.get("JELLO_PC_KC", "0") == "1":
+                routing["_pc_kc"] = True
             # Batched (8 tiles/program) fine interpreter: opt-in via
             # JELLO_INTERP_BATCH=1 — even with per-iteration gating it
             # measured 67.1 vs the 1-tile kernel's 63.8 ms on config4

@@ -58,6 +58,8 @@ def main():
         caps["_coverage_pallas"] = True
     if args.raw:
         caps["_pc_raw"] = args.raw == "1"
+    if os.environ.get("JELLO_PC_KC", "") == "1":
+        caps["_pc_kc"] = True
 
     res = Resolver()
     layout, ramps, images, scene_u32 = res.resolve(scene.encoding)
