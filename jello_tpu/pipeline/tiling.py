@@ -842,6 +842,16 @@ def _path_count_kc(xp, lines, paths, caps, upto=None):
                      axis=1)],
         axis=1,
     )
+    if caps.get("_pc_kc_wide"):
+        # Layout experiment: pad the kernel-input table to the native
+        # 128-lane tile width. If the narrow table is physically
+        # lane-padded anyway, this costs no extra bytes but lets the
+        # BlockSpec pipeline move tile-native blocks (BASELINE.md
+        # round-4 kc analysis).
+        table = xp.concatenate(
+            [table, xp.zeros((L, 128 - table.shape[1]), dtype=f32)],
+            axis=1,
+        )
     pad = (-L) % _CCH
     if pad:
         table = xp.concatenate(

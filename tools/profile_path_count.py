@@ -60,6 +60,9 @@ def main():
         caps["_pc_raw"] = args.raw == "1"
     if os.environ.get("JELLO_PC_KC", "") == "1":
         caps["_pc_kc"] = True
+    if os.environ.get("JELLO_PC_KC_WIDE", "") == "1":
+        caps["_pc_kc"] = True
+        caps["_pc_kc_wide"] = True
 
     res = Resolver()
     layout, ramps, images, scene_u32 = res.resolve(scene.encoding)
