@@ -35,7 +35,6 @@ expansion.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
