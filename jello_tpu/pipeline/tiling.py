@@ -325,16 +325,21 @@ def path_count_params(xp, lines, paths, caps, upto=None):
     L = lines["line_x0"].shape[0]
     f32 = xp.float32
 
-    ls = _line_setup(
-        xp, lines["line_x0"], lines["line_y0"], lines["line_x1"], lines["line_y1"]
-    )
-    valid = lines["line_valid"] & ~ls["skip"]
-    if upto == "setup":
-        return (ls["a"], ls["b"], ls["count"], valid)
+    if upto in ("setup", "pgather"):
+        # Profiling-only cuts: the normal path recomputes the DDA setup
+        # inside line_dda_clip, and the numpy calibration pass has no
+        # DCE — don't run _line_setup eagerly for nothing.
+        ls = _line_setup(
+            xp, lines["line_x0"], lines["line_y0"], lines["line_x1"],
+            lines["line_y1"],
+        )
+        valid = lines["line_valid"] & ~ls["skip"]
+        if upto == "setup":
+            return (ls["a"], ls["b"], ls["count"], valid)
+        prow = path_rect_rows(xp, lines, paths)
+        return (ls["a"], ls["b"], ls["count"], valid, prow)
 
     prow = path_rect_rows(xp, lines, paths)
-    if upto == "pgather":
-        return (ls["a"], ls["b"], ls["count"], valid, prow)
 
     d = line_dda_clip(
         xp, lines["line_x0"], lines["line_y0"], lines["line_x1"],
@@ -617,6 +622,101 @@ def path_count(xp, lines, paths, caps, upto=None):
     )
 
 
+
+def _pc_positions(xp, n_cross_f, n_rows_f, L):
+    """One [L, 4] column cumsum serving both expansions' inclusive
+    prefixes AND both compactions' positions (cumsums cost per row, not
+    per column). Returns (cum4, incl_c, pos_c, incl_r, pos_r,
+    total_c, n_nz_c, total_r, n_nz_r)."""
+    f32 = xp.float32
+    keep_c = (n_cross_f > 0).astype(f32)
+    keep_r = (n_rows_f > 0).astype(f32)
+    cum4 = xp.cumsum(
+        xp.stack([n_cross_f, keep_c, n_rows_f, keep_r], axis=1), axis=0
+    )
+    return (
+        cum4,
+        cum4[:, 0], cum4[:, 1] - keep_c,
+        cum4[:, 2], cum4[:, 3] - keep_r,
+        cum4[L - 1, 0].astype(xp.int32), cum4[L - 1, 1].astype(xp.int32),
+        cum4[L - 1, 2].astype(xp.int32), cum4[L - 1, 3].astype(xp.int32),
+    )
+
+
+def _pc_pad_table(xp, table, pos_c, pos_r, cum4, L, chunk):
+    """Pad the compaction input to a chunk-multiple row count; padded
+    rows carry zero counts and the final positions."""
+    pad = (-L) % chunk
+    if not pad:
+        return table, pos_c, pos_r
+    table = xp.concatenate(
+        [table, xp.zeros((pad, table.shape[1]), dtype=xp.float32)], axis=0
+    )
+    pos_c_p = xp.concatenate([pos_c, xp.broadcast_to(cum4[L - 1, 1], (pad,))])
+    pos_r_p = xp.concatenate([pos_r, xp.broadcast_to(cum4[L - 1, 3], (pad,))])
+    return table, pos_c_p, pos_r_p
+
+
+def _pc_expand_scalars(xp, incl, pos, out_cap, row_total, out_total,
+                       tab_rows, L):
+    """Scalar-prefetch operand for make_expand_call_v2 over a compacted
+    table: per-chunk window starts (compacted row of the owner of
+    output c*CHUNK, found through the UNcompacted inclusive prefix +
+    position map), then [row_total | out_total | ksuper].
+
+    The compacted table guarantees rows [0, row_total + 25) written
+    (compact_pallas flush coverage); rows beyond the last flush are
+    uninitialized HBM. Each per-sub-chunk window is clamped under the
+    written region (owners stay in-window: they are < row_total, and
+    shifting a window earlier only widens its tail slack); the kernel
+    additionally clamps the super-window DMA start by the appended
+    ksuper scalar so the whole W-row read stays under row_total + 24."""
+    from ..tpu.expand_pallas import EXPAND_CHUNK, EXPAND_SUB, _WIN_PAD
+
+    f32 = xp.float32
+    W = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
+    n_chunks = out_cap // EXPAND_CHUNK
+    q = xp.arange(n_chunks, dtype=f32) * f32(EXPAND_CHUNK)
+    owner = xp.searchsorted(incl, q, side="right").astype(xp.int32)
+    ws = ops.gather_guarded(
+        xp, pos[:, None], xp.minimum(owner, L - 1)
+    )[:, 0].astype(xp.int32)
+    ws = xp.maximum(ws - 8, 0) // 8 * 8
+    wc = EXPAND_CHUNK + _WIN_PAD
+    ws = xp.minimum(ws, xp.maximum(row_total + 24 - wc, 0) // 8 * 8)
+    ws = xp.minimum(ws, max(tab_rows - W, 0))
+    ksuper = xp.minimum(
+        xp.maximum(row_total + 24 - W, 0) // 8 * 8,
+        max(tab_rows - W, 0),
+    )
+    return xp.concatenate(
+        [ws, row_total[None], out_total[None], ksuper[None]]
+    ).astype(xp.int32)
+
+
+def _pc_merged_scatter(xp, T, SC, tile_slot, bump_slot, bump_delta,
+                       r_slot, r_delta):
+    """One scatter_add serving all three T-indexed accumulations
+    (backdrop row deltas, top-edge bumps, per-tile segment bincount):
+    the bincount lands at offset T+1 in a doubled target — same
+    scattered rows, two fewer top-level scatter launches (ops carry
+    ~1-3 ms apiece on this fabric). Out-of-range slots (overflow
+    frames: estimate class too small, retry discards) clamp to the
+    T drop bin."""
+    slot_clamped = xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T)
+
+    def _cl(v):
+        return xp.where((v >= 0) & (v <= T), v, T)
+
+    merged = ops.scatter_add(
+        xp,
+        xp.zeros(2 * (T + 1), dtype=xp.int32),
+        xp.concatenate([_cl(r_slot), _cl(bump_slot), slot_clamped + (T + 1)]),
+        xp.concatenate([r_delta, bump_delta, xp.ones(SC, dtype=xp.int32)]),
+    )
+    return merged[: T + 1], merged[T + 1:]
+
+
 def _path_count_raw(xp, lines, paths, caps, upto=None):
     """path_count on the raw-table Pallas route (VERDICT r4 item #1).
 
@@ -640,8 +740,8 @@ def _path_count_raw(xp, lines, paths, caps, upto=None):
     """
     from ..tpu.compact_pallas import CH as _CCH, compact_rows
     from ..tpu.expand_pallas import (
-        EXPAND_CHUNK, EXPAND_SUB, _WIN_PAD, RAW_NC, RAW_NCROSS, RAW_NROWS,
-        RAW_POS_C, RAW_POS_R, path_count_expansions_raw,
+        RAW_NC, RAW_NCROSS, RAW_NROWS, RAW_POS_C, RAW_POS_R,
+        path_count_expansions_raw,
     )
 
     f32 = xp.float32
@@ -659,24 +759,9 @@ def _path_count_raw(xp, lines, paths, caps, upto=None):
         lines["line_y1"], lines["line_valid"],
         prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3], prow[:, 4],
     )
-    n_cross_f = d["n_cross"]
-    n_rows_f = d["n_rows"]
-    keep_c = (n_cross_f > 0).astype(f32)
-    keep_r = (n_rows_f > 0).astype(f32)
-    # One multi-column cumsum serves both expansions' inclusive
-    # prefixes AND both compactions' positions (cumsums cost per row,
-    # not per column).
-    cum4 = xp.cumsum(
-        xp.stack([n_cross_f, keep_c, n_rows_f, keep_r], axis=1), axis=0
-    )
-    incl_c = cum4[:, 0]
-    pos_c = cum4[:, 1] - keep_c
-    incl_r = cum4[:, 2]
-    pos_r = cum4[:, 3] - keep_r
-    total_c = cum4[L - 1, 0].astype(xp.int32)
-    n_nz_c = cum4[L - 1, 1].astype(xp.int32)
-    total_r = cum4[L - 1, 2].astype(xp.int32)
-    n_nz_r = cum4[L - 1, 3].astype(xp.int32)
+    (cum4, incl_c, pos_c, incl_r, pos_r,
+     total_c, n_nz_c, total_r, n_nz_r) = _pc_positions(
+        xp, d["n_cross"], d["n_rows"], L)
     if upto == "rawcum":
         return (incl_c, pos_c, incl_r, pos_r)
 
@@ -685,26 +770,15 @@ def _path_count_raw(xp, lines, paths, caps, upto=None):
             lines["line_x0"], lines["line_y0"],
             lines["line_x1"], lines["line_y1"],
             prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3], prow[:, 4],
-            n_cross_f, incl_c, pos_c,
-            n_rows_f, incl_r, pos_r,
+            d["n_cross"], incl_c, pos_c,
+            d["n_rows"], incl_r, pos_r,
             lines["line_valid"].astype(f32),
         ],
         axis=1,
     )  # [L, RAW_NC]
     assert table.shape[1] == RAW_NC
-    pad = (-L) % _CCH
-    if pad:
-        table = xp.concatenate(
-            [table, xp.zeros((pad, RAW_NC), dtype=f32)], axis=0
-        )
-        pos_c_p = xp.concatenate(
-            [pos_c, xp.broadcast_to(cum4[L - 1, 1], (pad,))]
-        )
-        pos_r_p = xp.concatenate(
-            [pos_r, xp.broadcast_to(cum4[L - 1, 3], (pad,))]
-        )
-    else:
-        pos_c_p, pos_r_p = pos_c, pos_r
+    table, pos_c_p, pos_r_p = _pc_pad_table(
+        xp, table, pos_c, pos_r, cum4, L, _CCH)
     if upto == "rawtab":
         return (table, pos_c_p, pos_r_p)
 
@@ -715,42 +789,10 @@ def _path_count_raw(xp, lines, paths, caps, upto=None):
     if upto == "compact":
         return (tab_c, tab_r, n_nz_c, n_nz_r)
 
-    # Scalar-prefetch operands: per-chunk window starts (compacted row
-    # of the owner of output c*CHUNK, found through the UNcompacted
-    # inclusive prefix + position map), then [row_total | out_total].
-    W = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
-
-    def scalars(incl, pos, out_cap, row_total, out_total, tab_rows):
-        n_chunks = out_cap // EXPAND_CHUNK
-        q = xp.arange(n_chunks, dtype=f32) * f32(EXPAND_CHUNK)
-        owner = xp.searchsorted(incl, q, side="right").astype(xp.int32)
-        ws = ops.gather_guarded(
-            xp, pos[:, None], xp.minimum(owner, L - 1)
-        )[:, 0].astype(xp.int32)
-        ws = xp.maximum(ws - 8, 0) // 8 * 8
-        # The compacted table guarantees rows [0, row_total + 25)
-        # written (compact_pallas flush coverage); rows beyond the last
-        # flush are uninitialized HBM. Clamp each per-sub-chunk window
-        # under the written region (owners stay in-window: they are
-        # < row_total, and shifting a window earlier only widens its
-        # tail slack); the kernel additionally clamps the super-window
-        # DMA start by the appended ksuper scalar so the W-row read
-        # stays under row_total + 24 too.
-        from ..tpu.expand_pallas import _WIN_PAD as _WP
-
-        wc = EXPAND_CHUNK + _WP
-        ws = xp.minimum(ws, xp.maximum(row_total + 24 - wc, 0) // 8 * 8)
-        ws = xp.minimum(ws, max(tab_rows - W, 0))
-        ksuper = xp.minimum(
-            xp.maximum(row_total + 24 - W, 0) // 8 * 8,
-            max(tab_rows - W, 0),
-        )
-        return xp.concatenate(
-            [ws, row_total[None], out_total[None], ksuper[None]]
-        ).astype(xp.int32)
-
-    sc_c = scalars(incl_c, pos_c, SC, n_nz_c, total_c, tab_c.shape[0])
-    sc_r = scalars(incl_r, pos_r, RC, n_nz_r, total_r, tab_r.shape[0])
+    sc_c = _pc_expand_scalars(xp, incl_c, pos_c, SC, n_nz_c, total_c,
+                              tab_c.shape[0], L)
+    sc_r = _pc_expand_scalars(xp, incl_r, pos_r, RC, n_nz_r, total_r,
+                              tab_r.shape[0], L)
 
     (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta) = (
         path_count_expansions_raw(xp, tab_c, tab_r, sc_c, sc_r, T, caps)
@@ -758,22 +800,8 @@ def _path_count_raw(xp, lines, paths, caps, upto=None):
     if upto == "expand":
         return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta)
 
-    # One scatter_add serves all three T-indexed accumulations
-    # (backdrop row deltas, top-edge bumps, per-tile segment bincount) —
-    # see path_count.
-    slot_clamped = xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T)
-
-    def _cl(s):
-        return xp.where((s >= 0) & (s <= T), s, T)
-
-    merged = ops.scatter_add(
-        xp,
-        xp.zeros(2 * (T + 1), dtype=xp.int32),
-        xp.concatenate([_cl(r_slot), _cl(bump_slot), slot_clamped + (T + 1)]),
-        xp.concatenate([r_delta, bump_delta, xp.ones(SC, dtype=xp.int32)]),
-    )
-    backdrop = merged[: T + 1]
-    binc_pallas = merged[T + 1:]
+    backdrop, binc_pallas = _pc_merged_scatter(
+        xp, T, SC, tile_slot, bump_slot, bump_delta, r_slot, r_delta)
     if upto == "backdrop":
         return (backdrop, tile_slot, seg_pre)
 
@@ -800,8 +828,7 @@ def _path_count_kc(xp, lines, paths, caps, upto=None):
     DDA recompute — the raw route's measured loss)."""
     from ..tpu.compact_pallas import CH as _CCH, compact_rows
     from ..tpu.expand_pallas import (
-        EXPAND_CHUNK, EXPAND_SUB, _WIN_PAD, _crossing_compute,
-        make_expand_call_v2,
+        EXPAND_CHUNK, _crossing_compute, make_expand_call_v2,
     )
 
     f32 = xp.float32
@@ -818,19 +845,9 @@ def _path_count_kc(xp, lines, paths, caps, upto=None):
     )
     n_cross_f = n_cross.astype(f32)
     n_rows_f = n_rows_per_line.astype(f32)
-    keep_c = (n_cross_f > 0).astype(f32)
-    keep_r = (n_rows_f > 0).astype(f32)
-    cum4 = xp.cumsum(
-        xp.stack([n_cross_f, keep_c, n_rows_f, keep_r], axis=1), axis=0
-    )
-    incl_c = cum4[:, 0]
-    pos_c = cum4[:, 1] - keep_c
-    incl_r = cum4[:, 2]
-    pos_r = cum4[:, 3] - keep_r
-    total_c = cum4[L - 1, 0].astype(xp.int32)
-    n_nz_c = cum4[L - 1, 1].astype(xp.int32)
-    total_r = cum4[L - 1, 2].astype(xp.int32)
-    n_nz_r = cum4[L - 1, 3].astype(xp.int32)
+    (cum4, incl_c, pos_c, incl_r, pos_r,
+     total_c, n_nz_c, total_r, n_nz_r) = _pc_positions(
+        xp, n_cross_f, n_rows_f, L)
 
     # [L, 27]: P's 21 columns + both expansions' counts/prefixes/
     # positions. Column indices below are the contract with the v1
@@ -843,28 +860,15 @@ def _path_count_kc(xp, lines, paths, caps, upto=None):
         axis=1,
     )
     if caps.get("_pc_kc_wide"):
-        # Layout experiment: pad the kernel-input table to the native
-        # 128-lane tile width. If the narrow table is physically
-        # lane-padded anyway, this costs no extra bytes but lets the
-        # BlockSpec pipeline move tile-native blocks (BASELINE.md
-        # round-4 kc analysis).
+        # Layout experiment (REFUTED, BASELINE.md round-4: 197.9 ms vs
+        # narrow kc's 195.8): pad the kernel-input table to the native
+        # 128-lane tile width.
         table = xp.concatenate(
             [table, xp.zeros((L, 128 - table.shape[1]), dtype=f32)],
             axis=1,
         )
-    pad = (-L) % _CCH
-    if pad:
-        table = xp.concatenate(
-            [table, xp.zeros((pad, table.shape[1]), dtype=f32)], axis=0
-        )
-        pos_c_p = xp.concatenate(
-            [pos_c, xp.broadcast_to(cum4[L - 1, 1], (pad,))]
-        )
-        pos_r_p = xp.concatenate(
-            [pos_r, xp.broadcast_to(cum4[L - 1, 3], (pad,))]
-        )
-    else:
-        pos_c_p, pos_r_p = pos_c, pos_r
+    table, pos_c_p, pos_r_p = _pc_pad_table(
+        xp, table, pos_c, pos_r, cum4, L, _CCH)
 
     tab_c = compact_rows(xp, table, KC_POS_C, KC_NCROSS, pos_c_p, LCC,
                          interpret=interpret)
@@ -873,29 +877,10 @@ def _path_count_kc(xp, lines, paths, caps, upto=None):
     if upto == "compact":
         return (tab_c, tab_r, n_nz_c, n_nz_r)
 
-    W = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
-
-    def scalars(incl, pos, out_cap, row_total, out_total, tab_rows):
-        n_chunks = out_cap // EXPAND_CHUNK
-        q = xp.arange(n_chunks, dtype=f32) * f32(EXPAND_CHUNK)
-        owner = xp.searchsorted(incl, q, side="right").astype(xp.int32)
-        ws = ops.gather_guarded(
-            xp, pos[:, None], xp.minimum(owner, L - 1)
-        )[:, 0].astype(xp.int32)
-        ws = xp.maximum(ws - 8, 0) // 8 * 8
-        wc = EXPAND_CHUNK + _WIN_PAD
-        ws = xp.minimum(ws, xp.maximum(row_total + 24 - wc, 0) // 8 * 8)
-        ws = xp.minimum(ws, max(tab_rows - W, 0))
-        ksuper = xp.minimum(
-            xp.maximum(row_total + 24 - W, 0) // 8 * 8,
-            max(tab_rows - W, 0),
-        )
-        return xp.concatenate(
-            [ws, row_total[None], out_total[None], ksuper[None]]
-        ).astype(xp.int32)
-
-    sc_c = scalars(incl_c, pos_c, SC, n_nz_c, total_c, tab_c.shape[0])
-    sc_r = scalars(incl_r, pos_r, RC, n_nz_r, total_r, tab_r.shape[0])
+    sc_c = _pc_expand_scalars(xp, incl_c, pos_c, SC, n_nz_c, total_c,
+                              tab_c.shape[0], L)
+    sc_r = _pc_expand_scalars(xp, incl_r, pos_r, RC, n_nz_r, total_r,
+                              tab_r.shape[0], L)
 
     call = make_expand_call_v2(27, 8, SC // EXPAND_CHUNK,
                                _crossing_compute(T), KC_INCL_C, KC_NCROSS,
@@ -932,19 +917,8 @@ def _path_count_kc(xp, lines, paths, caps, upto=None):
     if upto == "expand":
         return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta)
 
-    slot_clamped = xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T)
-
-    def _cl(s):
-        return xp.where((s >= 0) & (s <= T), s, T)
-
-    merged = ops.scatter_add(
-        xp,
-        xp.zeros(2 * (T + 1), dtype=xp.int32),
-        xp.concatenate([_cl(r_slot), _cl(bump_slot), slot_clamped + (T + 1)]),
-        xp.concatenate([r_delta, bump_delta, xp.ones(SC, dtype=xp.int32)]),
-    )
-    backdrop = merged[: T + 1]
-    binc_pallas = merged[T + 1:]
+    backdrop, binc_pallas = _pc_merged_scatter(
+        xp, T, SC, tile_slot, bump_slot, bump_delta, r_slot, r_delta)
     if upto == "backdrop":
         return (backdrop, tile_slot, seg_pre)
 

@@ -36,11 +36,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .expand_pallas import EXPAND_CHUNK as _EC, EXPAND_SUB as _ES
+
 COMPACT_SUB = 8           # sub-chunks per grid step
 SUB_ROWS = 512            # rows per sub-chunk
 CH = COMPACT_SUB * SUB_ROWS
-OUT_WIN = CH + 32         # flush window rows (slack so coverage
-                          # always reaches n_nz + 25: no pre-zeroing)
+# Flush window rows: sized so written coverage always reaches
+# n_nz + (OUT_WIN - CH - 7) rows AND at least one full expand-kernel
+# super-window (max(CH, EXPAND_SUB*EXPAND_CHUNK) + 32 >= W = ES*EC+32)
+# — the expand kernel clamps its window reads under that guarantee, so
+# no pre-zeroed output donation is needed even at JELLO_EXPAND_SUB > 8.
+OUT_WIN = max(CH, _ES * _EC) + 32
 
 
 def _kernel(nc, pos_col, cnt_col, n_super):

@@ -165,7 +165,7 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
     img_flat, img_shape = atlas_planar(images)
 
     if caps_s.get("_interp_batch", False):
-        from .fine_pallas import make_fine_kernel_b8, slab_kind_masks
+        from .fine_pallas import make_fine_kernel_b8
 
         LT8 = -(-LT // 8) * 8
         padn = LT8 - LT
@@ -179,13 +179,12 @@ def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
             counts = xp.concatenate(
                 [counts[:-1], xp.zeros(padn, dtype=xp.int32), counts[-1:]]
             )
-        kmask = slab_kind_masks(xp, slab)
         call = make_fine_kernel_b8(
             caps_s, img_shape, interpret=interpret, n_ramp_rows=NR,
             n_programs=LT8,
         )
         legacy_out, ovf = call(
-            counts, legacy_ids, scalars, kmask, slab, area_blk, stops_pad,
+            counts, legacy_ids, scalars, slab, area_blk, stops_pad,
             img_flat,
         )
         legacy_out = legacy_out[:LT]

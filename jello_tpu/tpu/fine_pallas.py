@@ -575,19 +575,6 @@ def make_fine_kernel(caps, img_shape=None, interpret=False, n_ramp_rows=1,
     )
 
 
-def slab_kind_masks(xp, slab):
-    """Per-8-tile-program OR of (1 << kind) over the tapes — the
-    batched interpreter's program-level branch guards. slab: [LT, MC,
-    16] u32 (zero pad rows contribute bit 0, which no branch tests)."""
-    LT = slab.shape[0]
-    bits = xp.left_shift(
-        xp.uint32(1), (slab[:, :, 0] & xp.uint32(15)).astype(xp.uint32)
-    ).reshape(LT // 8, -1)
-    return jax.lax.reduce(
-        bits, xp.uint32(0), jax.lax.bitwise_or, (1,)
-    ).astype(xp.int32)
-
-
 def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
                         n_programs=None):
     """Batched per-tile interpreter: EIGHT tiles per program in
@@ -599,16 +586,15 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
     scalars become (8, 1) column slices of the batched record block,
     per-tile control state ((8, 1) vectors in the fori carry) replaces
     the scalar clip/suppression state, and the blend stack push/pop is
-    a BD-unrolled masked select. Paint branches are guarded per
-    PROGRAM by prefetched kind bitmasks (a batch with no gradients
-    never runs gradient code). Images keep the serial region-DMA path
-    (per-tile pl.when) but apply their fg vectorized.
+    a BD-unrolled masked select. Every branch (and every area-row
+    DMA) is gated per ITERATION by scalar reads of the 8 record kinds,
+    so a step only pays for the kinds it actually holds. Images keep
+    the serial region-DMA path (per-tile pl.when) but apply their fg
+    vectorized.
 
     Same call signature/returns as make_fine_kernel with n_programs a
-    multiple of 8, plus the kind-mask prefetch operand:
-    call(counts, tile_ids, scalars, kind_masks, slab, rows, stops, img).
-    Reference shape: fine.wgsl:814-883 (one 64-thread workgroup per
-    tile; here one grid step per 8 tiles).
+    multiple of 8. Reference shape: fine.wgsl:814-883 (one 64-thread
+    workgroup per tile; here one grid step per 8 tiles).
     """
     GRID = caps["tile_grid_cap"]
     MC = caps["cmds_per_tile"]
@@ -622,16 +608,12 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
     REGH, REGW = 64, 256
     NT = 8
 
-    def kernel(counts_smem, tile_ids_smem, scalars_smem, kinds_smem,
+    def kernel(counts_smem, tile_ids_smem, scalars_smem,
                cmd_ref, rows_hbm, ramps_ref, img_ref,
                out_ref, ovf_ref, rgba, stack, area, area_dma, rrows,
                fgimg, okimg, ovfimg, img_buf, sems, sem_img):
         g = pl.program_id(0)
         wit = counts_smem[counts_smem.shape[0] - 1]
-        kb = kinds_smem[g]
-
-        def has(kind_const):
-            return ((kb >> kind_const) & 1) > 0
 
         # Per-tile pixel coordinates, tile-major (NT, 256).
         lx1 = jnp.astype(
@@ -1066,18 +1048,18 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
         out_ref[:, 3, :] = rgba[3]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # counts(+wit), tile_ids, base_color, kinds
+        num_scalar_prefetch=3,  # counts(+wit), tile_ids, base_color
         grid=(n_super,),
         in_specs=[
             pl.BlockSpec((NT, MC, 16),
-                         lambda t, c, i_, s, kk: (t, 0, 0)),  # cmd slab
+                         lambda t, c, i_, s: (t, 0, 0)),  # cmd slab
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # area rows
-            pl.BlockSpec((n_ramp_rows, 128), lambda t, c, i_, s, kk: (0, 0)),
+            pl.BlockSpec((n_ramp_rows, 128), lambda t, c, i_, s: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # images
         ],
         out_specs=(
-            pl.BlockSpec((NT, 4, 256), lambda t, c, i_, s, kk: (t, 0, 0)),
-            pl.BlockSpec((NT, 128), lambda t, c, i_, s, kk: (t, 0)),
+            pl.BlockSpec((NT, 4, 256), lambda t, c, i_, s: (t, 0, 0)),
+            pl.BlockSpec((NT, 128), lambda t, c, i_, s: (t, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((4, NT, 256), jnp.float32),       # rgba (ch-major)
@@ -1104,9 +1086,8 @@ def make_fine_kernel_b8(caps, img_shape=None, interpret=False, n_ramp_rows=1,
         interpret=interpret,
     )
 
-    def run(counts, tile_ids, scalars, kind_masks, slab, rows, stops, img):
-        out, ovf = call(counts, tile_ids, scalars, kind_masks, slab,
-                        rows, stops, img)
+    def run(counts, tile_ids, scalars, slab, rows, stops, img):
+        out, ovf = call(counts, tile_ids, scalars, slab, rows, stops, img)
         return out, ovf.reshape(n_programs, 1, 128)
 
     return run
@@ -1169,8 +1150,7 @@ def fine_pallas(scene, cmds, segs, counted, info, ramps, images, layout, caps, i
     if caps.get("_interp_batch", False) and caps["tile_grid_cap"] % 8 == 0:
         call = make_fine_kernel_b8(caps, img_shape, interpret=interpret,
                                    n_ramp_rows=NR)
-        kmask = slab_kind_masks(jnp, slab)
-        out, ovf = call(counts, tile_ids, scalars, kmask, slab, area_blk,
+        out, ovf = call(counts, tile_ids, scalars, slab, area_blk,
                         stops_pad, img_flat)
     else:
         call = make_fine_kernel(caps, img_shape, interpret=interpret,

@@ -298,6 +298,10 @@ def _region_offsets(xp, tap_rec, wit, GRID, AH, AW):
     # bounds): ny/nx packed as (ny << 8) | nx.
     nx = xp.maximum(rx1 - x_lo, 0) // REGW + 1
     ny = xp.maximum(ry1 - y_lo, 0) // REGH + 1
+    # nx packs into 8 bits; an (unrealistic) >255-window x-span must
+    # trip the overflow flag, not alias into the ny field.
+    nx = xp.minimum(nx, 255)
+    ny = xp.minimum(ny, 255)
     nyx = (ny.astype(xp.int32) << 8) | nx.astype(xp.int32)
     return y_lo.astype(xp.int32), x_lo.astype(xp.int32), nyx
 

@@ -125,8 +125,13 @@ def main():
             return s
         return body
 
-    points = ["pre", "setup", "pgather", "clip", "rawcum", "rawtab",
-              "compact", "expand", "backdrop", "sort", "bincount", None]
+    points = ["pre", "setup", "pgather", "clip", "compact", "expand",
+              "backdrop", "sort", "bincount", None]
+    if caps.get("_pc_raw"):
+        # rawcum/rawtab are cut points of the raw route only; on other
+        # routes they fall through unrecognized and time the FULL
+        # pipeline under a wrong label.
+        points[4:4] = ["rawcum", "rawtab"]
     if args.points:
         sel = args.points.split(",")
         points = [None if p == "full" else p for p in sel]
