@@ -166,13 +166,23 @@ def clip_leaf_vectorized(
     )
 
     # Patch end-clip draw monoids with the matching begin's path/scene.
+    # One merged row gather for (begin path, begin draw), one merged
+    # row scatter for the two monoid columns.
     mb = xp.maximum(match_begin, 0)
-    mb_path = clip_path_idx_arr[mb]
-    begin_draw = clip_idx_arr[mb]
+    mbrow = ops.gather_guarded(
+        xp, xp.stack([clip_path_idx_arr, clip_idx_arr], axis=1), mb
+    )
+    mb_path = mbrow[:, 0]
+    begin_draw = mbrow[:, 1]
     end_draw = clip_idx_arr
     Dn = dm_path.shape[0]
     tgt = xp.where(is_end & (match_begin >= 0), end_draw, Dn)
-    dm_path = ops.scatter_set(xp, dm_path, tgt, mb_path.astype(dm_path.dtype))
     parent_scene = ops.gather_guarded(xp, dm_scene, begin_draw)
-    dm_scene = ops.scatter_set(xp, dm_scene, tgt, parent_scene)
-    return out_bbox, dm_path, dm_scene
+    both = ops.scatter_set(
+        xp,
+        xp.stack([dm_path, dm_scene], axis=1),
+        tgt,
+        xp.stack([mb_path.astype(dm_path.dtype),
+                  parent_scene.astype(dm_path.dtype)], axis=1),
+    )
+    return out_bbox, both[:, 0], both[:, 1].astype(dm_scene.dtype)

@@ -74,9 +74,14 @@ def binning_bboxes(xp, dm, path_bbox, clip_bboxes, layout):
 
 
 def build_commands(
-    xp, scene, layout, dm, tag, dd, di, draw_bbox, paths, counted, path_draw_flags, caps
+    xp, scene, layout, dm, tag, dtab, draw_bbox, paths, counted, path_draw_flags, caps
 ):
-    """Produce the per-tile command SoA, sorted by (tile, draw order)."""
+    """Produce the per-tile command SoA, sorted by (tile, draw order).
+
+    dtab: the per-draw word table built in render_frame (columns
+    scene[dd+0..3] with PATCHED dd + info words 1..9) — blend/alpha
+    read from its columns instead of two more scene gathers.
+    """
     D = caps["n_draws_cap"]
     PC = caps["pair_cap"]
     GRID = caps["tile_grid_cap"]
@@ -98,12 +103,20 @@ def build_commands(
     rx1 = xp.clip(rx1, 0, wit)
     ry1 = xp.clip(ry1, 0, hit)
     # Constrain to the owning path's allocated tile rect (equal for all
-    # reachable cases; see module doc of tiling.py).
+    # reachable cases; see module doc of tiling.py). One [P, 5] row
+    # gather for the five per-path fields.
     pp = dm["path_idx"].astype(xp.int32)
-    prx0 = ops.gather_guarded(xp, paths["rect_x0"], pp)
-    pry0 = ops.gather_guarded(xp, paths["rect_y0"], pp)
-    prx1 = ops.gather_guarded(xp, paths["rect_x1"], pp)
-    pry1 = ops.gather_guarded(xp, paths["rect_y1"], pp)
+    ptab_p = xp.stack(
+        [paths["rect_x0"], paths["rect_y0"], paths["rect_x1"],
+         paths["rect_y1"], paths["tile_offset"],
+         path_draw_flags.astype(xp.int32)],
+        axis=1,
+    )
+    prow_p = ops.gather_guarded(xp, ptab_p, pp)
+    prx0, pry0 = prow_p[:, 0], prow_p[:, 1]
+    prx1, pry1 = prow_p[:, 2], prow_p[:, 3]
+    p_tile_off = prow_p[:, 4]
+    p_flags = prow_p[:, 5]
     rx0 = xp.maximum(rx0, prx0)
     ry0 = xp.maximum(ry0, pry0)
     rx1 = xp.minimum(rx1, prx1)
@@ -120,8 +133,8 @@ def build_commands(
     is_begin_d = tag == DRAW_TAG_BEGIN_CLIP
     is_end_d = tag == DRAW_TAG_END_CLIP
     is_clip_d = is_begin_d | is_end_d
-    blend_d = ops.gather_guarded(xp, scene, dd)
-    alpha_d = ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, dd + 1))
+    blend_d = dtab[:, 0]
+    alpha_d = ops.bitcast_u32_f32(xp, dtab[:, 1])
     is_blend_d = is_clip_d & ~((blend_d == BLEND_PURE_CLIP) & (alpha_d == 1.0))
     # Groups whose composite is AFFINE in the background: mix NORMAL or
     # CLIP with compose SRC_OVER (blend word & 0x7FFF == 0 — exactly
@@ -158,9 +171,11 @@ def build_commands(
     ).astype(xp.int32)
 
     # Pack the per-draw fields consumed by the pair expansion into one
-    # s32 row table: a single row gather per pair instead of ~14 element
+    # s32 row table: a single row gather per pair instead of ~12 element
     # gathers (u32 columns ride bit-identically through the s32 view).
-    dtab = xp.stack(
+    # The draw-data/info words themselves are NOT expanded per pair —
+    # fine reads them through cmds["dtab"] rows by draw index.
+    etab = xp.stack(
         [
             w,
             rx0,
@@ -169,11 +184,9 @@ def build_commands(
             prx0,
             pry0,
             xp.maximum(prx1 - prx0, 1),
-            ops.gather_guarded(xp, paths["tile_offset"], pp),
+            p_tile_off,
             kind_d,
-            dd.astype(xp.int32),
-            di.astype(xp.int32),
-            ops.gather_guarded(xp, path_draw_flags, pp).astype(xp.int32),
+            p_flags,
             is_blend_d.astype(xp.int32),
             legacy_blend_d.astype(xp.int32),
         ],
@@ -181,7 +194,7 @@ def build_commands(
     )
 
     rec, within, valid, _, pair_total = _expand(xp, n_pairs, PC)
-    drow = ops.gather_guarded(xp, dtab, rec)
+    drow = ops.gather_guarded(xp, etab, rec)
     stride = xp.maximum(drow[:, 0], 1)
     tx = drow[:, 1] + within % stride
     ty = drow[:, 2] + within // stride
@@ -207,13 +220,11 @@ def build_commands(
     backdrop = crow[:, 2]
 
     kind = drow[:, 8]
-    cdd = drow[:, 9]
-    cdi = drow[:, 10]
     is_begin = kind == CMD_BEGIN_CLIP
     is_end = kind == CMD_END_CLIP
     is_clip = is_begin | is_end
-    is_blend = drow[:, 12] != 0
-    legacy_blend = drow[:, 13] != 0
+    is_blend = drow[:, 10] != 0
+    legacy_blend = drow[:, 11] != 0
 
     # Flag word layout (payload bit budget): bit0 = even-odd fill rule;
     # bit3 = non-affine blend (mix/compose beyond NORMAL/CLIP x
@@ -221,7 +232,7 @@ def build_commands(
     # (classify_legacy_tiles); src-over groups with alpha != 1 stay on
     # the record-stream kernel (covc x alpha). Bits 1/4/5/8+ are packed
     # later by the hybrid fine pass.
-    flags = xp.where(is_end, 0, drow[:, 11]).astype(xp.uint32)
+    flags = xp.where(is_end, 0, drow[:, 9]).astype(xp.uint32)
     flags = flags | (legacy_blend.astype(xp.uint32) << 3)
     even_odd = (flags & 1) != 0
     backdrop_clear = xp.where(
@@ -235,7 +246,7 @@ def build_commands(
     n_cmds_true = xp.sum(include.astype(xp.int32))
     # Payload rides the compare-exchange network (one multi-operand
     # lax.sort) — cheaper than argsort + a permutation row gather.
-    (st_, k_, ss_, sc_, bd_, ts_, fl_, di_, dd_, dr_) = ops.sort_multi(
+    (st_, k_, ss_, sc_, bd_, ts_, fl_, dr_) = ops.sort_multi(
         xp,
         sort_key,
         (
@@ -245,8 +256,6 @@ def build_commands(
             backdrop,
             tile_slot,
             flags.astype(xp.int32),
-            cdi,
-            cdd,
             rec,
         ),
     )
@@ -258,8 +267,8 @@ def build_commands(
     # pre-calibration class leaves it at pair_cap (no slicing).
     CC = min(caps.get("cmd_cap", PC), PC)
     if CC < PC:
-        (st_, k_, ss_, sc_, bd_, ts_, fl_, di_, dd_, dr_) = (
-            a[:CC] for a in (st_, k_, ss_, sc_, bd_, ts_, fl_, di_, dd_, dr_)
+        (st_, k_, ss_, sc_, bd_, ts_, fl_, dr_) = (
+            a[:CC] for a in (st_, k_, ss_, sc_, bd_, ts_, fl_, dr_)
         )
     cmds = {
         "tile": st_,
@@ -271,8 +280,6 @@ def build_commands(
         # from it post-sort (coverage.rank_records).
         "tile_slot": ts_,
         "flags": fl_.astype(xp.uint32),
-        "di": di_,
-        "dd": dd_,
         "draw": dr_,
     }
     # Per-tile command ranges from run boundaries (unique scatters).

@@ -23,7 +23,7 @@ from . import ops
 COVERAGE_CHUNK = 1024
 
 
-def rank_records(xp, cmds, caps):
+def rank_records(xp, cmds, caps, extra=None):
     """Assign coverage-row ranks to fine-command records.
 
     A record needs a row iff it is visible (tile < GRID) and has
@@ -31,9 +31,15 @@ def rank_records(xp, cmds, caps):
     (path, tile) slot — clip_leaf patches EndClip's path to the clip
     path, cpu.go:458-472).
 
+    extra: optional list of independent i32 arrays whose INCLUSIVE
+    cumsums ride the same cumsum launch (concat + per-segment rebase at
+    static offsets — cumsums cost per row, and the fabric charges
+    ~60-80 us per op regardless).
+
     Returns (area_row [PC] i32 with -1 for rowless records,
              slot2rank [T+1] i32, bd_tgt [PC] i32 backdrop scatter
-             targets, n_rows scalar)."""
+             targets, n_rows scalar[, list of extra inclusive
+             cumsums])."""
     from .coarse import CMD_END_CLIP
 
     GRID = caps["tile_grid_cap"]
@@ -45,7 +51,19 @@ def rank_records(xp, cmds, caps):
     valid = tile < GRID
     needs = valid & (segc > 0) & (kind != CMD_END_CLIP)
     ni = needs.astype(xp.int32)
-    rk = ops.exclusive_cumsum(xp, ni)
+    extra_out = None
+    if extra:
+        PCn = ni.shape[0]
+        cc = xp.cumsum(xp.concatenate([ni] + list(extra)))
+        rk = cc[:PCn] - ni
+        extra_out = []
+        off = PCn
+        for e in extra:
+            n = e.shape[0]
+            extra_out.append(cc[off : off + n] - cc[off - 1])
+            off += n
+    else:
+        rk = ops.exclusive_cumsum(xp, ni)
     n_rows = rk[-1] + ni[-1]
     slot2rank = xp.full((T + 1,), -1, dtype=xp.int32)
     slot2rank = ops.scatter_set(
@@ -55,6 +73,8 @@ def rank_records(xp, cmds, caps):
     end_rank = ops.gather_guarded(xp, slot2rank, xp.clip(cmds["tile_slot"], 0, T))
     area_row = xp.where(needs, rk, xp.where(end_needs, end_rank, -1)).astype(xp.int32)
     bd_tgt = xp.where(needs, xp.minimum(rk, AR - 1), AR).astype(xp.int32)
+    if extra_out is not None:
+        return area_row, slot2rank, bd_tgt, n_rows, extra_out
     return area_row, slot2rank, bd_tgt, n_rows
 
 

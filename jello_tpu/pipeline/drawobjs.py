@@ -39,17 +39,26 @@ GRADIENT_EPSILON = 1.0 / (1 << 12)
 
 
 def draw_monoid_scan(xp, draw_tags):
-    """Exclusive draw monoid prefix per draw object."""
+    """Exclusive draw monoid prefix per draw object.
+
+    All four components ride ONE column cumsum (cumsums cost per row,
+    not per column on the fabric)."""
     t = draw_tags.astype(xp.uint32)
-    d_path = (t != DRAW_TAG_NOP).astype(xp.uint32)
-    d_clip = t & 1
-    d_scene = (t >> 2) & 0x7
-    d_info = (t >> 6) & 0xF
+    d = xp.stack(
+        [
+            (t != DRAW_TAG_NOP).astype(xp.uint32),
+            t & 1,
+            (t >> 2) & 0x7,
+            (t >> 6) & 0xF,
+        ],
+        axis=1,
+    )
+    c = xp.cumsum(d, axis=0) - d
     return {
-        "path_idx": ops.exclusive_cumsum(xp, d_path),
-        "clip_idx": ops.exclusive_cumsum(xp, d_clip),
-        "scene_offset": ops.exclusive_cumsum(xp, d_scene),
-        "info_offset": ops.exclusive_cumsum(xp, d_info),
+        "path_idx": c[:, 0],
+        "clip_idx": c[:, 1],
+        "scene_offset": c[:, 2],
+        "info_offset": c[:, 3],
     }
 
 
@@ -94,48 +103,74 @@ def _two_point_to_unit_line(xp, p0x, p0y, p1x, p1y):
     return _mul(tmp2, inv)
 
 
-def draw_leaf(xp, scene, layout, monoids, path_trans_idx, path_draw_flags, caps):
-    """Generate the info stream and clip inputs.
+def draw_leaf(xp, scene, layout, monoids, path_trans_idx, path_draw_flags,
+              caps, tag=None):
+    """Generate the per-draw info table and clip inputs.
 
-    Returns (info u32[info_cap], clip_idx_arr, clip_path_idx_arr).
+    Info is a dense u32[D, 10] TABLE (word k of draw i), not the
+    reference's flat variable-stride stream (draw_leaf.wgsl writes at
+    info_offset): every word is a per-draw select, so the whole table
+    is one fused stack — zero scatters — and consumers read rows by
+    draw index instead of element-gathering via info offsets. The
+    info_offset monoid is still computed (reference parity for the
+    stream layout contract lives in the encoding, not here).
+
+    Heavy-op budget (the fabric charges ~60-80 us per top-level
+    random-access op): ONE merged scene gather (13 index vectors:
+    draw data words 0..6 + transform words 0..5), ONE path-table row
+    gather, ONE merged clip scatter — vs the 20 gathers + 31 scatters
+    of the per-word formulation.
+
+    Returns (info_tab u32[D, 10], clip_idx_arr, clip_path_idx_arr,
+    tag, dd, di).
     """
     D = caps["n_draws_cap"]
-    info_cap = caps["info_cap"]
     NC = caps["n_clips_cap"]
     f32 = xp.float32
 
     di_draw = xp.arange(D, dtype=xp.int32)
     act = di_draw < layout["n_draw_objects"]
-    tag = xp.where(
-        act,
-        ops.gather_guarded(xp, scene, layout["draw_tag_base"] + di_draw),
-        xp.uint32(DRAW_TAG_NOP),
-    )
+    if tag is None:
+        tag = xp.where(
+            act,
+            ops.gather_guarded(xp, scene, layout["draw_tag_base"] + di_draw),
+            xp.uint32(DRAW_TAG_NOP),
+        )
 
     m_path = monoids["path_idx"].astype(xp.int32)
     dd = (layout["draw_data_base"] + monoids["scene_offset"]).astype(xp.int32)
     di = monoids["info_offset"].astype(xp.int32)
 
+    # One row gather for both per-path fields.
+    ptab = xp.stack([path_trans_idx, path_draw_flags], axis=1)
+    prow = ops.gather_guarded(xp, ptab, m_path)
+    trans_idx = prow[:, 0]
+    draw_flags = prow[:, 1]
+
+    # ONE merged scene gather: draw-data words dd+0..6 and transform
+    # words base+0..5 (indices are all elementwise functions of the
+    # monoids; the concat fuses into the gather operand).
+    base = layout["transform_base"] + trans_idx.astype(xp.int32) * 6
+    gidx = xp.concatenate(
+        [dd + k for k in range(7)] + [base + i for i in range(6)]
+    )
+    gall = ops.gather_guarded(xp, scene, gidx).reshape(13, D)
+
     def sc_f(off):
-        return ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, dd + off))
+        return ops.bitcast_u32_f32(xp, gall[off])
 
     def sc_u(off):
-        return ops.gather_guarded(xp, scene, dd + off)
+        return gall[off]
 
-    trans_idx = ops.gather_guarded(xp, path_trans_idx, m_path)
-    draw_flags = ops.gather_guarded(xp, path_draw_flags, m_path)
-    base = layout["transform_base"] + trans_idx.astype(xp.int32) * 6
-    T = [
-        ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, base + i))
-        for i in range(6)
-    ]
+    T = [ops.bitcast_u32_f32(xp, gall[7 + i]) for i in range(6)]
 
-    info = xp.zeros(info_cap, dtype=xp.uint32)
+    # info words accumulate as per-column select chains (wr/wrf write
+    # column `offset` where mask); the stack at the end is the only
+    # materialization.
+    cols = [xp.zeros(D, dtype=xp.uint32) for _ in range(10)]
 
     def wr(mask, offset, value_u32):
-        nonlocal info
-        idx = xp.where(mask, di + offset, info_cap)
-        info = ops.scatter_set(xp, info, idx, value_u32)
+        cols[offset] = xp.where(mask, value_u32, cols[offset])
 
     def wrf(mask, offset, value_f32):
         wr(mask, offset, ops.bitcast_f32_u32(xp, value_f32))
@@ -260,16 +295,18 @@ def draw_leaf(xp, scene, layout, monoids, path_trans_idx, path_draw_flags, caps)
     wr(img, 7, sc_u(0))
     wr(img, 8, sc_u(1))
 
-    # Clip stream inputs (cpu.go:1458-1465).
+    # Clip stream inputs (cpu.go:1458-1465): both arrays ride ONE
+    # scatter into a [NC, 2] target.
     m_clip = monoids["clip_idx"].astype(xp.int32)
     is_begin = act & (tag == DRAW_TAG_BEGIN_CLIP)
     is_end = act & (tag == DRAW_TAG_END_CLIP)
     clip_tgt = xp.where(is_begin | is_end, m_clip, NC)
-    clip_idx_arr = ops.scatter_set(
-        xp, xp.zeros(NC, dtype=xp.int32), clip_tgt, di_draw
-    )
     clip_path = xp.where(is_begin, m_path, ~di_draw)
-    clip_path_idx_arr = ops.scatter_set(
-        xp, xp.zeros(NC, dtype=xp.int32), clip_tgt, clip_path
+    both = ops.scatter_set(
+        xp, xp.zeros((NC, 2), dtype=xp.int32), clip_tgt,
+        xp.stack([di_draw, clip_path], axis=1),
     )
-    return info, clip_idx_arr, clip_path_idx_arr, tag, dd, di
+    clip_idx_arr = both[:, 0]
+    clip_path_idx_arr = both[:, 1]
+    info_tab = xp.stack(cols, axis=1)
+    return info_tab, clip_idx_arr, clip_path_idx_arr, tag, dd, di

@@ -238,8 +238,10 @@ def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):
         seg_start_ = cmds["seg_start"][ci]
         backdrop = cmds["backdrop"][ci]
         flags = cmds["flags"][ci]
-        dd = cmds["dd"][ci]
-        di = cmds["di"][ci]
+        # One per-draw word-table row gather (scene[dd+0..3] + info
+        # words 1..9, built in render_frame) replaces the ~15 dd/di
+        # element gathers of the per-word formulation.
+        drow = ops.gather_guarded(xp, cmds["dtab"], cmds["draw"][ci])
 
         suppressed = zero_depth > 0
         run = active & ~suppressed
@@ -272,14 +274,17 @@ def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):
             xp.where(is_fillish[:, None], xp.ones_like(cov), cov),
         )
 
+        def sc_u(off):
+            return drow[:, off]
+
         def sc_f(off):
-            return ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, dd + off))
+            return ops.bitcast_u32_f32(xp, drow[:, off])
 
         def info_f(off):
-            return ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, info, di + off))
+            return ops.bitcast_u32_f32(xp, drow[:, 3 + off])
 
         def info_u(off):
-            return ops.gather_guarded(xp, info, di + off)
+            return drow[:, 3 + off]
 
         # ---- paints -----------------------------------------------------
         # COLOR
@@ -292,7 +297,7 @@ def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):
 
         # LIN_GRAD
         m = run & (kind == CMD_LIN_GRAD)
-        index_mode = ops.gather_guarded(xp, scene, dd)
+        index_mode = sc_u(0)
         ramp_idx = (index_mode >> 2).astype(xp.int32)
         ext = (index_mode & 3).astype(xp.int32)
         line_x = info_f(1)[:, None]
@@ -348,8 +353,8 @@ def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):
             v_strip,
             xp.where(is_foc, v_foc, xp.where(radius > 1.0, True, v_cone)),
         )
-        ext_r = (ops.gather_guarded(xp, scene, dd) & 3).astype(xp.int32)[:, None]
-        ridx = (ops.gather_guarded(xp, scene, dd) >> 2).astype(xp.int32)
+        ext_r = (sc_u(0) & 3).astype(xp.int32)[:, None]
+        ridx = (sc_u(0) >> 2).astype(xp.int32)
         t_r = _extend_mode(xp, focal_x + t_sign * t_r, ext_r)
         t_r = xp.where(is_swapped, 1.0 - t_r, t_r)
         fg = _sample_ramp(xp, ramps, ridx, t_r)
@@ -387,8 +392,8 @@ def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):
         phi = xp.where(xp.isnan(phi), 0.0, phi)
         safe_dt = xp.where(t1s == t0s, 1.0, t1s - t0s)
         phi = (phi - t0s) / safe_dt
-        ext_s = (ops.gather_guarded(xp, scene, dd) & 3).astype(xp.int32)[:, None]
-        sidx = (ops.gather_guarded(xp, scene, dd) >> 2).astype(xp.int32)
+        ext_s = (sc_u(0) & 3).astype(xp.int32)[:, None]
+        sidx = (sc_u(0) >> 2).astype(xp.int32)
         t_s = _extend_mode(xp, phi, ext_s)
         fg = _sample_ramp(xp, ramps, sidx, t_s)
         new = _blend_over(xp, rgba, fg, area)
@@ -486,8 +491,8 @@ def fine(xp, scene, cmds, segs, info, ramps, images, layout, caps, tile_base=0):
             )[0]
         else:
             bg = stack[bd_idx, :, _np.arange(GRID), :].transpose(1, 0, 2)
-        blend_word = ops.gather_guarded(xp, scene, dd)
-        alpha = ops.bitcast_u32_f32(xp, ops.gather_guarded(xp, scene, dd + 1))
+        blend_word = sc_u(0)
+        alpha = sc_f(1)
         fg_r = rgba[0] * area * alpha[:, None]
         fg_g = rgba[1] * area * alpha[:, None]
         fg_b = rgba[2] * area * alpha[:, None]

@@ -109,12 +109,17 @@ def exclusive_monoids(xp, tags, base=None):
     classic two-level scan, with the cross-shard level done by the
     caller (one all_gather of per-shard totals)."""
     deltas = tag_monoid_deltas(tags)
+    # All five monoid fields ride ONE column cumsum (cumsums cost per
+    # row, not per column on the fabric).
+    keys = sorted(deltas)
+    d = xp.stack([deltas[k].astype(xp.uint32) for k in keys], axis=1)
+    c = xp.cumsum(d, axis=0) - d
     out = {}
-    for k, v in deltas.items():
-        c = ops.exclusive_cumsum(xp, v.astype(xp.uint32))
+    for i, k in enumerate(keys):
+        v = c[:, i]
         if base is not None:
-            c = c + base[k].astype(xp.uint32)
-        out[k] = c
+            v = v + base[k].astype(xp.uint32)
+        out[k] = v
     return out
 
 
@@ -125,7 +130,7 @@ def monoid_delta_totals(xp, tags):
     return {k: xp.sum(v.astype(xp.uint32)) for k, v in deltas.items()}
 
 
-def _read_points(xp, scene, base_words, tag, S8=None):
+def _read_points(xp, scene, base_words, tag, S8=None, rows=None):
     """Read and normalize a path segment to cubic control points.
 
     Returns (p0x..p3y, seg_type) after cap-marker remapping and
@@ -136,7 +141,10 @@ def _read_points(xp, scene, base_words, tag, S8=None):
     seg_type = (tag & PATH_TAG_SEG_TYPE_MASK).astype(xp.int32)
 
     N = base_words.shape[0]
-    if S8 is not None:
+    if rows is not None:
+        # Precomputed rows from the caller's merged S8 gather.
+        W = rows.T
+    elif S8 is not None:
         # One N-row gather of the shifted row table (cost ∝ N rows)
         # instead of an 8N-element batched gather (cost ∝ 8N rows).
         W = ops.gather_guarded(xp, S8, base_words).T
@@ -210,8 +218,10 @@ def _normalize_segment(xp, pts, seg_type, tag, is_stroke):
     return (p0x, p0y, o1x, o1y, o2x, o2y, o3x, o3y), seg_type, is_marker, is_open
 
 
-def _transform_read(xp, scene, transform_base, trans_idx, S8=None):
+def _transform_read(xp, scene, transform_base, trans_idx, S8=None, rows=None):
     base = transform_base + trans_idx.astype(xp.int32) * 6
+    if rows is not None:
+        return [ops.bitcast_u32_f32(xp, rows[:, i]) for i in range(6)]
     if S8 is not None:
         rows = ops.gather_guarded(xp, S8, base)
         return [ops.bitcast_u32_f32(xp, rows[:, i]) for i in range(6)]
@@ -375,11 +385,22 @@ def expand_by_counts(xp, counts, out_cap, total=None):
     if total is None:
         total = incl[-1] if incl.shape[0] > 0 else xp.int32(0)
     if ops.is_jax(xp):
-        marks = xp.zeros(out_cap, dtype=xp.int32)
+        # The record id AND its exclusive offset ride the same scatter/
+        # cummax as two columns (ops cost per row, width ~free), saving
+        # the excl[rec_c] gather — 3 heavy ops per expansion, not 4.
+        marks = xp.zeros((out_cap, 2), dtype=xp.int32)
         r_ids = xp.arange(counts.shape[0], dtype=xp.int32)
         tgt = xp.where(counts > 0, excl, out_cap)
-        marks = marks.at[tgt].max(r_ids, mode="drop")
-        rec_c = ops.cummax(xp, marks)
+        marks = marks.at[tgt].max(xp.stack([r_ids, excl], axis=1),
+                                  mode="drop")
+        import jax
+
+        m = jax.lax.cummax(marks, axis=0)
+        rec_c = m[:, 0]
+        j = xp.arange(out_cap, dtype=xp.int32)
+        within = j - m[:, 1]
+        valid = j < total
+        return rec_c, within, valid, excl, total
     else:
         # O(total) repeat, padded with the last record id — C-speed vs
         # the O(cap log R) searchsorted formulation (the host
@@ -737,12 +758,26 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
 
     S8 = shifted_scene_table(xp, scene) if ops.is_jax(xp) else None
     if S8 is not None:
-        srow = ops.gather_guarded(
-            xp, S8, layout["style_base"] + style_idx_e.astype(xp.int32)
+        # ONE merged S8 row gather for all three per-slot decodes
+        # (style words, segment points, transform rows): 3Ne rows in
+        # one op instead of three Ne-row gathers (the fabric charges
+        # ~60-80 us per top-level gather regardless of size).
+        sty_idx = layout["style_base"] + style_idx_e.astype(xp.int32)
+        pts_idx = layout["path_data_base"] + seg_off_e
+        trf_idx = layout["transform_base"] + (
+            monoids_e["trans_idx"].astype(xp.int32) - 1
+        ) * 6
+        rows3 = ops.gather_guarded(
+            xp, S8, xp.concatenate([sty_idx, pts_idx, trf_idx])
         )
+        srow = rows3[:Ne]
+        _pts_rows = rows3[Ne : 2 * Ne]
+        _trf_rows = rows3[2 * Ne :]
         style_flags_e = srow[:, 0]
         linewidth_e = ops.bitcast_u32_f32(xp, srow[:, 1])
     else:
+        _pts_rows = None
+        _trf_rows = None
         style_flags_e = ops.gather_guarded(
             xp, scene, layout["style_base"] + style_idx_e.astype(xp.int32)
         )
@@ -772,11 +807,13 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
 
     # Segment decode (over the extended range so nxt() stays local).
     base_words_e = layout["path_data_base"] + seg_off_e
-    raw_e = _read_points(xp, scene, base_words_e, tags_e, S8=S8)
+    raw_e = _read_points(xp, scene, base_words_e, tags_e, S8=S8,
+                         rows=_pts_rows)
     pts_raw_e, seg_type0_e = raw_e[:8], raw_e[8]
     is_stroke_e = (style_flags_e & xp.uint32(FLAGS_STYLE_BIT)) != 0
     T_e = _transform_read(
-        xp, scene, layout["transform_base"], trans_idx_e, S8=S8
+        xp, scene, layout["transform_base"], trans_idx_e, S8=S8,
+        rows=_trf_rows,
     )
     miter_limit = f16_to_f32(
         xp, (cur(style_flags_e) & MITER_LIMIT_MASK).astype(xp.uint32)
@@ -802,12 +839,13 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         xp.uint32(0),
         xp.uint32(DRAW_INFO_FLAGS_FILL_RULE_BIT),
     )
-    path_draw_flags = ops.scatter_set(
-        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, df
+    # Both per-path marker fields ride ONE scatter into a [P, 2] target.
+    pmeta = ops.scatter_set(
+        xp, xp.zeros((n_paths_cap, 2), dtype=xp.uint32), tgt_idx,
+        xp.stack([df, trans_idx], axis=1),
     )
-    path_trans_idx = ops.scatter_set(
-        xp, xp.zeros(n_paths_cap, dtype=xp.uint32), tgt_idx, trans_idx
-    )
+    path_draw_flags = pmeta[:, 0]
+    path_trans_idx = pmeta[:, 1]
 
     # Compact the euler work to actual segment slots before the
     # lockstep walk: the loop body is transcendental-heavy, so running
@@ -817,19 +855,27 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     NWB = caps["work_b_cap"]
     act_a32 = act_a.astype(xp.int32)
     act_b32 = act_b.astype(xp.int32)
-    wl_a, _, wla_valid, _, na = expand_by_counts(xp, act_a32, _cap(act_a32, NWA))
-    wl_b, _, wlb_valid, _, nb = expand_by_counts(xp, act_b32, _cap(act_b32, NWB))
-    # Effective worklist lengths (== caps except in the exact stats pass).
-    LA = wl_a.shape[0]
-    LB = wl_b.shape[0]
+    # Both passes share ONE worklist expansion (caps pool: a merged
+    # worklist of NWA+NWB slots holds exactly the work the two split
+    # lists held) and ONE row gather from the concatenated per-pass
+    # tables — and the lockstep walk below runs ONCE over the merged
+    # list instead of twice. A-items keep slot order, B-items follow;
+    # the dense line-emission order is unchanged.
+    counts2 = xp.concatenate([act_a32, act_b32])
+    NWAB = NWA + NWB
+    wl, _, wl_valid, _, nab = expand_by_counts(
+        xp, counts2, _cap(counts2, NWAB)
+    )
+    na = xp.sum(act_a32)
+    nb = xp.sum(act_b32)
 
-    # One packed [N, 21] table per pass + one row gather each replaces
-    # ~21 independent element gathers per pass (gathers cost per row,
-    # not per byte).
-    tabA_N = xp.stack(g["tabA"], axis=1)
-    tabB_N = xp.stack(g["tabB"], axis=1)
-    rowsA = ops.gather_guarded(xp, tabA_N, wl_a)
-    rowsB = ops.gather_guarded(xp, tabB_N, wl_b)
+    # One packed [2N, 21] table + one row gather replaces ~21
+    # independent element gathers per pass (gathers cost per row, not
+    # per byte).
+    tab2_N = xp.concatenate(
+        [xp.stack(g["tabA"], axis=1), xp.stack(g["tabB"], axis=1)], axis=0
+    )
+    rows = ops.gather_guarded(xp, tab2_N, wl)
     # Lockstep walk placement: inside a Pallas kernel (the default on
     # the Pallas path — tpu/lockstep_pallas.py) or as the XLA
     # while_loop below.
@@ -840,18 +886,14 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         and not caps.get("_no_lockstep_pallas")
     )
     if not use_lockstep_pallas:
-        PA_w = [rowsA[:, i] for i in range(8)]
-        PB_w = [rowsB[:, i] for i in range(8)]
-        rec_a = lockstep_euler_pass(
-            xp, PA_w, rowsA[:, 8], rowsA[:, 9], wla_valid, IT, IT
+        P_w = [rows[:, i] for i in range(8)]
+        rec_w = lockstep_euler_pass(
+            xp, P_w, rows[:, 8], rows[:, 9], wl_valid, IT, IT
         )
-        rec_b = lockstep_euler_pass(
-            xp, PB_w, rowsB[:, 8], rowsB[:, 9], wlb_valid, IT, IT
-        )
-        overflow_euler = rec_a[3] | rec_b[3]
+        overflow_euler = rec_w[3]
         if not exact:
-            overflow_euler = overflow_euler | (na > NWA) | (nb > NWB)
-        lockstep_iters = xp.maximum(rec_a[4], rec_b[4])
+            overflow_euler = overflow_euler | (nab > NWAB)
+        lockstep_iters = rec_w[4]
 
     # =====================================================================
     # Expansions
@@ -864,13 +906,11 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     if use_lockstep_pallas:
         from ..tpu.lockstep_pallas import flatten_lockstep_expansion
 
-        table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
-        wvalid = xp.concatenate([wla_valid, wlb_valid])
         (e_x0, e_y0, e_x1, e_y1, e_path, e_valid, e_total, e_real,
          ovf_ls) = flatten_lockstep_expansion(
-            xp, table, wvalid, IT, EC, n_paths_cap, caps
+            xp, rows, wl_valid, IT, EC, n_paths_cap, caps
         )
-        overflow_euler = ovf_ls | (na > NWA) | (nb > NWB)
+        overflow_euler = ovf_ls | (nab > NWAB)
         # The kernel always runs its IT unrolled iterations; the true
         # requirement is host-measured (numpy path) during calibration.
         lockstep_iters = xp.int32(IT)
@@ -880,16 +920,11 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         # (tpu/expand_pallas.flatten_euler_expansion).
         from ..tpu.expand_pallas import flatten_euler_expansion
 
-        table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
-        wn = xp.concatenate(
-            [xp.sum(rec_a[2], axis=0), xp.sum(rec_b[2], axis=0)]
-        ).astype(xp.int32)
-        rt0 = xp.concatenate([rec_a[0], rec_b[0]], axis=1)
-        rt1 = xp.concatenate([rec_a[1], rec_b[1]], axis=1)
-        rn = xp.concatenate([rec_a[2], rec_b[2]], axis=1)
+        wn = xp.sum(rec_w[2], axis=0).astype(xp.int32)
         e_x0, e_y0, e_x1, e_y1, e_path, e_valid, e_total = (
             flatten_euler_expansion(
-                xp, table, rt0, rt1, rn, wn, EC, IT, n_paths_cap, caps
+                xp, rows, rec_w[0], rec_w[1], rec_w[2], wn, EC, IT,
+                n_paths_cap, caps
             )
         )
         e_real = xp.sum(wn)
@@ -898,19 +933,16 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         # Records come back iteration-major [IT, NW]; flatten
         # worklist-major so a work item's records are contiguous in
         # emission order.
-        table = xp.concatenate([rowsA, rowsB], axis=0)  # [NWA+NWB, 21]
         slot_major = lambda r: xp.transpose(r).reshape(-1)
-        recs_n = xp.concatenate([slot_major(rec_a[2]), slot_major(rec_b[2])])
-        recs_t0 = xp.concatenate([slot_major(rec_a[0]), slot_major(rec_b[0])])
-        recs_t1 = xp.concatenate([slot_major(rec_a[1]), slot_major(rec_b[1])])
+        recs_n = slot_major(rec_w[2])
+        recs_t0 = slot_major(rec_w[0])
+        recs_t1 = slot_major(rec_w[1])
         rec_idx, within, e_valid, excl, e_total = expand_by_counts(
             xp, recs_n, _cap(recs_n, EC)
         )
-        e_pass = (rec_idx >= LA * IT).astype(xp.int32)
-        e_work = xp.where(e_pass == 0, rec_idx // IT, (rec_idx - LA * IT) // IT)
-        work_global = xp.where(e_pass == 0, e_work, LA + e_work)
+        e_work = rec_idx // IT
 
-        row = ops.gather_guarded(xp, table, work_global)
+        row = ops.gather_guarded(xp, rows, e_work)
         P8l = tuple(row[:, i] for i in range(8))
         off_l = row[:, 8]
         scale_l = row[:, 9]
@@ -938,9 +970,7 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         )
         # lp0 chaining: previous line's end within the same work-item
         # group (groups are contiguous in the flattened record order).
-        group_first_rec = xp.where(
-            e_pass == 0, e_work * IT, LA * IT + e_work * IT
-        )
+        group_first_rec = e_work * IT
         group_start_line = ops.gather_guarded(xp, recs_pack, group_first_rec)[
             :, 3
         ].astype(xp.int32)
@@ -960,47 +990,49 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         e_x1, e_y1 = _apply_transform(Tl, e_x1, e_y1)
         e_real = e_total
 
-    # Simple lines (device-space already; one packed row gather).
+    # Simple lines + arc lines: ONE merged expansion + ONE row gather
+    # over the concatenated count/table blocks (simple rows first, so
+    # within the merged block simple lines precede arcs; downstream
+    # coverage is order-independent and masks by line_valid). Combined
+    # table layout (15 wide): cols 0-3 = line endpoints (simple) /
+    # bx,by,ex,ey (arc), 4-5 = arc cx,cy, 6 = theta, 7 = n, 8-13 = T,
+    # 14 = path.
     SC = caps["simple_line_cap"]
+    AC = caps["arc_line_cap"]
     fpath = path_idx.astype(f32)
     s_counts = xp.concatenate(
         [sl[0].astype(xp.int32) for sl in g["s_lines"]]
     )
+    arc_n = g["arc_n"]
+    N3 = s_counts.shape[0]
+    zcol = xp.zeros(N3, dtype=f32)
     stab = xp.stack(
         [xp.concatenate([g["s_lines"][k][c] for k in range(3)])
          for c in range(1, 5)]
+        + [zcol] * 10
         + [xp.concatenate([fpath, fpath, fpath])],
         axis=1,
-    )  # [3N, 5]
-    s_rec, _, s_valid, _, s_total = expand_by_counts(
-        xp, s_counts, _cap(s_counts, SC)
-    )
-    srow = ops.gather_guarded(xp, stab, s_rec)
-    sl_x0, sl_y0, sl_x1, sl_y1 = (srow[:, 0], srow[:, 1], srow[:, 2],
-                                  srow[:, 3])
-    s_path = srow[:, 4].astype(xp.int32)
-
-    # Arc lines (one packed [N, 15] row gather instead of 14 element
-    # gathers).
-    AC = caps["arc_line_cap"]
-    arc_n = g["arc_n"]
-    arc_geom = [g["arc_bx"], g["arc_by"], g["arc_ex"], g["arc_ey"],
-                g["arc_cx"], g["arc_cy"]]
-    arc_theta_c = g["arc_theta"]
-    a_rec, a_i, a_valid, a_excl, a_total = expand_by_counts(
-        xp, arc_n, _cap(arc_n, AC)
-    )
+    )  # [3N, 15]
     atab = xp.stack(
-        arc_geom + [arc_theta_c, arc_n] + list(T) + [fpath],
+        [g["arc_bx"], g["arc_by"], g["arc_ex"], g["arc_ey"],
+         g["arc_cx"], g["arc_cy"], g["arc_theta"], arc_n] + list(T)
+        + [fpath],
         axis=1,
+    )  # [N, 15]
+    sa_counts = xp.concatenate([s_counts, arc_n.astype(xp.int32)])
+    sa_rec, sa_i, sa_valid, _, sa_total = expand_by_counts(
+        xp, sa_counts, _cap(sa_counts, SC + AC)
     )
-    arow = ops.gather_guarded(xp, atab, a_rec)
-    a_bx, a_by, a_ex, a_ey = (arow[:, 0], arow[:, 1], arow[:, 2],
-                              arow[:, 3])
-    a_cx, a_cy, a_theta, a_n = (arow[:, 4], arow[:, 5], arow[:, 6],
-                                arow[:, 7])
-    Ta = [arow[:, 8 + i] for i in range(6)]
-    a_path = arow[:, 14].astype(xp.int32)
+    sarow = ops.gather_guarded(
+        xp, xp.concatenate([stab, atab], axis=0), sa_rec
+    )
+    is_arc = sa_rec >= N3
+    a_bx, a_by, a_ex, a_ey = (sarow[:, 0], sarow[:, 1], sarow[:, 2],
+                              sarow[:, 3])
+    a_cx, a_cy, a_theta, a_n = (sarow[:, 4], sarow[:, 5], sarow[:, 6],
+                                sarow[:, 7])
+    Ta = [sarow[:, 8 + i] for i in range(6)]
+    sa_path = sarow[:, 14].astype(xp.int32)
     r0x = a_bx - a_cx
     r0y = a_by - a_cy
 
@@ -1012,7 +1044,7 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         ry = -s * r0x + c * r0y
         return _apply_transform(Ta, a_cx + rx, a_cy + ry)
 
-    a_if = a_i.astype(f32)
+    a_if = sa_i.astype(f32)
     al1x, al1y = arc_pt(a_if + 1.0)
     endx, endy = _apply_transform(Ta, a_ex, a_ey)
     last = a_if == a_n - 1.0
@@ -1022,37 +1054,43 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     beginx, beginy = _apply_transform(Ta, a_bx, a_by)
     al0x = xp.where(a_if == 0.0, beginx, al0x)
     al0y = xp.where(a_if == 0.0, beginy, al0y)
+    sa_x0 = xp.where(is_arc, al0x, a_bx)
+    sa_y0 = xp.where(is_arc, al0y, a_by)
+    sa_x1 = xp.where(is_arc, al1x, a_ex)
+    sa_y1 = xp.where(is_arc, al1y, a_ey)
+    # Per-family actuals for calibration (cheap reductions).
+    s_total = xp.sum(s_counts)
+    a_total = xp.sum(arc_n.astype(xp.int32))
 
     # --- Combine into the line soup -------------------------------------
     # Each expansion already produces its family's lines densely at
-    # positions [0, total): the soup is just the three family blocks at
-    # *static* offsets [0, EC), [EC, EC+SC), [EC+SC, EC+SC+AC) — a
-    # concatenation, not a scatter. (The previous element scatters at
-    # dynamic offsets cost ~17 ms apiece at 1.4M lines; downstream
-    # stages mask with line_valid, so interior gaps are free.)
+    # positions [0, total): the soup is the two family blocks at
+    # *static* offsets [0, EC), [EC, EC+SC+AC) — a concatenation, not a
+    # scatter. (The previous element scatters at dynamic offsets cost
+    # ~17 ms apiece at 1.4M lines; downstream stages mask with
+    # line_valid, so interior gaps are free.)
     LC = caps["line_cap"]
 
-    def family(vals_e, vals_s, vals_a, fill=f32(0.0)):
-        out = xp.concatenate([vals_e, vals_s, vals_a])
+    def family(vals_e, vals_sa, fill=f32(0.0)):
+        out = xp.concatenate([vals_e, vals_sa])
         pad = (0 if exact
-               else LC - (e_x0.shape[0] + sl_x0.shape[0] + al0x.shape[0]))
+               else LC - (e_x0.shape[0] + sa_x0.shape[0]))
         if pad > 0:
             out = xp.concatenate([out, xp.full(pad, fill, dtype=out.dtype)])
         return out
 
-    lx0 = family(e_x0, sl_x0, al0x)
-    ly0 = family(e_y0, sl_y0, al0y)
-    lx1 = family(e_x1, sl_x1, al1x)
-    ly1 = family(e_y1, sl_y1, al1y)
+    lx0 = family(e_x0, sa_x0)
+    ly0 = family(e_y0, sa_y0)
+    lx1 = family(e_x1, sa_x1)
+    ly1 = family(e_y1, sa_y1)
     sentinel = xp.int32(n_paths_cap)
     lpath = family(
         xp.where(e_valid, e_path, sentinel),
-        xp.where(s_valid, s_path, sentinel),
-        xp.where(a_valid, a_path, sentinel),
+        xp.where(sa_valid, sa_path, sentinel),
         fill=sentinel,
     )
 
-    n_lines = e_total + s_total + a_total
+    n_lines = e_total + sa_total
     line_valid = lpath < n_paths_cap
 
     # --- Path bboxes ----------------------------------------------------
@@ -1078,9 +1116,8 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         overflow = (
             overflow
             | (e_total > EC)
-            | (s_total > SC)
-            | (a_total > AC)
-            | ((e_total + s_total + a_total) > LC)
+            | (sa_total > SC + AC)
+            | ((e_total + sa_total) > LC)
         )
 
     return {

@@ -101,6 +101,7 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
             fl["path_trans_idx"],
             fl["path_draw_flags"],
             caps,
+            tag=draw_tags_arr,
         )
     with named_scope("clip_leaf"):
         from . import ops as _ops
@@ -122,6 +123,15 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
     dm["path_idx"] = dm_path
     dm["scene_offset"] = dm_scene
     dd = (layout["draw_data_base"] + dm_scene).astype(xp.int32)
+    # Per-draw word table consumed by coarse (blend/alpha columns), the
+    # fine command packers (build_records) and fine_ref: columns
+    # scene[dd+0..3] (patched dd: EndClips read their Begin's
+    # blend/alpha) + info words 1..9. The four scene words ride ONE
+    # merged gather; info is already a [D, 10] table (draw_leaf).
+    sc4 = ops.gather_guarded(
+        xp, scene, xp.concatenate([dd + k for k in range(4)])
+    ).reshape(4, D)
+    dtab = xp.concatenate([xp.transpose(sc4), info[:, 1:10]], axis=1)
 
     with named_scope("tile_alloc"):
         draw_bbox = coarse_mod.binning_bboxes(xp, dm, fl["path_bbox"], clip_bboxes, layout)
@@ -137,32 +147,14 @@ def render_frame(xp, scene, layout, ramps, images, caps, fine_impl=None,
             layout,
             dm,
             tag,
-            dd,
-            di,
+            dtab,
             draw_bbox,
             paths,
             counted,
             fl["path_draw_flags"],
             caps,
         )
-        # Per-draw scene/info words consumed by the fine command slab
-        # (tpu/fine_pallas.py build_cmd_slab): gathered at draw level
-        # (D is small) so the slab build needs one row gather per
-        # command instead of ~14 element gathers. Columns:
-        # scene[dd+0..3], info[di+1..9].
-        from . import ops as _ops2
-
-        cmds["dtab"] = xp.stack(
-            [
-                _ops2.gather_guarded(xp, scene, dd + k).astype(xp.uint32)
-                for k in range(4)
-            ]
-            + [
-                _ops2.gather_guarded(xp, info, di + k).astype(xp.uint32)
-                for k in range(1, 10)
-            ],
-            axis=1,
-        )
+        cmds["dtab"] = dtab
     flags = {
         "flatten_overflow": fl["overflow"],
         "tiles_overflow": paths["overflow"],

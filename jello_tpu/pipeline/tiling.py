@@ -68,11 +68,11 @@ def tile_alloc(xp, draw_bbox, tag, layout, caps):
     w = x1 - x0
     h = y1 - y0
     counts = (w * h).astype(xp.int32)
-    tile_offset = ops.exclusive_cumsum(xp, counts)
-    total = tile_offset[-1] + counts[-1] if counts.shape[0] else xp.int32(0)
 
     # Per-tile metadata via expansion (packed row table: one gather).
-    rec, within, valid, _, _ = _expand(xp, counts, T, total)
+    # The expansion's internal cumsum doubles as the per-draw tile-slot
+    # offsets (its `excl` return) — no separate cumsum launch.
+    rec, within, valid, tile_offset, total = _expand(xp, counts, T)
     dt = xp.stack([w, x0, y0, tile_offset], axis=1)
     dr = ops.gather_guarded(xp, dt, rec)
     stride = xp.maximum(dr[:, 0], 1)
@@ -478,29 +478,46 @@ def path_count(xp, lines, paths, caps, upto=None):
         LCC = caps["cross_lines_cap"]
         RLC = caps["row_lines_cap"]
 
-        def compact(counts, cap):
-            nz = counts > 0
-            pos = ops.exclusive_cumsum(xp, nz.astype(xp.int32))
-            n_nz = pos[-1] + nz[-1].astype(xp.int32)
-            idx = ops.scatter_set(
-                xp, xp.full(cap, L, dtype=xp.int32),
-                xp.where(nz, pos, cap), xp.arange(L, dtype=xp.int32))
-            return idx, n_nz
-
-        cidx, n_nz_c = compact(n_cross, LCC)
-        ridx, n_nz_r = compact(n_rows_per_line, RLC)
+        # BOTH compactions ride one op each of the cumsum/scatter/
+        # gather triple: a [L, 2] column cumsum for the positions, one
+        # scatter of 2L rows into a combined [LCC+RLC] index buffer
+        # (row-line indices at offset LCC), and one row gather of the
+        # shared 23-wide table (P's 21 columns + both counts — the
+        # row expansion's five inputs ymin/tiles_base/bb1/stride/delta
+        # are P columns 13/10/7/9/12 already).
+        nz_c = n_cross > 0
+        nz_r = n_rows_per_line > 0
+        pos2 = xp.stack(
+            [nz_c.astype(xp.int32), nz_r.astype(xp.int32)], axis=1)
+        cum2 = xp.cumsum(pos2, axis=0)
+        pos_c = cum2[:, 0] - pos2[:, 0]
+        pos_r = cum2[:, 1] - pos2[:, 1]
+        n_nz_c = cum2[L - 1, 0]
+        n_nz_r = cum2[L - 1, 1]
         compact_overflow = (n_nz_c > LCC) | (n_nz_r > RLC)
-        # One packed row gather each; the count rides as the last
-        # column; tail rows (clamped gather of the last line) are
-        # forced to count 0, which assume_compact requires.
-        P22 = xp.concatenate([P, n_cross.astype(f32)[:, None]], axis=1)
-        Pc = ops.gather_guarded(xp, P22, cidx)
+        CAP2 = LCC + RLC
+        idx2 = ops.scatter_set(
+            xp, xp.full(CAP2, L, dtype=xp.int32),
+            xp.concatenate([
+                xp.where(nz_c & (pos_c < LCC), pos_c, CAP2),
+                xp.where(nz_r & (pos_r < RLC), LCC + pos_r, CAP2),
+            ]),
+            xp.concatenate([xp.arange(L, dtype=xp.int32)] * 2))
+        P23 = xp.concatenate(
+            [P, n_cross.astype(f32)[:, None],
+             n_rows_per_line.astype(f32)[:, None]], axis=1)
+        Pall = ops.gather_guarded(xp, P23, idx2)
+        Pc = Pall[:LCC]
+        PRTc_rows = Pall[LCC:]
         ncc = xp.where(xp.arange(LCC, dtype=xp.int32) < n_nz_c,
                        Pc[:, 21].astype(xp.int32), 0)
-        PRT6 = xp.stack(
-            [ymin, tiles_base.astype(f32), bb1, stride.astype(f32),
-             delta.astype(f32), n_rows_per_line.astype(f32)], axis=1)
-        PRTc = ops.gather_guarded(xp, PRT6, ridx)
+        # Row-expansion inputs in the PRT column order the expand
+        # kernel's row body expects (ymin, tiles_base, bb1, stride,
+        # delta, n_rows).
+        PRTc = xp.stack(
+            [PRTc_rows[:, 13], PRTc_rows[:, 10], PRTc_rows[:, 7],
+             PRTc_rows[:, 9], PRTc_rows[:, 12], PRTc_rows[:, 22]],
+            axis=1)
         nrr = xp.where(xp.arange(RLC, dtype=xp.int32) < n_nz_r,
                        PRTc[:, 5].astype(xp.int32), 0)
         if upto == "compact":
@@ -979,18 +996,23 @@ def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,
             xp.ones(SC, dtype=xp.int32),
         )
     seg_count = binc_pallas[:T]
-    seg_start = ops.exclusive_cumsum(xp, seg_count)
+    bd = backdrop[:T]
+    has = (seg_count > 0).astype(xp.int32)
+    # All three T-length prefixes (per-tile segment starts, the
+    # backdrop row prefix, compact area-row ids) ride ONE column
+    # cumsum.
+    c3in = xp.stack([seg_count, bd, has], axis=1)
+    c3 = xp.cumsum(c3in, axis=0) - c3in
+    seg_start = c3[:, 0]
+    cume = c3[:, 1]
+    row_of_slot = c3[:, 2]
 
     # ---- Backdrop prefix along rows ------------------------------------
-    bd = backdrop[:T]
-    cume = ops.exclusive_cumsum(xp, bd)
     row_start = paths["tile_row_start"]
     bd_prefix = cume - ops.gather_guarded(xp, cume, row_start) + bd
 
     # Compact "area row" ids for slots that have segments (consumed by
     # the batched coverage pass + the fine kernel).
-    has = (seg_count > 0).astype(xp.int32)
-    row_of_slot = ops.exclusive_cumsum(xp, has)
     n_rows = row_of_slot[-1] + has[-1]
     if upto == "bincount":
         return (seg_start, bd_prefix, row_of_slot, sorted_slot)

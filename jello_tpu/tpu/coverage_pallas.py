@@ -286,22 +286,25 @@ def compute_area_rows_pallas(xp, cmds, counted, caps):
     C = _chunk_for_mode(aa)
     interpret = bool(caps.get("_expand_interpret", False))
 
-    # Record-rank side (what the fine kernels index by).
-    area_row_rec, slot2rank, bd_tgt, n_rows = rank_records(xp, cmds, caps)
-
     # Slot-rank of each sorted segment: run boundaries of the
     # slot-sorted stream (non-decreasing by construction).
     slot = counted["sorted_slot"]
     SC = slot.shape[0]
     prev = xp.concatenate([xp.full(1, -1, slot.dtype), slot[:-1]])
     first = (slot != prev) & (slot < T)
-    srank = xp.clip(xp.cumsum(first.astype(xp.int32)) - 1, 0, AR - 1)
     valid_f = (slot < T).astype(xp.float32)
-    n_rows_sr = xp.sum(first.astype(xp.int32))
-
-    # Slot -> slot-rank (for bd/eo targets and the permutation).
     has = (counted["seg_count"] > 0).astype(xp.int32)
-    sr_of_slot = ops.exclusive_cumsum(xp, has)
+
+    # Record-rank side (what the fine kernels index by) + BOTH
+    # independent rank cumsums (segment slot-ranks, slot -> slot-rank)
+    # riding the same cumsum launch.
+    area_row_rec, slot2rank, bd_tgt, n_rows, (c_first, c_has) = (
+        rank_records(xp, cmds, caps,
+                     extra=[first.astype(xp.int32), has])
+    )
+    srank = xp.clip(c_first - 1, 0, AR - 1)
+    n_rows_sr = c_first[-1]
+    sr_of_slot = c_has - has
 
     segs = counted["segs"]
     SCpad = -(-SC // C) * C
@@ -333,15 +336,16 @@ def compute_area_rows_pallas(xp, cmds, counted, caps):
     ARpad = AR + C + 2 * _SLACK
     tgt_sr = xp.where(owns, xp.minimum(rec_sr, ARpad - 1), ARpad)
     eo_rec = ((cmds["flags"] & 1) != 0) & (cmds["kind"] != CMD_BEGIN_CLIP)
-    bd_vec = xp.zeros(ARpad, xp.float32)
-    bd_vec = ops.scatter_set(
-        xp, bd_vec, tgt_sr, cmds["backdrop"].astype(xp.float32)
+    # Backdrop and even-odd flag ride ONE scatter into a [ARpad, 2]
+    # target; the kernel table pads to the 128-lane width by concat.
+    bdeo = ops.scatter_set(
+        xp, xp.zeros((ARpad, 2), xp.float32), tgt_sr,
+        xp.stack([cmds["backdrop"].astype(xp.float32),
+                  eo_rec.astype(xp.float32)], axis=1),
     )
-    eo_vec = xp.zeros(ARpad, xp.float32)
-    eo_vec = ops.scatter_set(xp, eo_vec, tgt_sr, eo_rec.astype(xp.float32))
-    bd_tab = xp.zeros((ARpad, 128), dtype=xp.float32)
-    bd_tab = bd_tab.at[:, 0].set(bd_vec)
-    bd_tab = bd_tab.at[:, 1].set(eo_vec)
+    bd_tab = xp.concatenate(
+        [bdeo, xp.zeros((ARpad, 126), dtype=xp.float32)], axis=1
+    )
 
     call = make_coverage_kernel(AR, n_chunks, C, offsets, interpret=interpret)
     # Per-chunk first rows (for the kernel's prefetched bd-window and

@@ -99,11 +99,14 @@ def build_expand_table(xp, cols, counts, out_cap, chunk=EXPAND_CHUNK,
     W = EXPAND_SUB * chunk + 2 * _WIN_PAD
     # Pad rows so every window DMA is in bounds; padded incl = +inf so
     # padded rows never win the ownership count.
-    pad = xp.zeros((W, ncol), dtype=xp.float32)
-    if _is_jax(xp):
-        pad = pad.at[:, len(cols) - 2].set(xp.float32(3e38))
-    else:
-        pad[:, len(cols) - 2] = 3e38
+    pad = xp.concatenate(
+        [
+            xp.zeros((W, len(cols) - 2), dtype=xp.float32),
+            xp.full((W, 1), 3e38, dtype=xp.float32),
+            xp.zeros((W, ncol - len(cols) + 1), dtype=xp.float32),
+        ],
+        axis=1,
+    )
     table = xp.concatenate([table, pad], axis=0)
     # Lane-pad columns to 128.
     if ncol < 128:

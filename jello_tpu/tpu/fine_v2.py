@@ -662,8 +662,9 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     # Stop table, lane-padded; row count static per size class.
     NR, W = ramps.shape[0], ramps.shape[1]
     caps["max_stops"] = (W - 1) // 5
-    stops_pad = xp.zeros((NR, 128), dtype=xp.float32)
-    stops_pad = stops_pad.at[:, :W].set(ramps)
+    stops_pad = xp.concatenate(
+        [ramps, xp.zeros((NR, 128 - W), dtype=xp.float32)], axis=1
+    )
 
     rec = precomputed[3] if precomputed is not None else build_records(
         xp, cmds, scene, info, caps
@@ -704,18 +705,18 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     # span is <= C + MC and fits the kernel's CW window). Chunks with
     # no row references fall back to the running max so far.
     AR_cap = caps["area_rows_cap"]
-    runm = ops.cummax(xp, area_row_rec)
-    runm_p = (
-        xp.concatenate([runm, xp.full((PCpad - PC,), runm[-1], xp.int32)])
-        if PCpad != PC else runm
-    )
-    fallback = xp.maximum(
-        xp.concatenate([xp.zeros(1, xp.int32), runm_p[C - 1 :: C][:-1]]), 0
-    )
     rows_p = (
         xp.concatenate([area_row_rec, xp.full((PCpad - PC,), -1, xp.int32)])
         if PCpad != PC else area_row_rec
     ).reshape(n_chunks, C)
+    # Only chunk-BOUNDARY values of the running row max are consumed,
+    # so the cummax runs over per-chunk maxes ([n_chunks] rows), not
+    # the full record stream.
+    chunk_max = xp.max(rows_p, axis=1)
+    cmax_run = ops.cummax(xp, chunk_max)
+    fallback = xp.maximum(
+        xp.concatenate([xp.full(1, -1, xp.int32), cmax_run[:-1]]), 0
+    )
     vmask = rows_p >= 0
     BIGR = xp.int32(1 << 30)
     cmin = xp.min(xp.where(vmask, rows_p, BIGR), axis=1)
@@ -734,10 +735,25 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
                       dtype=area_blk.dtype)]
         )
 
-    # Nonempty-tile ranks.
+    # Nonempty-tile ranks (+ the image-record ranks when the tap table
+    # is present: both ride ONE column cumsum).
     prev_t = xp.concatenate([xp.full(1, -1, xp.int32), tile_p[:-1]])
     first = (tile_p != prev_t) & (tile_p < GRID)
-    csum = xp.cumsum(first.astype(xp.int32))
+    if fg_tab is not None:
+        P_img = (cmds["kind"] == CMD_IMAGE) & (tile < GRID) & (tile >= 0)
+        P_img_p = (
+            xp.concatenate([P_img, xp.zeros(PCpad - PC, dtype=P_img.dtype)])
+            if PCpad != PC else P_img
+        )
+        cs2 = xp.cumsum(
+            xp.stack([first.astype(xp.int32), P_img_p.astype(xp.int32)],
+                     axis=1),
+            axis=0,
+        )
+        csum = cs2[:, 0]
+        icum = cs2[:, 1]
+    else:
+        csum = xp.cumsum(first.astype(xp.int32))
     n_tiles = csum[-1]
     trank = xp.where(tile_p < GRID, csum - 1, n_tiles)
     trank_lo = trank[0::C]
@@ -756,18 +772,23 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     # step at distance k is an exact no-op when no run exceeds k).
     import jax as _jax
 
-    def _max_run(vals):
-        x = vals.reshape(n_chunks, C)
+    def _max_runs(vals_list):
+        # All run computations ride ONE cummax over stacked chunk rows.
+        x = xp.concatenate(
+            [v.reshape(n_chunks, C) for v in vals_list], axis=0
+        )
         idxc = xp.arange(C, dtype=xp.int32)[None, :]
         change = xp.concatenate(
-            [xp.ones((n_chunks, 1), dtype=bool), x[:, 1:] != x[:, :-1]],
+            [xp.ones((x.shape[0], 1), dtype=bool), x[:, 1:] != x[:, :-1]],
             axis=1,
         )
         start = _jax.lax.cummax(xp.where(change, idxc, 0), axis=1)
-        return xp.max(idxc - start + 1, axis=1).astype(xp.int32)
+        runs = xp.max(idxc - start + 1, axis=1).astype(xp.int32)
+        return [runs[k * n_chunks : (k + 1) * n_chunks]
+                for k in range(len(vals_list))]
 
-    run1 = _max_run((rec[:, 4] >> 8).astype(xp.int32))
-    run2 = _max_run(tile_p)
+    run1, run2 = _max_runs([(rec[:, 4] >> 8).astype(xp.int32),
+                            tile_p.astype(xp.int32)])
 
     call = make_fine_v2_kernel(caps, NR, n_chunks, interpret=interpret,
                                with_images=fg_tab is not None)
@@ -776,12 +797,7 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
         # the chunk (image ranks are strictly increasing, so a chunk
         # spans at most C rows from there).
         IRC = caps.get("img_recs_cap", 1024)
-        P = (cmds["kind"] == CMD_IMAGE) & (tile < GRID) & (tile >= 0)
-        P_p = (
-            xp.concatenate([P, xp.zeros(PCpad - PC, dtype=P.dtype)])
-            if PCpad != PC else P
-        )
-        icum = xp.cumsum(P_p.astype(xp.int32))
+        # icum / P_img_p computed above (riding the tile-rank cumsum).
         irank_lo = xp.concatenate(
             [xp.zeros(1, xp.int32), icum[C - 1 :: C][:-1]]
         )
@@ -789,7 +805,9 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
         # Interleave [window start, has_img] per chunk: the kernel gates
         # its double-buffered fg DMA (start AND wait) on has_img, so the
         # flag must ride scalar prefetch alongside the start.
-        has_img_c = xp.any(P_p.reshape(n_chunks, C), axis=1).astype(xp.int32)
+        has_img_c = xp.any(
+            P_img_p.reshape(n_chunks, C), axis=1
+        ).astype(xp.int32)
         irank_lo = xp.stack([irank_lo, has_img_c], axis=1).reshape(-1)
         out = call(
             rank_lo.astype(xp.int32),

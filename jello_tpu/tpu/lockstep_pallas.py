@@ -230,9 +230,16 @@ def flatten_lockstep_expansion(xp, table21, valid, IT, EC, n_paths_cap, caps):
     Rp = -(-(NW + Wexp) // (EXPAND_SUB * C)) * (EXPAND_SUB * C)
     n_chunks = Rp // C
 
-    tab_in = xp.zeros((Rp, 128), dtype=xp.float32)
-    tab_in = tab_in.at[:NW, :21].set(table21)
-    tab_in = tab_in.at[:NW, COL_VALID].set(valid.astype(xp.float32))
+    # Concat construction (no scatters: column/row padding is pure
+    # bandwidth and fuses; .at[slice].set lowers to scatter launches).
+    body = xp.concatenate(
+        [table21, valid.astype(xp.float32)[:, None],
+         xp.zeros((NW, 128 - 22), dtype=xp.float32)],
+        axis=1,
+    )
+    tab_in = xp.concatenate(
+        [body, xp.zeros((Rp - NW, 128), dtype=xp.float32)], axis=0
+    )
 
     call = make_lockstep_call(IT, n_chunks, C, interpret=interpret)
     tab = call(tab_in)
@@ -253,7 +260,10 @@ def _expand_record_table(xp, tab, NW, IT, EC, n_paths_cap, interpret):
     incl_full = xp.concatenate(
         [incl.astype(xp.float32), xp.full(Rp - NW, 3e38, dtype=xp.float32)]
     )
-    tab = tab.at[:, col_incl].set(incl_full)
+    tab = xp.concatenate(
+        [tab[:, :col_incl], incl_full[:, None], tab[:, col_incl + 1 :]],
+        axis=1,
+    )
 
     n_exp_chunks = EC // EXPAND_CHUNK
     starts = xp.searchsorted(

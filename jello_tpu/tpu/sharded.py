@@ -32,7 +32,8 @@ def build_commands_stage(scene, layout, caps):
     draw_tags_arr = _draw_tags(xp, scene, layout, D)
     dm = drawobjs.draw_monoid_scan(xp, draw_tags_arr)
     info, clip_idx_arr, clip_path_arr, tag, dd, di = drawobjs.draw_leaf(
-        xp, scene, layout, dm, fl["path_trans_idx"], fl["path_draw_flags"], caps
+        xp, scene, layout, dm, fl["path_trans_idx"], fl["path_draw_flags"],
+        caps, tag=draw_tags_arr,
     )
     clip_bboxes, dm_path, dm_scene = clips_mod.clip_leaf(
         xp,
@@ -52,21 +53,18 @@ def build_commands_stage(scene, layout, caps):
     paths = tiling.tile_alloc(xp, draw_bbox, tag, layout, caps)
     counted = tiling.path_count(xp, fl, paths, caps)
     segs = tiling.path_tiling(xp, fl, counted, caps)
-    cmds = coarse_mod.build_commands(
-        xp, scene, layout, dm, tag, dd, di, draw_bbox, paths, counted,
-        fl["path_draw_flags"], caps,
-    )
-    # Per-draw scene/info word table for the record packer (mirrors
-    # pipeline/render.py).
+    # Per-draw word table (mirrors pipeline/render.py).
     from ..pipeline import ops as _ops
 
-    cmds["dtab"] = xp.stack(
-        [_ops.gather_guarded(xp, scene, dd + k).astype(xp.uint32)
-         for k in range(4)]
-        + [_ops.gather_guarded(xp, info, di + k).astype(xp.uint32)
-           for k in range(1, 10)],
-        axis=1,
+    sc4 = _ops.gather_guarded(
+        xp, scene, xp.concatenate([dd + k for k in range(4)])
+    ).reshape(4, D)
+    dtab = xp.concatenate([xp.transpose(sc4), info[:, 1:10]], axis=1)
+    cmds = coarse_mod.build_commands(
+        xp, scene, layout, dm, tag, dtab, draw_bbox, paths, counted,
+        fl["path_draw_flags"], caps,
     )
+    cmds["dtab"] = dtab
     return cmds, segs, info, counted
 
 

@@ -153,7 +153,7 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
         dm = drawobjs.draw_monoid_scan(xp, dta)
         info, cia, cpa, tag, dd, di = drawobjs.draw_leaf(
             xp, scene, layout, dm, fl["path_trans_idx"],
-            fl["path_draw_flags"], caps,
+            fl["path_draw_flags"], caps, tag=dta,
         )
         cb, dmp, dms = clips_mod.clip_leaf_vectorized(
             xp, cia, cpa, fl["path_bbox"],
@@ -298,15 +298,15 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
         }
 
         # ---- coarse (replicated) ---------------------------------------
+        sc4 = ops.gather_guarded(
+            xp, scene, xp.concatenate([dd + k for k in range(4)])
+        ).reshape(4, D)
+        dtab = xp.concatenate([xp.transpose(sc4), info[:, 1:10]], axis=1)
         cmds = coarse_mod.build_commands(
-            xp, scene, layout, dm, tag, dd, di, draw_bbox, paths,
+            xp, scene, layout, dm, tag, dtab, draw_bbox, paths,
             counted_global, fl["path_draw_flags"], caps,
         )
-        cmds["dtab"] = xp.stack(
-            [ops.gather_guarded(xp, scene, dd + k).astype(xp.uint32)
-             for k in range(4)]
-            + [ops.gather_guarded(xp, info, di + k).astype(xp.uint32)
-               for k in range(1, 10)], axis=1)
+        cmds["dtab"] = dtab
         pairs_overflow = cmds["overflow"]
 
         # ---- stripe-local command slice --------------------------------
@@ -335,8 +335,6 @@ def make_sharded_render(mesh: Mesh, caps_global: dict, interpret: bool = False,
             "backdrop": slc(cmds["backdrop"], 0),
             "tile_slot": slc(cmds["tile_slot"], T),
             "flags": slc(cmds["flags"], 0),
-            "di": slc(cmds["di"], 0),
-            "dd": slc(cmds["dd"], 0),
             "draw": slc(cmds["draw"], 0),
             # Per-DRAW table ([D, 13]), not per-command: replicated.
             "dtab": cmds["dtab"],

@@ -74,8 +74,12 @@ dd = (ld["draw_data_base"] + dms).astype(xp.int32)
 draw_bbox = coarse_mod.binning_bboxes(xp, dm, fl["path_bbox"], cb, ld)
 paths = tiling.tile_alloc(xp, draw_bbox, tag, ld, caps)
 counted = tiling.path_count(xp, fl, paths, caps)
+sc4 = np.stack(
+    [sc[np.clip(dd + k, 0, len(sc) - 1)].astype(np.uint32) for k in range(4)],
+    axis=1)
+dtab = np.concatenate([sc4, np.asarray(info)[:, 1:10]], axis=1)
 cmds = coarse_mod.build_commands(
-    xp, sc, ld, dm, tag, dd, di, draw_bbox, paths, counted,
+    xp, sc, ld, dm, tag, dtab, draw_bbox, paths, counted,
     fl["path_draw_flags"], caps)
 
 T = caps["tiles_cap"]

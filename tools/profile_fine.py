@@ -104,14 +104,14 @@ def main():
             paths = tiling.tile_alloc(xp, draw_bbox, tag, layout, caps)
             counted = tiling.path_count(xp, fl, paths, caps)
             segs = tiling.path_tiling(xp, fl, counted, caps)
+            sc4 = _ops.gather_guarded(
+                xp, scene, xp.concatenate([dd + k for k in range(4)])
+            ).reshape(4, info.shape[0])
+            dtab = xp.concatenate([xp.transpose(sc4), info[:, 1:10]], axis=1)
             cmds = coarse_mod.build_commands(
-                xp, scene, layout, dm, tag, dd, di, draw_bbox, paths,
+                xp, scene, layout, dm, tag, dtab, draw_bbox, paths,
                 counted, fl["path_draw_flags"], caps)
-            cmds["dtab"] = xp.stack(
-                [_ops.gather_guarded(xp, scene, dd + k).astype(xp.uint32)
-                 for k in range(4)]
-                + [_ops.gather_guarded(xp, info, di + k).astype(xp.uint32)
-                   for k in range(1, 10)], axis=1)
+            cmds["dtab"] = dtab
             if stage == "coarse":
                 s = cmds["dtab"].sum()
                 for k, v in cmds.items():
