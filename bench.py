@@ -9,7 +9,7 @@ the on-device pixel-parity gate (the UseCPU cross-check discipline of
 the reference, wgpu.go:454-513 — runs unless the sweep blew its time
 budget, in which case parity_max_err = "skipped_budget"), and compile
 metrics. Consumers must take the LAST config{N}_ms_frame line; an
-early `config{N}_ms_frame_provisional` line is emitted as a crash
+early `config{N}_provisional_ms_frame` line is emitted as a crash
 guard and carries no configs/parity.
 
 Usage: python bench.py [--config N] [--paths N] [--iters N]
@@ -225,7 +225,7 @@ def main():
         # JSON line (or aggregates all lines) must never pick up this
         # record — it lacks configs/parity (advisor r3).
         print(json.dumps({
-            "metric": f"config{args.config}_ms_frame_provisional",
+            "metric": f"config{args.config}_provisional_ms_frame",
             "value": head["ms"],
             "unit": "ms", "vs_baseline": round(2.0 / head["ms"], 4),
             "extra": {"backend": extra["backend"], "provisional": True,

@@ -256,61 +256,6 @@ def path_rect_rows(xp, lines, paths):
     return ops.gather_guarded(xp, ptab, pidx)
 
 
-def _line_setup(xp, x0, y0, x1, y1):
-    """Common DDA parameters for one line (cpu.go:770-821)."""
-    is_down = y1 >= y0
-    ax0 = xp.where(is_down, x0, x1)
-    ay0 = xp.where(is_down, y0, y1)
-    ax1 = xp.where(is_down, x1, x0)
-    ay1 = xp.where(is_down, y1, y0)
-    s0x = ax0 * TILE_SCALE
-    s0y = ay0 * TILE_SCALE
-    s1x = ax1 * TILE_SCALE
-    s1y = ay1 * TILE_SCALE
-    count_x = _span(xp, s0x, s1x) - 1
-    count = count_x + _span(xp, s0y, s1y)
-    dx = xp.abs(s1x - s0x)
-    dy = s1y - s0y
-    skip = (dx + dy == 0.0) | ((dy == 0.0) & (xp.floor(s0y) == s0y))
-    safe = xp.where(skip, xp.float32(1.0), dx + dy)
-    idxdy = 1.0 / safe
-    a = dx * idxdy
-    is_positive = s1x >= s0x
-    sign = xp.where(is_positive, xp.float32(1.0), xp.float32(-1.0))
-    xt0 = xp.floor(s0x * sign)
-    c = s0x * sign - xt0
-    y0i = xp.floor(s0y)
-    ytop = xp.where(s0y == s1y, xp.ceil(s0y), y0i + 1.0)
-    b = xp.minimum((dy * c + dx * (ytop - s0y)) * idxdy, xp.float32(ONE_MINUS_ULP))
-    robust_err = xp.floor(a * (count.astype(xp.float32) - 1.0) + b) - count_x.astype(
-        xp.float32
-    )
-    a = xp.where(
-        robust_err != 0.0, a - xp.where(robust_err > 0, 1.0, -1.0) * ROBUST_EPSILON, a
-    )
-    x0f = xt0 * sign + xp.where(is_positive, xp.float32(0.0), xp.float32(-1.0))
-    return {
-        "is_down": is_down,
-        "xy0x": ax0,
-        "xy0y": ay0,
-        "xy1x": ax1,
-        "xy1y": ay1,
-        "s0x": s0x,
-        "s0y": s0y,
-        "s1x": s1x,
-        "s1y": s1y,
-        "count_x": count_x,
-        "count": count,
-        "skip": skip,
-        "a": a,
-        "b": b,
-        "sign": sign,
-        "is_positive": is_positive,
-        "y0i": y0i,
-        "x0f": x0f,
-    }
-
-
 def path_count_params(xp, lines, paths, caps, upto=None):
     """Per-line DDA + bbox-clip parameters (the pure per-line half of
     PathCount, shared by the single-chip path and the line-sharded
@@ -326,18 +271,20 @@ def path_count_params(xp, lines, paths, caps, upto=None):
     f32 = xp.float32
 
     if upto in ("setup", "pgather"):
-        # Profiling-only cuts: the normal path recomputes the DDA setup
-        # inside line_dda_clip, and the numpy calibration pass has no
-        # DCE — don't run _line_setup eagerly for nothing.
-        ls = _line_setup(
+        # Profiling-only cuts: run the SHARED line_dda_clip with dummy
+        # whole-plane bbox inputs (one copy of the setup math — a
+        # separate _line_setup clone could silently desynchronize from
+        # the production DDA).
+        f32_ = xp.float32
+        d = line_dda_clip(
             xp, lines["line_x0"], lines["line_y0"], lines["line_x1"],
-            lines["line_y1"],
+            lines["line_y1"], lines["line_valid"],
+            f32_(0.0), f32_(0.0), f32_(1e9), f32_(1e9), f32_(0.0),
         )
-        valid = lines["line_valid"] & ~ls["skip"]
         if upto == "setup":
-            return (ls["a"], ls["b"], ls["count"], valid)
+            return (d["a"], d["b"], d["count"], d["imin"])
         prow = path_rect_rows(xp, lines, paths)
-        return (ls["a"], ls["b"], ls["count"], valid, prow)
+        return (d["a"], d["b"], d["count"], d["imin"], prow)
 
     prow = path_rect_rows(xp, lines, paths)
 
@@ -531,30 +478,8 @@ def path_count(xp, lines, paths, caps, upto=None):
         if upto == "expand":
             return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot,
                     r_delta)
-        # One scatter_add serves all three T-indexed accumulations
-        # (backdrop row deltas, top-edge bumps, per-tile segment
-        # bincount): the bincount lands at offset T+1 in a doubled
-        # target. Same total scattered rows, two fewer top-level
-        # scatter launches (ops carry ~1-3 ms apiece on this fabric).
-        slot_clamped = xp.where((tile_slot >= 0) & (tile_slot < T),
-                                tile_slot, T)
-        # Clamp the backdrop slots too: on an overflow frame (estimate
-        # class too small) they can exceed T, and in the doubled target
-        # they would land in the bincount half instead of falling off
-        # the array end (the old T+1 arrays dropped them as OOB).
-        def _cl(s):
-            return xp.where((s >= 0) & (s <= T), s, T)
-
-        merged = ops.scatter_add(
-            xp,
-            xp.zeros(2 * (T + 1), dtype=xp.int32),
-            xp.concatenate([_cl(r_slot), _cl(bump_slot),
-                            slot_clamped + (T + 1)]),
-            xp.concatenate([r_delta, bump_delta,
-                            xp.ones(SC, dtype=xp.int32)]),
-        )
-        backdrop = merged[: T + 1]
-        binc_pallas = merged[T + 1 :]
+        backdrop, binc_pallas = _pc_merged_scatter(
+            xp, T, SC, tile_slot, bump_slot, bump_delta, r_slot, r_delta)
         if upto == "backdrop":
             return (backdrop, tile_slot, seg_pre)
     else:
@@ -899,7 +824,7 @@ def _path_count_kc(xp, lines, paths, caps, upto=None):
     sc_r = _pc_expand_scalars(xp, incl_r, pos_r, RC, n_nz_r, total_r,
                               tab_r.shape[0], L)
 
-    call = make_expand_call_v2(27, 8, SC // EXPAND_CHUNK,
+    call = make_expand_call_v2(8, SC // EXPAND_CHUNK,
                                _crossing_compute(T), KC_INCL_C, KC_NCROSS,
                                interpret=interpret)
     out = call(sc_c, tab_c)
@@ -926,7 +851,7 @@ def _path_count_kc(xp, lines, paths, caps, upto=None):
 
         return compute
 
-    rcall = make_expand_call_v2(27, 2, RC // EXPAND_CHUNK, row_body(T),
+    rcall = make_expand_call_v2(2, RC // EXPAND_CHUNK, row_body(T),
                                 KC_INCL_R, KC_NROWS, interpret=interpret)
     rout = rcall(sc_r, tab_r)
     r_slot = rout[0].astype(xp.int32)

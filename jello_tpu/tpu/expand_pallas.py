@@ -67,6 +67,32 @@ _WIN_PAD = 16
 COL_INCL = 0  # relative to the end: win[:, Wt], win[:, Wt+1]
 
 
+def _expand_table_from_incl(xp, cols, counts, incl):
+    """The table-construction half of build_expand_table, for callers
+    that computed the (clamped-count) inclusive prefix themselves (e.g.
+    riding a merged cumsum launch)."""
+    cols = list(cols) + [incl.astype(xp.float32), counts.astype(xp.float32)]
+    assert len(cols) <= 128
+    table = xp.stack(cols, axis=1)
+    ncol = table.shape[1]
+    W = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
+    pad = xp.concatenate(
+        [
+            xp.zeros((W, len(cols) - 2), dtype=xp.float32),
+            xp.full((W, 1), 3e38, dtype=xp.float32),
+            xp.zeros((W, 1), dtype=xp.float32),
+        ],
+        axis=1,
+    )
+    table = xp.concatenate([table, pad], axis=0)
+    if ncol < 128:
+        table = xp.concatenate(
+            [table, xp.zeros((table.shape[0], 128 - ncol), dtype=xp.float32)],
+            axis=1,
+        )
+    return table
+
+
 def build_expand_table(xp, cols, counts, out_cap, chunk=EXPAND_CHUNK,
                        assume_compact=False):
     """XLA-side preparation for expand_call.
@@ -234,12 +260,13 @@ def make_expand_call(n_cols, n_out, n_chunks, compute, chunk=EXPAND_CHUNK,
     return run
 
 
-def make_expand_call_v2(n_cols, n_out, n_chunks, compute, col_incl, col_cnt,
+def make_expand_call_v2(n_out, n_chunks, compute, col_incl, col_cnt,
                         chunk=EXPAND_CHUNK, interpret=False, sub=EXPAND_SUB):
     """Raw-table expand call: like make_expand_call but
 
-      - the parameter table is narrow ([*, n_cols], n_cols <= 128 and a
-        multiple of 8 recommended) instead of lane-padded to 128,
+      - the table is always DMAd and contracted at the full 128-lane
+        tile width (run() asserts it; narrow tables are lane-padded by
+        the caller),
       - rows at index >= total (the compacted row count) are masked out
         of ownership in-kernel instead of requiring +inf incl pad rows
         (the compaction kernel's zero tail is safe as-is), and
@@ -356,6 +383,7 @@ def make_expand_call_v2(n_cols, n_out, n_chunks, compute, col_incl, col_cnt,
     )
 
     def run(sc, tab):
+        assert tab.shape[1] == 128, tab.shape
         out = call(sc, tab)
         return out.reshape(n_out, n_super * SUB * C)[:, : n_chunks * C]
 
@@ -524,7 +552,7 @@ def path_count_expansions_raw(xp, tab_c, tab_r, sc_c, sc_r, T, caps):
     RC = caps["row_cap"]
     interpret = bool(caps.get("_expand_interpret", False))
 
-    call = make_expand_call_v2(RAW_NC, 8, SC // EXPAND_CHUNK,
+    call = make_expand_call_v2(8, SC // EXPAND_CHUNK,
                                _crossing_compute_raw(T),
                                RAW_INCL_C, RAW_NCROSS, interpret=interpret)
     out = call(sc_c, tab_c)
@@ -537,7 +565,7 @@ def path_count_expansions_raw(xp, tab_c, tab_r, sc_c, sc_r, T, caps):
     bump_slot = out[6].astype(xp.int32)
     bump_delta = out[7].astype(xp.int32)
 
-    rcall = make_expand_call_v2(RAW_NC, 2, RC // EXPAND_CHUNK,
+    rcall = make_expand_call_v2(2, RC // EXPAND_CHUNK,
                                 _row_compute_raw(T),
                                 RAW_INCL_R, RAW_NROWS, interpret=interpret)
     rout = rcall(sc_r, tab_r)
@@ -671,9 +699,32 @@ def path_count_expansions(xp, P, PRT, n_cross, n_rows, T, caps,
     RC = caps["row_cap"]
     interpret = bool(caps.get("_expand_interpret", False))
 
+    # Both tables' prefix cumsums AND window-start searches ride one
+    # launch each (concat + static-offset rebase; the row block's keys
+    # and queries shift by 2^30 so one searchsorted serves both).
+    Lc = n_cross.shape[0]
+    Lr = n_rows.shape[0]
+    c1 = n_cross if assume_compact else xp.maximum(n_cross, 1)
+    r1 = n_rows if assume_compact else xp.maximum(n_rows, 1)
+    cc = xp.cumsum(xp.concatenate([c1, r1]))
+    incl_c = cc[:Lc]
+    incl_r = cc[Lc:] - cc[Lc - 1]
+    c_total = incl_c[Lc - 1]
+    r_total = incl_r[Lr - 1]
+    n_chunks = SC // EXPAND_CHUNK
+    rn_chunks = RC // EXPAND_CHUNK
+    BIGQ = xp.int32(1 << 30)
+    q = xp.concatenate([
+        xp.arange(n_chunks, dtype=xp.int32) * EXPAND_CHUNK,
+        BIGQ + xp.arange(rn_chunks, dtype=xp.int32) * EXPAND_CHUNK,
+    ])
+    keys = xp.concatenate([incl_c, BIGQ + incl_r])
+    starts2 = xp.searchsorted(keys, q, side="right").astype(xp.int32)
+    ws = xp.maximum(starts2[:n_chunks] - 8, 0) // 8 * 8
+    rws = xp.maximum(starts2[n_chunks:] - Lc - 8, 0) // 8 * 8
+
     cols = [P[:, k] for k in range(P.shape[1])]
-    tab, ws, c_total, n_chunks = build_expand_table(
-        xp, cols, n_cross, SC, assume_compact=assume_compact)
+    tab = _expand_table_from_incl(xp, cols, n_cross, incl_c)
     call = make_expand_call(len(cols), 8, n_chunks,
                             _crossing_compute(T), interpret=interpret)
     out = call(ws, tab)
@@ -687,8 +738,7 @@ def path_count_expansions(xp, P, PRT, n_cross, n_rows, T, caps,
     bump_delta = out[7].astype(xp.int32)
 
     rcols = [PRT[:, k] for k in range(PRT.shape[1])]
-    rtab, rws, r_total, rn_chunks = build_expand_table(
-        xp, rcols, n_rows, RC, assume_compact=assume_compact)
+    rtab = _expand_table_from_incl(xp, rcols, n_rows, incl_r)
     rcall = make_expand_call(len(rcols), 2, rn_chunks,
                              _row_compute(T), interpret=interpret)
     rout = rcall(rws, rtab)
