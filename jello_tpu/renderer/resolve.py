@@ -246,9 +246,27 @@ class Resolver:
     def __init__(self):
         self._ramp_cache = _RampCache()
 
+    def resolve_solid_paths_only(self, enc: Encoding):
+        """Fast path for encodings with no late-bound resources
+        (reference: renderer/resolve.go:231-283 resolveSolidPathsOnly):
+        skips the patch walk, the ramp cache epoch bump and the ramp
+        table rebuild entirely — the common case for solid-fill/stroke
+        scenes. Same returns as resolve() (empty Ramps, no atlas)."""
+        if enc.resources.patches:
+            raise ValueError(
+                "resolve_solid_paths_only does not support late-bound "
+                "resources (gradients/images); use resolve()"
+            )
+        layout, scene = self._pack_scene(
+            enc, np.frombuffer(bytes(enc.draw_data), dtype=np.uint32)
+        )
+        return layout, Ramps(), None, scene
+
     def resolve(self, enc: Encoding):
         """Returns (layout, ramps, atlas: ImageAtlas | None,
         packed_scene_u32)."""
+        if not enc.resources.patches:
+            return self.resolve_solid_paths_only(enc)
         self._ramp_cache.maintain()
 
         # Resolve patches: assign ramp ids and image atlas placements.
@@ -292,6 +310,13 @@ class Resolver:
             assert (offs % 4 == 0).all()
             draw_data[offs // 4] = words
 
+        layout, scene = self._pack_scene(enc, draw_data)
+        return layout, self._ramp_cache.ramps(), images, scene
+
+    def _pack_scene(self, enc: Encoding, draw_data: np.ndarray):
+        """Pack the six streams into the scene buffer + Layout
+        (resolve.go:82-179 stream packing; shared by both resolve
+        entry points)."""
         layout = Layout(n_paths=enc.n_paths, n_clips=enc.n_clips)
 
         parts = []
@@ -344,4 +369,4 @@ class Resolver:
         layout.n_draw_objects = layout.n_paths
 
         scene = np.frombuffer(b"".join(parts), dtype=np.uint32).copy()
-        return layout, self._ramp_cache.ramps(), images, scene
+        return layout, scene

@@ -147,3 +147,44 @@ def test_ramp_cache_dedup():
     # endpooints premultiplied linear: red at 0, blue at end
     assert abs(float(ramps.data[0, 0, 0]) - 1.0) < 2e-3
     assert abs(float(ramps.data[0, -1, 2]) - 1.0) < 2e-3
+
+
+def test_resolve_solid_paths_only_matches_general():
+    """The solid-only fast path (resolve.go:231-283) must produce the
+    identical layout + packed buffer the general path produces for a
+    patch-free encoding, and must refuse patched encodings."""
+    import numpy as np
+    import pytest
+
+    import jello_tpu as jt
+    from jello_tpu.renderer.resolve import Resolver
+
+    s = jt.Scene()
+    p = jt.BezPath().move_to(10, 10).line_to(200, 30).line_to(60, 200).close()
+    s.fill(jt.Fill.NON_ZERO, jt.Affine.identity(),
+           jt.SolidBrush(jt.Color.rgba(1, 0, 0, 1)), None, p)
+    s.stroke(jt.Stroke(width=3.0), jt.Affine.identity(),
+             jt.SolidBrush(jt.Color.rgba(0, 0, 1, 1)), None,
+             jt.BezPath().move_to(5, 5).line_to(100, 100))
+
+    lay_f, ramps_f, atlas_f, scene_f = Resolver().resolve_solid_paths_only(
+        s.encoding)
+    # The general entry point dispatches to the fast path itself; build
+    # the general result by forcing the patch machinery.
+    r2 = Resolver()
+    r2._ramp_cache.maintain()
+    import numpy as _np
+    dd = _np.frombuffer(bytes(s.encoding.draw_data), dtype=_np.uint32)
+    lay_g, scene_g = r2._pack_scene(s.encoding, dd)
+    assert np.array_equal(scene_f, scene_g)
+    assert lay_f == lay_g
+    assert ramps_f.height == 0 and atlas_f is None
+
+    g = jt.Scene()
+    grad = jt.LinearGradient((0, 0), (64, 0), [
+        jt.ColorStop(0.0, jt.Color.rgba(0, 0, 0, 1)),
+        jt.ColorStop(1.0, jt.Color.rgba(1, 1, 1, 1))])
+    g.fill(jt.Fill.NON_ZERO, jt.Affine.identity(), jt.GradientBrush(grad),
+           None, p)
+    with pytest.raises(ValueError):
+        Resolver().resolve_solid_paths_only(g.encoding)
