@@ -109,10 +109,14 @@ def walk(jaxpr, rows, depth=0):
             frame = None
             try:
                 from jax._src import source_info_util
-                frame = source_info_util.user_frame(
-                    eqn.source_info.traceback)
-                frame = (f"{os.path.basename(frame.file_name)}:"
-                         f"{frame.start_line}") if frame else "?"
+                fr = None
+                for cand in source_info_util.user_frames(
+                        eqn.source_info.traceback):
+                    fr = cand
+                    if os.path.basename(cand.file_name) != "ops.py":
+                        break
+                frame = (f"{os.path.basename(fr.file_name)}:"
+                         f"{fr.start_line}") if fr else "?"
             except Exception:
                 frame = "?"
             # approximate row count: first operand leading dim
