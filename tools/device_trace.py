@@ -94,6 +94,18 @@ def _union_ms(spans) -> float:
     return tot / 1e9
 
 
+def _meta_stats(plane, em):
+    """Decode an event-metadata stats list into a dict."""
+    st = plane.stat_metadata
+    out = {}
+    for s in em.stats:
+        name = st[s.metadata_id].name
+        out[name] = (s.str_value or s.int64_value or s.uint64_value
+                     or s.double_value
+                     or (st[s.ref_value].name if s.ref_value else ""))
+    return out
+
+
 def analyze(logdir: str, top: int, frames: int) -> None:
     xspace = load_xspace(logdir)
     print("planes:", [p.name for p in xspace.planes])
@@ -101,17 +113,23 @@ def analyze(logdir: str, top: int, frames: int) -> None:
         if "TPU" not in plane.name:
             continue
         ev_meta = plane.event_metadata
+        meta_cache = {}
         per_op = collections.Counter()
         n_events = collections.Counter()
         line_tot = collections.Counter()
         line_n = collections.Counter()
         kind_tot = collections.Counter()
         kind_n = collections.Counter()
+        scope_tot = collections.Counter()
+        scope_n = collections.Counter()
+        src_tot = collections.Counter()
+        src_n = collections.Counter()
         spans = collections.defaultdict(list)
         for line in plane.lines:
             lname = line.name
             for ev in line.events:
-                name = ev_meta[ev.metadata_id].name
+                em = ev_meta[ev.metadata_id]
+                name = em.name
                 dur = ev.duration_ps
                 per_op[(lname, name)] += dur
                 n_events[(lname, name)] += 1
@@ -121,11 +139,33 @@ def analyze(logdir: str, top: int, frames: int) -> None:
                 if lname == "XLA Ops":
                     kind_tot[_kind(name)] += dur
                     kind_n[_kind(name)] += 1
+                    ms = meta_cache.get(ev.metadata_id)
+                    if ms is None:
+                        ms = meta_cache[ev.metadata_id] = _meta_stats(plane, em)
+                    # tf_op is the jax named_scope path: per-stage
+                    # attribution for free (replaces profile_stages.py's
+                    # one-compile-per-cut protocol).
+                    tf_op = str(ms.get("tf_op", ""))
+                    parts = tf_op.split("/")
+                    scope = parts[1] if len(parts) > 2 else (
+                        parts[-1] if parts else "?")
+                    scope_tot[scope] += dur
+                    scope_n[scope] += 1
+                    src = str(ms.get("source", "?")).replace(
+                        "/root/repo/jello_tpu/", "")
+                    src_tot[src] += dur
+                    src_n[src] += 1
         print(f"\n== plane {plane.name} (per-frame over {frames} frames)")
         print("-- lines (sum / union coverage / events per frame):")
         for lname, ps in line_tot.most_common():
             print(f"  {ps/1e9/frames:9.3f} ms  union {_union_ms(spans[lname])/frames:8.3f} ms"
                   f"  x{line_n[lname]/frames:7.1f}  {lname}")
+        print("-- XLA Ops by named-scope stage (tf_op[1]), ms/frame:")
+        for scope, ps in scope_tot.most_common(40):
+            print(f"  {ps/1e9/frames:9.3f} ms  x{scope_n[scope]/frames:7.1f}  {scope}")
+        print("-- XLA Ops by source line, ms/frame (top 40):")
+        for src, ps in src_tot.most_common(40):
+            print(f"  {ps/1e9/frames:9.3f} ms  x{src_n[src]/frames:7.1f}  {src}")
         print("-- XLA Ops by kind (sync op stream), ms/frame:")
         for kind, ps in kind_tot.most_common(25):
             print(f"  {ps/1e9/frames:9.3f} ms  x{kind_n[kind]/frames:7.1f}  {kind}")
