@@ -367,7 +367,7 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
     return rec_t0, rec_t1, rec_n, overflow, state[8]
 
 
-def expand_by_counts(xp, counts, out_cap, total=None):
+def expand_by_counts(xp, counts, out_cap, total=None, land=None):
     """Expansion primitive: for counts[r] items per record, produce for
     each output slot j < out_cap its (record index, index within record,
     valid flag).
@@ -378,12 +378,39 @@ def expand_by_counts(xp, counts, out_cap, total=None):
     record id forward across its run — O(R + cap) with sequential
     memory access, where the searchsorted formulation costs
     O(cap * log R) *random* gathers (the dominant cost of the frame
-    before this change)."""
+    before this change).
+
+    land: None, or (True, interpret) to land the marks with the
+    streaming Pallas kernel (tpu/land_pallas.py) instead of the XLA
+    scatter — the scatter costs ~10 ns per *input* row on this fabric
+    (9.4 ms for the sa-line marks on config5). ONLY valid when counts
+    are {0, 1}: the kernel's bounded landing window requires offsets to
+    advance at most 1 per row."""
     counts = counts.astype(xp.int32)
     incl = xp.cumsum(counts)
     excl = incl - counts
     if total is None:
         total = incl[-1] if incl.shape[0] > 0 else xp.int32(0)
+    if land is not None and ops.is_jax(xp):
+        import jax
+
+        from ..tpu.land_pallas import monotone_land
+
+        r_ids = xp.arange(counts.shape[0], dtype=xp.int32)
+        m0f, m1f = monotone_land(
+            xp, excl, counts > 0, [r_ids, excl], out_cap,
+            interpret=land[1],
+        )
+        # Rows beyond the last flush window are garbage, but they sit
+        # at positions >= total (landing positions are monotone), so
+        # the cummax only propagates garbage into the valid=False tail
+        # — exactly the region the scatter variant leaves at the last
+        # landed value. Consumers mask with `valid`.
+        rec_c = jax.lax.cummax(m0f.astype(xp.int32))
+        j = xp.arange(out_cap, dtype=xp.int32)
+        within = j - jax.lax.cummax(m1f.astype(xp.int32))
+        valid = j < total
+        return rec_c, within, valid, excl, total
     if ops.is_jax(xp):
         # The record id AND its exclusive offset ride the same scatter/
         # cummax as two columns (ops cost per row, width ~free), saving
@@ -863,8 +890,15 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # the dense line-emission order is unchanged.
     counts2 = xp.concatenate([act_a32, act_b32])
     NWAB = NWA + NWB
+    # act_a/act_b are 0/1 activity flags, so the worklist marks may
+    # land via the streaming kernel on the Pallas route (the XLA
+    # scatter costs ~4.6 ms at 344k slot rows on config5).
+    _land = (
+        (True, bool(caps.get("_expand_interpret")))
+        if caps.get("_expand_pallas") and ops.is_jax(xp) else None
+    )
     wl, _, wl_valid, _, nab = expand_by_counts(
-        xp, counts2, _cap(counts2, NWAB)
+        xp, counts2, _cap(counts2, NWAB), land=_land
     )
     na = xp.sum(act_a32)
     nb = xp.sum(act_b32)
@@ -1019,14 +1053,36 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
         + [fpath],
         axis=1,
     )  # [N, 15]
-    sa_counts = xp.concatenate([s_counts, arc_n.astype(xp.int32)])
-    sa_rec, sa_i, sa_valid, _, sa_total = expand_by_counts(
-        xp, sa_counts, _cap(sa_counts, SC + AC)
+    # Merged per-SLOT expansion: the four count blocks (3 simple-line
+    # families + arcs) live on the same slot domain, so expanding one
+    # per-slot total and demuxing the family per output row cuts the
+    # marks scatter from 4N to N input rows (9.4 -> ~2.4 ms on the
+    # config5 trace; scatters cost per input row). Line order within
+    # the sa block changes from family-major to slot-major — downstream
+    # coverage is order-independent and masks by line_valid.
+    c012 = [sl[0].astype(xp.int32) for sl in g["s_lines"]]
+    arc_n32 = arc_n.astype(xp.int32)
+    o1 = c012[0]
+    o2 = o1 + c012[1]
+    o3 = o2 + c012[2]
+    tot4 = o3 + arc_n32
+    N1 = tot4.shape[0]
+    sa_slot, sa_w, sa_valid, _, sa_total = expand_by_counts(
+        xp, tot4, _cap(tot4, SC + AC)
     )
+    offs = xp.stack([o1, o2, o3], axis=1)
+    orow = ops.gather_guarded(xp, offs, sa_slot)
+    fam = (
+        (sa_w >= orow[:, 0]).astype(xp.int32)
+        + (sa_w >= orow[:, 1]).astype(xp.int32)
+        + (sa_w >= orow[:, 2]).astype(xp.int32)
+    )
+    sa_rec = fam * N1 + sa_slot
+    sa_i = sa_w - orow[:, 2]
     sarow = ops.gather_guarded(
         xp, xp.concatenate([stab, atab], axis=0), sa_rec
     )
-    is_arc = sa_rec >= N3
+    is_arc = fam == 3
     a_bx, a_by, a_ex, a_ey = (sarow[:, 0], sarow[:, 1], sarow[:, 2],
                               sarow[:, 3])
     a_cx, a_cy, a_theta, a_n = (sarow[:, 4], sarow[:, 5], sarow[:, 6],

@@ -442,20 +442,26 @@ def path_count(xp, lines, paths, caps, upto=None):
         n_nz_c = cum2[L - 1, 0]
         n_nz_r = cum2[L - 1, 1]
         compact_overflow = (n_nz_c > LCC) | (n_nz_r > RLC)
-        CAP2 = LCC + RLC
-        idx2 = ops.scatter_set(
-            xp, xp.full(CAP2, L, dtype=xp.int32),
-            xp.concatenate([
-                xp.where(nz_c & (pos_c < LCC), pos_c, CAP2),
-                xp.where(nz_r & (pos_r < RLC), LCC + pos_r, CAP2),
-            ]),
-            xp.concatenate([xp.arange(L, dtype=xp.int32)] * 2))
         P23 = xp.concatenate(
             [P, n_cross.astype(f32)[:, None],
              n_rows_per_line.astype(f32)[:, None]], axis=1)
-        Pall = ops.gather_guarded(xp, P23, idx2)
-        Pc = Pall[:LCC]
-        PRTc_rows = Pall[LCC:]
+        # Compacted line indices via the streaming landing kernel
+        # (tpu/land_pallas.py): the XLA scatter_set formulation costs
+        # ~10 ns per input row (9.9 ms at 2L rows on the config5
+        # trace); the kernel streams the same landing in ~1.5 ms.
+        # Unwritten index rows beyond n_nz are garbage — the guarded
+        # gather clamps them and ncc/nrr mask their values, exactly as
+        # the scatter formulation's L-sentinel rows were masked.
+        from ..tpu.land_pallas import monotone_land
+
+        _interp = bool(caps.get("_expand_interpret"))
+        l_ids = xp.arange(L, dtype=xp.int32)
+        (idx_c,) = monotone_land(xp, pos_c, nz_c, [l_ids], LCC,
+                                 interpret=_interp)
+        (idx_r,) = monotone_land(xp, pos_r, nz_r, [l_ids], RLC,
+                                 interpret=_interp)
+        Pc = ops.gather_guarded(xp, P23, idx_c.astype(xp.int32))
+        PRTc_rows = ops.gather_guarded(xp, P23, idx_r.astype(xp.int32))
         ncc = xp.where(xp.arange(LCC, dtype=xp.int32) < n_nz_c,
                        Pc[:, 21].astype(xp.int32), 0)
         # Row-expansion inputs in the PRT column order the expand

@@ -151,8 +151,23 @@ def analyze(logdir: str, top: int, frames: int) -> None:
                         parts[-1] if parts else "?")
                     scope_tot[scope] += dur
                     scope_n[scope] += 1
+                    # Attribute to the first frame in the source stack
+                    # that is not the ops.py shim, so scatter/gather
+                    # helpers report their call sites.
                     src = str(ms.get("source", "?")).replace(
                         "/root/repo/jello_tpu/", "")
+                    stack = str(ms.get("source_stack", ""))
+                    if "/ops.py:" in src or src.startswith("pipeline/ops.py"):
+                        for fr in stack.splitlines():
+                            fr = fr.strip()
+                            if not fr or "/ops.py" in fr:
+                                continue
+                            parts = fr.rsplit(":", 2)
+                            if len(parts) >= 2:
+                                src = (parts[0].replace(
+                                    "/root/repo/jello_tpu/", "")
+                                    + ":" + parts[1] + " (shim)")
+                            break
                     src_tot[src] += dur
                     src_n[src] += 1
         print(f"\n== plane {plane.name} (per-frame over {frames} frames)")
