@@ -106,10 +106,10 @@ def _expand(xp, counts, cap, total=None):
 
 def line_dda_clip(xp, x0, y0, x1, y1, lvalid, bb0, bb1, bb2, bb3, tiles_base):
     """Full per-line DDA setup + bbox i-range clip, all-f32 and
-    shape-agnostic (cpu.go:770-941). Shared verbatim between the XLA
-    path (path_count_params) and the Pallas expand-kernel bodies
-    (tpu/expand_pallas.py raw-table route), so the f32 op sequence —
-    and therefore every count and crossing — is bit-identical in both.
+    shape-agnostic (cpu.go:770-941). The single source of the DDA/clip
+    f32 op sequence consumed by path_count_params and the profiling
+    cuts, so every count and crossing derives from one shared
+    evaluation.
 
     bb0..bb3/tiles_base: per-line path-rect fields (already gathered).
     Returns a dict of f32 blocks; counts are exact integers in f32.
@@ -360,38 +360,18 @@ def path_count(xp, lines, paths, caps, upto=None):
     if upto in ("setup", "pgather", "clip"):
         return path_count_params(xp, lines, paths, caps, upto=upto)
 
-    # Raw-table route: OPT-IN after losing its on-chip A/B (same-session
-    # full-path_count: raw 151.7 ms vs via-P 102.2 ms on config5;
-    # standalone ensemble 67.3 ms). The compaction kernel itself beats
-    # the XLA compaction (15.2 vs 33.5 ms standalone), but the expand
-    # bodies' per-OUTPUT DDA/clip recompute (~270 VPU ops with divides
-    # and rounds per lane) costs far more than the via-P route's
-    # per-LINE XLA evaluation, which fuses to near-zero and is amortized
-    # over all crossings of the line. BASELINE.md round-4.
-    use_raw = (
-        caps.get("_expand_pallas")
-        and ops.is_jax(xp)
-        and caps.get("_pc_raw", False)
-        and not caps.get("_stats_only")
-        and upto != "params"  # legacy-path profiling cut
-    )
-    if use_raw:
-        return _path_count_raw(xp, lines, paths, caps, upto=upto)
-    # Kernel-compaction hybrid: XLA computes the fused per-line P table
-    # (the part XLA does best), the stream-compaction KERNEL moves the
-    # rows (the part it beat XLA at: 15.2 vs 33.5 ms standalone), and
-    # the v1 expand bodies read precomputed P columns. Opt-in pending
-    # its on-chip A/B (JELLO_PC_KC=1 / caps _pc_kc).
-    use_kc = (
-        caps.get("_expand_pallas")
-        and ops.is_jax(xp)
-        and caps.get("_pc_kc", False)
-        and not caps.get("_stats_only")
-        and upto != "params"
-    )
-    if use_kc:
-        return _path_count_kc(xp, lines, paths, caps, upto=upto)
-
+    # Route history (BASELINE.md rounds 4-5): two alternative
+    # formulations — a raw-table route (stream-compaction kernel +
+    # in-body DDA recompute) and a kernel-compaction hybrid (XLA P
+    # table + compaction kernel + precomputed-column bodies) — were
+    # built, exact-equality tested, and DELETED after losing their
+    # on-chip A/Bs (151.7 / 195.8 ms vs this route's 102.2 ms full
+    # path_count on config5). Root cause, confirmed by device traces:
+    # a Pallas custom call forces its operand chain to materialize as
+    # standalone kernels, while this route's 21-column P evaluation
+    # fuses into the consuming XLA gather for free. Kernel inputs must
+    # be arrays that already exist or are trivially produced — never
+    # the result of a fat fusible chain.
     P, n_cross, n_rows_per_line, (ymin, tiles_base, bb1, stride, delta) = (
         path_count_params(xp, lines, paths, caps)
     )
@@ -571,77 +551,6 @@ def path_count(xp, lines, paths, caps, upto=None):
 
 
 
-def _pc_positions(xp, n_cross_f, n_rows_f, L):
-    """One [L, 4] column cumsum serving both expansions' inclusive
-    prefixes AND both compactions' positions (cumsums cost per row, not
-    per column). Returns (cum4, incl_c, pos_c, incl_r, pos_r,
-    total_c, n_nz_c, total_r, n_nz_r)."""
-    f32 = xp.float32
-    keep_c = (n_cross_f > 0).astype(f32)
-    keep_r = (n_rows_f > 0).astype(f32)
-    cum4 = xp.cumsum(
-        xp.stack([n_cross_f, keep_c, n_rows_f, keep_r], axis=1), axis=0
-    )
-    return (
-        cum4,
-        cum4[:, 0], cum4[:, 1] - keep_c,
-        cum4[:, 2], cum4[:, 3] - keep_r,
-        cum4[L - 1, 0].astype(xp.int32), cum4[L - 1, 1].astype(xp.int32),
-        cum4[L - 1, 2].astype(xp.int32), cum4[L - 1, 3].astype(xp.int32),
-    )
-
-
-def _pc_pad_table(xp, table, pos_c, pos_r, cum4, L, chunk):
-    """Pad the compaction input to a chunk-multiple row count; padded
-    rows carry zero counts and the final positions."""
-    pad = (-L) % chunk
-    if not pad:
-        return table, pos_c, pos_r
-    table = xp.concatenate(
-        [table, xp.zeros((pad, table.shape[1]), dtype=xp.float32)], axis=0
-    )
-    pos_c_p = xp.concatenate([pos_c, xp.broadcast_to(cum4[L - 1, 1], (pad,))])
-    pos_r_p = xp.concatenate([pos_r, xp.broadcast_to(cum4[L - 1, 3], (pad,))])
-    return table, pos_c_p, pos_r_p
-
-
-def _pc_expand_scalars(xp, incl, pos, out_cap, row_total, out_total,
-                       tab_rows, L):
-    """Scalar-prefetch operand for make_expand_call_v2 over a compacted
-    table: per-chunk window starts (compacted row of the owner of
-    output c*CHUNK, found through the UNcompacted inclusive prefix +
-    position map), then [row_total | out_total | ksuper].
-
-    The compacted table guarantees rows [0, row_total + 25) written
-    (compact_pallas flush coverage); rows beyond the last flush are
-    uninitialized HBM. Each per-sub-chunk window is clamped under the
-    written region (owners stay in-window: they are < row_total, and
-    shifting a window earlier only widens its tail slack); the kernel
-    additionally clamps the super-window DMA start by the appended
-    ksuper scalar so the whole W-row read stays under row_total + 24."""
-    from ..tpu.expand_pallas import EXPAND_CHUNK, EXPAND_SUB, _WIN_PAD
-
-    f32 = xp.float32
-    W = EXPAND_SUB * EXPAND_CHUNK + 2 * _WIN_PAD
-    n_chunks = out_cap // EXPAND_CHUNK
-    q = xp.arange(n_chunks, dtype=f32) * f32(EXPAND_CHUNK)
-    owner = xp.searchsorted(incl, q, side="right").astype(xp.int32)
-    ws = ops.gather_guarded(
-        xp, pos[:, None], xp.minimum(owner, L - 1)
-    )[:, 0].astype(xp.int32)
-    ws = xp.maximum(ws - 8, 0) // 8 * 8
-    wc = EXPAND_CHUNK + _WIN_PAD
-    ws = xp.minimum(ws, xp.maximum(row_total + 24 - wc, 0) // 8 * 8)
-    ws = xp.minimum(ws, max(tab_rows - W, 0))
-    ksuper = xp.minimum(
-        xp.maximum(row_total + 24 - W, 0) // 8 * 8,
-        max(tab_rows - W, 0),
-    )
-    return xp.concatenate(
-        [ws, row_total[None], out_total[None], ksuper[None]]
-    ).astype(xp.int32)
-
-
 def _pc_merged_scatter(xp, T, SC, tile_slot, bump_slot, bump_delta,
                        r_slot, r_delta):
     """One scatter_add serving all three T-indexed accumulations
@@ -663,224 +572,6 @@ def _pc_merged_scatter(xp, T, SC, tile_slot, bump_slot, bump_delta,
         xp.concatenate([r_delta, bump_delta, xp.ones(SC, dtype=xp.int32)]),
     )
     return merged[: T + 1], merged[T + 1:]
-
-
-def _path_count_raw(xp, lines, paths, caps, upto=None):
-    """path_count on the raw-table Pallas route (VERDICT r4 item #1).
-
-    The via-P formulation pays three megarow random-access ops per
-    compaction (cumsum positions + scatter_set of indices + a 22-wide
-    row gather) plus the [L, 21] P-table materialization — ~16 ms of
-    the 62 ms stage on the config5 profile. Here:
-
-      - ONE [L, 4] column cumsum yields both expansions' inclusive
-        prefixes and compacted positions;
-      - a streaming Pallas compaction kernel (tpu/compact_pallas.py)
-        gathers the nonzero-count RAW line rows (coords + path rect)
-        into dense tables with contiguous traffic only;
-      - the expand kernel bodies recompute the DDA/clip parameters from
-        the raw columns (tpu/expand_pallas.py::path_count_expansions_raw,
-        bit-identical math via tiling.line_dda_clip), so the P table is
-        never built.
-
-    Same returns as path_count. Reference semantics: path_count.wgsl /
-    cpu/cpu.go:763-941.
-    """
-    from ..tpu.compact_pallas import CH as _CCH, compact_rows
-    from ..tpu.expand_pallas import (
-        RAW_NC, RAW_NCROSS, RAW_NROWS, RAW_POS_C, RAW_POS_R,
-        path_count_expansions_raw,
-    )
-
-    f32 = xp.float32
-    L = lines["line_x0"].shape[0]
-    T = caps["tiles_cap"]
-    SC = caps["seg_cap"]
-    RC = caps["row_cap"]
-    LCC = caps["cross_lines_cap"]
-    RLC = caps["row_lines_cap"]
-    interpret = bool(caps.get("_expand_interpret", False))
-
-    prow = path_rect_rows(xp, lines, paths)
-    d = line_dda_clip(
-        xp, lines["line_x0"], lines["line_y0"], lines["line_x1"],
-        lines["line_y1"], lines["line_valid"],
-        prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3], prow[:, 4],
-    )
-    (cum4, incl_c, pos_c, incl_r, pos_r,
-     total_c, n_nz_c, total_r, n_nz_r) = _pc_positions(
-        xp, d["n_cross"], d["n_rows"], L)
-    if upto == "rawcum":
-        return (incl_c, pos_c, incl_r, pos_r)
-
-    table = xp.stack(
-        [
-            lines["line_x0"], lines["line_y0"],
-            lines["line_x1"], lines["line_y1"],
-            prow[:, 0], prow[:, 1], prow[:, 2], prow[:, 3], prow[:, 4],
-            d["n_cross"], incl_c, pos_c,
-            d["n_rows"], incl_r, pos_r,
-            lines["line_valid"].astype(f32),
-        ],
-        axis=1,
-    )  # [L, RAW_NC]
-    assert table.shape[1] == RAW_NC
-    table, pos_c_p, pos_r_p = _pc_pad_table(
-        xp, table, pos_c, pos_r, cum4, L, _CCH)
-    if upto == "rawtab":
-        return (table, pos_c_p, pos_r_p)
-
-    tab_c = compact_rows(xp, table, RAW_POS_C, RAW_NCROSS, pos_c_p, LCC,
-                         interpret=interpret)
-    tab_r = compact_rows(xp, table, RAW_POS_R, RAW_NROWS, pos_r_p, RLC,
-                         interpret=interpret)
-    if upto == "compact":
-        return (tab_c, tab_r, n_nz_c, n_nz_r)
-
-    sc_c = _pc_expand_scalars(xp, incl_c, pos_c, SC, n_nz_c, total_c,
-                              tab_c.shape[0], L)
-    sc_r = _pc_expand_scalars(xp, incl_r, pos_r, RC, n_nz_r, total_r,
-                              tab_r.shape[0], L)
-
-    (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta) = (
-        path_count_expansions_raw(xp, tab_c, tab_r, sc_c, sc_r, T, caps)
-    )
-    if upto == "expand":
-        return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta)
-
-    backdrop, binc_pallas = _pc_merged_scatter(
-        xp, T, SC, tile_slot, bump_slot, bump_delta, r_slot, r_delta)
-    if upto == "backdrop":
-        return (backdrop, tile_slot, seg_pre)
-
-    compact_overflow = (n_nz_c > LCC) | (n_nz_r > RLC)
-    stats = {
-        "real_cross": total_c,
-        "real_bd_rows": total_r,
-        "real_cross_lines": n_nz_c,
-        "real_bd_lines": n_nz_r,
-    }
-    return _sort_count_tail(
-        xp, T, SC, RC, caps, paths, tile_slot, seg_pre, backdrop,
-        binc_pallas, total_c, total_r, compact_overflow, stats, upto,
-    )
-
-
-def _path_count_kc(xp, lines, paths, caps, upto=None):
-    """path_count, kernel-compaction hybrid: the per-line DDA/clip
-    parameter table P comes from the fused XLA evaluation
-    (path_count_params — near-free in-pipeline), the nonzero-count rows
-    move through the streaming compaction kernel instead of the
-    cumsum+scatter_set+row-gather triple, and the expansions run the v1
-    compute bodies over the compacted precomputed columns (no in-body
-    DDA recompute — the raw route's measured loss)."""
-    from ..tpu.compact_pallas import CH as _CCH, compact_rows
-    from ..tpu.expand_pallas import (
-        EXPAND_CHUNK, _crossing_compute, make_expand_call_v2,
-    )
-
-    f32 = xp.float32
-    L = lines["line_x0"].shape[0]
-    T = caps["tiles_cap"]
-    SC = caps["seg_cap"]
-    RC = caps["row_cap"]
-    LCC = caps["cross_lines_cap"]
-    RLC = caps["row_lines_cap"]
-    interpret = bool(caps.get("_expand_interpret", False))
-
-    P, n_cross, n_rows_per_line, _prt = path_count_params(
-        xp, lines, paths, caps
-    )
-    n_cross_f = n_cross.astype(f32)
-    n_rows_f = n_rows_per_line.astype(f32)
-    (cum4, incl_c, pos_c, incl_r, pos_r,
-     total_c, n_nz_c, total_r, n_nz_r) = _pc_positions(
-        xp, n_cross_f, n_rows_f, L)
-
-    # [L, 27]: P's 21 columns + both expansions' counts/prefixes/
-    # positions. Column indices below are the contract with the v1
-    # compute bodies (P cols 0..20 unchanged).
-    KC_NCROSS, KC_INCL_C, KC_POS_C = 21, 22, 23
-    KC_NROWS, KC_INCL_R, KC_POS_R = 24, 25, 26
-    table = xp.concatenate(
-        [P, xp.stack([n_cross_f, incl_c, pos_c, n_rows_f, incl_r, pos_r],
-                     axis=1)],
-        axis=1,
-    )
-    if caps.get("_pc_kc_wide"):
-        # Layout experiment (REFUTED, BASELINE.md round-4: 197.9 ms vs
-        # narrow kc's 195.8): pad the kernel-input table to the native
-        # 128-lane tile width.
-        table = xp.concatenate(
-            [table, xp.zeros((L, 128 - table.shape[1]), dtype=f32)],
-            axis=1,
-        )
-    table, pos_c_p, pos_r_p = _pc_pad_table(
-        xp, table, pos_c, pos_r, cum4, L, _CCH)
-
-    tab_c = compact_rows(xp, table, KC_POS_C, KC_NCROSS, pos_c_p, LCC,
-                         interpret=interpret)
-    tab_r = compact_rows(xp, table, KC_POS_R, KC_NROWS, pos_r_p, RLC,
-                         interpret=interpret)
-    if upto == "compact":
-        return (tab_c, tab_r, n_nz_c, n_nz_r)
-
-    sc_c = _pc_expand_scalars(xp, incl_c, pos_c, SC, n_nz_c, total_c,
-                              tab_c.shape[0], L)
-    sc_r = _pc_expand_scalars(xp, incl_r, pos_r, RC, n_nz_r, total_r,
-                              tab_r.shape[0], L)
-
-    call = make_expand_call_v2(8, SC // EXPAND_CHUNK,
-                               _crossing_compute(T), KC_INCL_C, KC_NCROSS,
-                               interpret=interpret)
-    out = call(sc_c, tab_c)
-    tile_slot = out[0].astype(xp.int32)
-    seg_pre = {
-        "seg_x0": out[1], "seg_y0": out[2],
-        "seg_x1": out[3], "seg_y1": out[4],
-        "seg_y_edge": out[5],
-    }
-    bump_slot = out[6].astype(xp.int32)
-    bump_delta = out[7].astype(xp.int32)
-
-    def row_body(T_):
-        def compute(p, j, within, valid):
-            import jax.numpy as jnp
-
-            r_y = p(13) + within                 # ymin
-            r_slot = p(10) + (r_y - p(7)) * p(9)  # tiles_base/bb1/stride
-            ok = valid > 0.0
-            return [
-                jnp.where(ok, r_slot, jnp.float32(T_)),
-                jnp.where(ok, p(12), 0.0),        # delta
-            ]
-
-        return compute
-
-    rcall = make_expand_call_v2(2, RC // EXPAND_CHUNK, row_body(T),
-                                KC_INCL_R, KC_NROWS, interpret=interpret)
-    rout = rcall(sc_r, tab_r)
-    r_slot = rout[0].astype(xp.int32)
-    r_delta = rout[1].astype(xp.int32)
-    if upto == "expand":
-        return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta)
-
-    backdrop, binc_pallas = _pc_merged_scatter(
-        xp, T, SC, tile_slot, bump_slot, bump_delta, r_slot, r_delta)
-    if upto == "backdrop":
-        return (backdrop, tile_slot, seg_pre)
-
-    compact_overflow = (n_nz_c > LCC) | (n_nz_r > RLC)
-    stats = {
-        "real_cross": total_c,
-        "real_bd_rows": total_r,
-        "real_cross_lines": n_nz_c,
-        "real_bd_lines": n_nz_r,
-    }
-    return _sort_count_tail(
-        xp, T, SC, RC, caps, paths, tile_slot, seg_pre, backdrop,
-        binc_pallas, total_c, total_r, compact_overflow, stats, upto,
-    )
 
 
 def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,

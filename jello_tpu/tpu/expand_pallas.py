@@ -260,136 +260,6 @@ def make_expand_call(n_cols, n_out, n_chunks, compute, chunk=EXPAND_CHUNK,
     return run
 
 
-def make_expand_call_v2(n_out, n_chunks, compute, col_incl, col_cnt,
-                        chunk=EXPAND_CHUNK, interpret=False, sub=EXPAND_SUB):
-    """Raw-table expand call: like make_expand_call but
-
-      - the table is always DMAd and contracted at the full 128-lane
-        tile width (run() asserts it; narrow tables are lane-padded by
-        the caller),
-      - rows at index >= total (the compacted row count) are masked out
-        of ownership in-kernel instead of requiring +inf incl pad rows
-        (the compaction kernel's zero tail is safe as-is), and
-      - outputs at index >= out_total are invalid by construction.
-
-    The scalar prefetch operand carries [win_start(n_chunks) |
-    row_total | out_total | ksuper] where ksuper bounds the super-window
-    DMA start so the W-row read stays inside the compaction kernel's
-    written region. compute(p, j, within, valid) as in v1;
-    col_incl / col_cnt name the inclusive-prefix and count columns.
-    """
-    C = chunk
-    SUB = sub
-    Wc = C + _WIN_PAD
-    W = SUB * C + 2 * _WIN_PAD
-    n_super = -(-n_chunks // SUB)
-
-    def kernel(sc_s, tab_hbm, out_ref, win2, params, sem):
-        c = pl.program_id(0)
-        parity = jax.lax.rem(c, 2)
-        row_total = sc_s[n_chunks]
-        out_total = sc_s[n_chunks + 1]
-
-        def ws_of(g):
-            gc = jnp.minimum(g, n_super - 1)
-            c0 = jnp.minimum(gc * SUB, n_chunks - 1)
-            return pl.multiple_of(
-                jnp.minimum(sc_s[c0], sc_s[n_chunks + 2]), 8
-            )
-
-        def win_copy(g, slot):
-            return pltpu.make_async_copy(
-                tab_hbm.at[pl.ds(ws_of(g), W), :], win2.at[slot],
-                sem.at[slot],
-            )
-
-        # Two-buffer window pipeline: step c+1's table window streams
-        # in during step c's compute.
-        @pl.when(c == 0)
-        def _():
-            win_copy(0, 0).start()
-
-        @pl.when(c + 1 < n_super)
-        def _():
-            win_copy(c + 1, 1 - parity).start()
-
-        win_copy(c, parity).wait()
-        win = win2.at[parity]
-        ws0 = ws_of(c)
-
-        for j in range(SUB):
-            cj = jnp.minimum(c * SUB + j, n_chunks - 1)
-            rel = pl.multiple_of(sc_s[cj] - ws0, 8)
-            sub_win = win[pl.ds(rel, Wc), :]  # (Wc, n_cols)
-            jf_row = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + cj * C
-            ).astype(jnp.float32)
-            incl_col = sub_win[:, col_incl : col_incl + 1]  # (Wc, 1)
-            # Rows past the compacted total are zeros — mask them out
-            # of the ownership count by global row index.
-            row_real = (
-                jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0) + (ws0 + rel)
-            ) < row_total
-            lam = jnp.sum(
-                ((incl_col <= jf_row) & row_real).astype(jnp.int32),
-                axis=0, keepdims=True,
-            )  # (1, C)
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (Wc, C), 0)
-            onehot = (iota_w == lam).astype(jnp.float32)  # (Wc, C)
-            params[:, j, :] = jax.lax.dot_general(
-                sub_win, onehot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (n_cols, C)
-
-        def p(k):
-            return params[k, :, :]  # (SUB, C)
-
-        jf = (
-            jax.lax.broadcasted_iota(jnp.int32, (SUB, C), 0) * C
-            + jax.lax.broadcasted_iota(jnp.int32, (SUB, C), 1)
-            + c * SUB * C
-        ).astype(jnp.float32)
-        incl_o = p(col_incl)
-        cnt_o = p(col_cnt)
-        within = jf - (incl_o - cnt_o)
-        valid = (
-            (within >= 0.0) & (within < cnt_o)
-            & (jf < out_total.astype(jnp.float32))
-        ).astype(jnp.float32)
-
-        outs = compute(p, jf, within, valid)
-        for k in range(n_out):
-            out_ref[k, 0, :, :] = outs[k]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_super,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # table (HBM)
-        ],
-        out_specs=pl.BlockSpec((n_out, 1, SUB, C), lambda c, s: (0, c, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, W, 128), jnp.float32),
-            pltpu.VMEM((128, SUB, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, n_super, SUB, C), jnp.float32),
-        interpret=interpret,
-    )
-
-    def run(sc, tab):
-        assert tab.shape[1] == 128, tab.shape
-        out = call(sc, tab)
-        return out.reshape(n_out, n_super * SUB * C)[:, : n_chunks * C]
-
-    return run
-
-
 def _crossing_compute(T):
     """Transform body for the lines -> tile crossings expansion: the DDA
     walk of path_count.wgsl fused with path_tiling.wgsl's tile-relative
@@ -442,135 +312,6 @@ def _crossing_compute(T):
         ]
 
     return compute
-
-
-# Column layout of the raw path_count line table (built in
-# pipeline/tiling.py::path_count, compacted by tpu/compact_pallas.py).
-RAW_NC = 16
-RAW_X0, RAW_Y0, RAW_X1, RAW_Y1 = 0, 1, 2, 3
-RAW_BB0, RAW_BB1, RAW_BB2, RAW_BB3, RAW_TBASE = 4, 5, 6, 7, 8
-RAW_NCROSS, RAW_INCL_C, RAW_POS_C = 9, 10, 11
-RAW_NROWS, RAW_INCL_R, RAW_POS_R = 12, 13, 14
-RAW_VALID = 15
-
-
-def _dda_from_raw(p):
-    """Re-derive the full DDA/clip parameter set from raw table columns
-    (bit-identical to the XLA path: both call tiling.line_dda_clip on
-    the same f32 inputs with the same op sequence)."""
-    from ..pipeline.tiling import line_dda_clip
-
-    return line_dda_clip(
-        jnp,
-        p(RAW_X0), p(RAW_Y0), p(RAW_X1), p(RAW_Y1),
-        p(RAW_VALID) > 0.5,
-        p(RAW_BB0), p(RAW_BB1), p(RAW_BB2), p(RAW_BB3), p(RAW_TBASE),
-    )
-
-
-def _crossing_compute_raw(T):
-    """Crossing transform body over raw line columns: DDA walk
-    (path_count.wgsl / cpu.go:763-941) + tile-relative clipping
-    (path_tiling.wgsl), with the per-line parameters recomputed on the
-    VPU instead of read from a precomputed P table."""
-
-    def compute(p, j, within, valid):
-        from ..pipeline.tiling import _tile_clip_segments
-
-        d = _dda_from_raw(p)
-        a, b, sign = d["a"], d["b"], d["sign"]
-        y0i, x0f = d["y0i"], d["x0f"]
-        bb0, bb1, bb2 = p(RAW_BB0), p(RAW_BB1), p(RAW_BB2)
-        stride, tiles_base = d["stride"], p(RAW_TBASE)
-
-        ci = d["imin"] + within
-        z = jnp.floor(a * ci + b)
-        cy = y0i + ci - z
-        cx = x0f + sign * z
-        cbase = tiles_base + (cy - bb1) * stride - bb0
-        last_z = jnp.floor(a * (ci - 1.0) + b)
-        top_edge = jnp.where(ci == 0.0, (y0i == d["s0y"]).astype(jnp.float32),
-                             (last_z == z).astype(jnp.float32))
-        ok = valid > 0.0
-        bump_ok = (top_edge > 0.0) & (cx + 1.0 < bb2) & ok
-        x_bump = jnp.maximum(cx + 1.0, bb0)
-        bump_slot = jnp.where(bump_ok, cbase + x_bump, jnp.float32(T))
-        bump_delta = jnp.where(bump_ok, d["delta"], 0.0)
-        tile_slot = jnp.where(ok, cbase + cx, jnp.float32(T))
-
-        ls_c = {
-            "a": a, "b": b, "sign": sign, "y0i": y0i, "x0f": x0f,
-            "xy0x": d["xy0x"], "xy0y": d["xy0y"],
-            "xy1x": d["xy1x"], "xy1y": d["xy1y"],
-            "is_down": d["is_down"], "count": d["count"],
-            "is_positive": d["is_positive"],
-        }
-        seg = _tile_clip_segments(jnp, ls_c, ci, z, last_z, cx, cy)
-
-        def mask(v):
-            return jnp.where(ok, v, 0.0)
-
-        return [
-            tile_slot,
-            mask(seg["seg_x0"]), mask(seg["seg_y0"]),
-            mask(seg["seg_x1"]), mask(seg["seg_y1"]),
-            jnp.where(ok, seg["seg_y_edge"], 1e9),
-            bump_slot, bump_delta,
-        ]
-
-    return compute
-
-
-def _row_compute_raw(T):
-    """Backdrop-row transform body over raw line columns."""
-
-    def compute(p, j, within, valid):
-        d = _dda_from_raw(p)
-        r_y = d["ymin"] + within
-        r_slot = p(RAW_TBASE) + (r_y - p(RAW_BB1)) * d["stride"]
-        ok = valid > 0.0
-        return [
-            jnp.where(ok, r_slot, jnp.float32(T)),
-            jnp.where(ok, d["delta"], 0.0),
-        ]
-
-    return compute
-
-
-def path_count_expansions_raw(xp, tab_c, tab_r, sc_c, sc_r, T, caps):
-    """Both path_count expansions from compacted RAW line tables
-    (tpu/compact_pallas.py output): the DDA/clip parameters are
-    recomputed inside the kernel bodies, so no P table is ever
-    materialized.
-
-    tab_c / tab_r: compacted [*, RAW_NC] tables (crossing / row keep).
-    sc_c / sc_r: i32 scalar-prefetch operands
-        [win_start(n_chunks) | row_total | out_total].
-    Returns (tile_slot, seg_pre, bump_slot, bump_delta, r_slot, r_delta).
-    """
-    SC = caps["seg_cap"]
-    RC = caps["row_cap"]
-    interpret = bool(caps.get("_expand_interpret", False))
-
-    call = make_expand_call_v2(8, SC // EXPAND_CHUNK,
-                               _crossing_compute_raw(T),
-                               RAW_INCL_C, RAW_NCROSS, interpret=interpret)
-    out = call(sc_c, tab_c)
-    tile_slot = out[0].astype(xp.int32)
-    seg_pre = {
-        "seg_x0": out[1], "seg_y0": out[2],
-        "seg_x1": out[3], "seg_y1": out[4],
-        "seg_y_edge": out[5],
-    }
-    bump_slot = out[6].astype(xp.int32)
-    bump_delta = out[7].astype(xp.int32)
-
-    rcall = make_expand_call_v2(2, RC // EXPAND_CHUNK,
-                                _row_compute_raw(T),
-                                RAW_INCL_R, RAW_NROWS, interpret=interpret)
-    rout = rcall(sc_r, tab_r)
-    return (tile_slot, seg_pre, bump_slot, bump_delta,
-            rout[0].astype(xp.int32), rout[1].astype(xp.int32))
 
 
 def _row_compute(T):

@@ -159,6 +159,36 @@ class Renderer:
             u8 = present(fine_out)
         return np.asarray(u8)
 
+    def render_surface_async(self, scene, params: RenderParams,
+                             premul: bool = True, srgb: bool = True,
+                             max_retries: int = 4) -> "Frame":
+        """Enqueue a frame and return immediately with a `Frame` handle
+        — the TPU-native analog of the reference's frames-in-flight
+        swapchain pipelining (RenderToSurface, lib.go:244-333): submit
+        frame N+1 while N is still rendering, fetch with
+        `Frame.result()`.
+
+        The first render of a scene shape settles capacities (blocking
+        flag check + retry, exactly like `render_surface`); once the
+        shape is settled, subsequent calls skip the host<->device sync
+        entirely — jax dispatch is async, so the call returns after
+        enqueue and the tunnel RTT overlaps the next frame's encode/
+        dispatch instead of serializing with it."""
+        settled = (
+            getattr(self, "_est_key", None) is not None
+            and getattr(self, "_calib_key", None) == self._est_key
+            and self._est_key in getattr(self, "_settled", ())
+        )
+        fine_out, ld = self.render_device(
+            scene, params, max_retries, check_flags=not settled)
+        present = self._get_present(ld, premul, srgb,
+                                    isinstance(fine_out, tuple))
+        if isinstance(fine_out, tuple):
+            u8 = present(fine_out[0], fine_out[1])
+        else:
+            u8 = present(fine_out)
+        return Frame(u8)
+
     def _get_present(self, ld, premul, srgb, compact_kind):
         """Cached jit of the device-side blit (assembly + premultiply +
         sRGB + u8). Keyed per output geometry."""
@@ -320,16 +350,6 @@ class Renderer:
             # (tpu/coverage_pallas.py).
             routing["_expand_pallas"] = True
             routing["_coverage_pallas"] = True
-            # Raw-table path_count route (compact kernel + in-body
-            # DDA): opt-in via JELLO_PC_RAW=1 — it lost its on-chip
-            # A/B (BASELINE.md round-4: 151.7 vs 102.2 ms full
-            # path_count on config5).
-            if os.environ.get("JELLO_PC_RAW", "0") == "1":
-                routing["_pc_raw"] = True
-            # Kernel-compaction hybrid (XLA-built P + compaction kernel
-            # + v1 expand bodies): opt-in for the on-chip A/B.
-            if os.environ.get("JELLO_PC_KC", "0") == "1":
-                routing["_pc_kc"] = True
             # Batched (8 tiles/program) fine interpreter: opt-in via
             # JELLO_INTERP_BATCH=1 — even with per-iteration gating it
             # measured 67.1 vs the 1-tile kernel's 63.8 ms on config4
@@ -441,6 +461,12 @@ class Renderer:
                 f"flags still raised: "
                 f"{[k for k, v in flags.items() if v]}"
             )
+        if check_flags:
+            # Shape verified flag-clean: async frames may now skip the
+            # blocking flag fetch (render_surface_async).
+            if not hasattr(self, "_settled"):
+                self._settled = set()
+            self._settled.add(est_key)
         return fine_out, ld_np
 
     def _host_calibrate(self, scene_padded, ld_np, caps, aa_mode):
@@ -490,3 +516,27 @@ class Renderer:
         dev = jnp.asarray(arr)
         cached[key] = (fingerprint, dev)
         return dev
+
+
+class Frame:
+    """A frame in flight: device-resident u8 surface pixels enqueued by
+    `Renderer.render_surface_async`. `ready()` polls without blocking;
+    `result()` fetches (blocking). The analog of an acquired-but-not-
+    presented swapchain image (lib.go:266-333)."""
+
+    def __init__(self, dev_u8):
+        self._dev = dev_u8
+        self._host = None
+
+    def ready(self) -> bool:
+        if self._host is not None:
+            return True
+        try:
+            return bool(self._dev.is_ready())
+        except AttributeError:  # non-jax array (numpy fallback paths)
+            return True
+
+    def result(self):
+        if self._host is None:
+            self._host = np.asarray(self._dev)
+        return self._host

@@ -55,8 +55,7 @@ def test_expand_kernel_generic_toy():
 import pytest
 
 
-@pytest.mark.parametrize("raw", [False, True, "kc"])
-def test_path_count_pallas_matches_xla(raw):
+def test_path_count_pallas_matches_xla():
     scene = jt.Scene()
     path = jt.BezPath().move_to(30, 40).cubic_to(90, 10, 150, 220, 200, 240).close()
     scene.fill(jt.Fill.NON_ZERO, jt.Affine.identity(),
@@ -100,10 +99,6 @@ def test_path_count_pallas_matches_xla(raw):
         if use_pallas:
             c["_expand_pallas"] = True
             c["_expand_interpret"] = True
-            if raw == "kc":
-                c["_pc_kc"] = True
-            else:
-                c["_pc_raw"] = raw
         return tiling.path_count(xp, fl, paths, c)
 
     c1 = run(False)

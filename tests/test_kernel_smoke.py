@@ -68,13 +68,12 @@ def test_production_kernels_smoke_interpret():
     sp[: len(scene_u32)] = scene_u32
 
     caps = dict(caps)
-    # Production routing + the opt-in raw path_count route so the
-    # compaction and raw-expand kernels stay covered by the fast suite
-    # even while they are off by default (lost their on-chip A/B).
+    # Production routing + the opt-in batched interpreter so it stays
+    # covered by the fast suite while off by default (lost its on-chip
+    # A/B).
     caps["_expand_pallas"] = True
     caps["_coverage_pallas"] = True
     caps["_expand_interpret"] = True
-    caps["_pc_raw"] = True
     caps["_interp_batch"] = True
 
     fine_impl = functools.partial(fine_hybrid, interpret=True)

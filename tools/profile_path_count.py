@@ -33,7 +33,6 @@ def main():
     ap.add_argument("--config", type=int, default=5)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--points", default="", help="comma list; default all")
-    ap.add_argument("--raw", default="", help="force _pc_raw 0/1")
     args = ap.parse_args()
 
     import jax
@@ -56,13 +55,6 @@ def main():
     if r.use_pallas:
         caps["_expand_pallas"] = True
         caps["_coverage_pallas"] = True
-    if args.raw:
-        caps["_pc_raw"] = args.raw == "1"
-    if os.environ.get("JELLO_PC_KC", "") == "1":
-        caps["_pc_kc"] = True
-    if os.environ.get("JELLO_PC_KC_WIDE", "") == "1":
-        caps["_pc_kc"] = True
-        caps["_pc_kc_wide"] = True
 
     res = Resolver()
     layout, ramps, images, scene_u32 = res.resolve(scene.encoding)
@@ -127,11 +119,6 @@ def main():
 
     points = ["pre", "setup", "pgather", "clip", "compact", "expand",
               "backdrop", "sort", "bincount", None]
-    if caps.get("_pc_raw"):
-        # rawcum/rawtab are cut points of the raw route only; on other
-        # routes they fall through unrecognized and time the FULL
-        # pipeline under a wrong label.
-        points[4:4] = ["rawcum", "rawtab"]
     if args.points:
         sel = args.points.split(",")
         points = [None if p == "full" else p for p in sel]
