@@ -26,7 +26,9 @@ def _quiet(xp):
     """Silence numpy invalid/overflow warnings from masked degenerate
     lanes (their results are discarded by a `where` downstream); no-op
     under jax.numpy, which doesn't emit runtime warnings."""
-    if xp is _np:
+    from .pmath import base_xp
+
+    if base_xp(xp) is _np:
         return _np.errstate(invalid="ignore", divide="ignore", over="ignore")
     return contextlib.nullcontext()
 

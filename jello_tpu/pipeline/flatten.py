@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as _np
 
 from .. import flatten_math as fm
+from ..pmath import poly_xp
 from ..encoding.path import (
     FLAGS_END_CAP_MASK,
     FLAGS_FILL_BIT,
@@ -275,6 +276,7 @@ def lockstep_euler_pass(xp, P, offset, scale, active, max_emits, max_iters):
     for shrinking max_iters — the lockstep Pallas kernel and the euler
     expansion's record scan are both unrolled proportionally to it).
     """
+    xp = poly_xp(xp)  # shared polynomial transcendentals (pmath.py)
     N = P[0].shape[0]
     IT = max_iters
     f32 = xp.float32
@@ -475,6 +477,7 @@ def slot_geometry(xp, tags, tags_next, pts_raw, pts_next_raw, seg_type0,
     time). Returns a dict of per-slot columns; tabA/tabB are the
     21-column Euler work tables of the lockstep walk.
     """
+    xp = poly_xp(xp)  # shared polynomial transcendentals (pmath.py)
     f32 = xp.float32
     P, seg_type, is_marker, is_open = _normalize_segment(
         xp, pts_raw, seg_type0, tags, is_stroke
@@ -743,6 +746,7 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     Returns a dict with the line soup, per-path bboxes/flags and
     overflow indicators.
     """
+    xp = poly_xp(xp)  # shared polynomial transcendentals (pmath.py)
     f32 = xp.float32
     N = caps["n_tag_slots"]
     IT = caps["max_iters"]
@@ -1240,6 +1244,7 @@ def euler_line_points(xp, P8, t0, t1, i, n, offset, scale, tend_x, tend_y):
     All inputs are per-line gathered arrays. Recomputes the Euler fit
     exactly as the lockstep pass did (same formulas => same f32 values).
     """
+    xp = poly_xp(xp)  # shared polynomial transcendentals (pmath.py)
     p0x, p0y, q0x, q0y, _ = _pq_at(xp, P8, t0)
     p1x, p1y, q1x, q1y, t1a = _pq_at(xp, P8, t1)
     actual_dt = t1 - t0
