@@ -73,10 +73,19 @@ class ProfilerGroup:
 
 
 class Profiler:
-    """Collects per-frame span trees (reference: Profiler.Start/Collect)."""
+    """Collects per-frame span trees (reference: Profiler.Start/Collect).
+
+    `collect()` returns both host span trees and — after a
+    `device_trace(...)` scope — per-stage DEVICE timing trees parsed
+    from the capture (the analog of the reference's per-pass GPU
+    timestamp queries, profiler.go:337-385): one result labeled
+    `device:<plane>` whose children are the pipeline's named-scope
+    stages with their on-chip ms.
+    """
 
     def __init__(self):
         self._groups: list[ProfilerGroup] = []
+        self._device_results: list[ProfilerResult] = []
 
     def start(self, label: str) -> ProfilerGroup:
         g = ProfilerGroup(label)
@@ -86,16 +95,50 @@ class Profiler:
     def collect(self) -> list[ProfilerResult]:
         done = [g.result() for g in self._groups if g._end is not None]
         self._groups = [g for g in self._groups if g._end is None]
+        done += self._device_results
+        self._device_results = []
         return done
 
-    @staticmethod
     @contextlib.contextmanager
-    def device_trace(log_dir: str):
-        """Capture a full device trace (XLA op timeline) for the scope."""
+    def device_trace(self, log_dir: str, frames: int = 1,
+                     plane_filter: str = "TPU"):
+        """Capture a device trace (XLA op timeline) for the scope and
+        fold its per-stage device timings into the next `collect()`.
+
+        `frames`: how many frames the scope renders (times are
+        normalized to ms/frame). Parsing failures (e.g. no device
+        plane on a CPU-only run) degrade to host-only collection."""
+        import time as _time
+
         import jax
 
+        start = _time.perf_counter()
         with jax.profiler.trace(log_dir):
             yield
+        try:
+            self._device_results += device_stage_results(
+                log_dir, frames, plane_filter, start=start)
+        except Exception:
+            pass
+
+
+def device_stage_results(log_dir: str, frames: int = 1,
+                         plane_filter: str = "TPU",
+                         start: float = 0.0) -> list[ProfilerResult]:
+    """Parse a `jax.profiler.trace` capture into per-stage device
+    timing trees (one per matching device plane)."""
+    from .xtrace import attribute
+
+    out = []
+    for plane, tabs in attribute(log_dir, frames, plane_filter).items():
+        stages = sorted(tabs["stages"].items(), key=lambda kv: -kv[1][0])
+        total = sum(ms for _, (ms, _) in stages)
+        out.append(ProfilerResult(
+            f"device:{plane}", start, total / 1e3,
+            [ProfilerResult(name, start, ms / 1e3)
+             for name, (ms, _) in stages],
+        ))
+    return out
 
 
 def named_scope(label: str):

@@ -15,20 +15,13 @@ Writes the raw trace under /tmp/jello_trace_cfg{N}/ for re-analysis.
 from __future__ import annotations
 
 import argparse
-import collections
-import glob
-import gzip
 import os
-import re
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np  # noqa: E402
-
 
 def capture(config: int, frames: int, logdir: str) -> None:
     import jax
@@ -54,140 +47,33 @@ def capture(config: int, frames: int, logdir: str) -> None:
           f"({dt*1e3/frames:.1f} ms/frame incl. host)")
 
 
-def load_xspace(logdir: str):
-    # The xplane proto ships inside tensorflow's bundled tsl protos in
-    # this image (tensorboard_plugin_profile has no xplane_pb2).
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                             recursive=True))
-    if not paths:
-        raise SystemExit(f"no xplane.pb under {logdir}")
-    xspace = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
-    return xspace
-
-
-_KIND_RE = re.compile(r"%([a-zA-Z][a-zA-Z0-9_-]*?)[.\s]")
-
-
-def _kind(name: str) -> str:
-    m = _KIND_RE.match(name)
-    return m.group(1) if m else name.split(" ")[0].lstrip("%")
-
-
-def _union_ms(spans) -> float:
-    """Total coverage of possibly-overlapping (start, end) ps spans."""
-    spans = sorted(spans)
-    tot = 0
-    cur_s = cur_e = None
-    for s, e in spans:
-        if cur_e is None or s > cur_e:
-            if cur_e is not None:
-                tot += cur_e - cur_s
-            cur_s, cur_e = s, e
-        else:
-            cur_e = max(cur_e, e)
-    if cur_e is not None:
-        tot += cur_e - cur_s
-    return tot / 1e9
-
-
-def _meta_stats(plane, em):
-    """Decode an event-metadata stats list into a dict."""
-    st = plane.stat_metadata
-    out = {}
-    for s in em.stats:
-        name = st[s.metadata_id].name
-        out[name] = (s.str_value or s.int64_value or s.uint64_value
-                     or s.double_value
-                     or (st[s.ref_value].name if s.ref_value else ""))
-    return out
-
-
 def analyze(logdir: str, top: int, frames: int) -> None:
-    xspace = load_xspace(logdir)
-    print("planes:", [p.name for p in xspace.planes])
-    for plane in xspace.planes:
-        if "TPU" not in plane.name:
-            continue
-        ev_meta = plane.event_metadata
-        meta_cache = {}
-        per_op = collections.Counter()
-        n_events = collections.Counter()
-        line_tot = collections.Counter()
-        line_n = collections.Counter()
-        kind_tot = collections.Counter()
-        kind_n = collections.Counter()
-        scope_tot = collections.Counter()
-        scope_n = collections.Counter()
-        src_tot = collections.Counter()
-        src_n = collections.Counter()
-        spans = collections.defaultdict(list)
-        for line in plane.lines:
-            lname = line.name
-            for ev in line.events:
-                em = ev_meta[ev.metadata_id]
-                name = em.name
-                dur = ev.duration_ps
-                per_op[(lname, name)] += dur
-                n_events[(lname, name)] += 1
-                line_tot[lname] += dur
-                line_n[lname] += 1
-                spans[lname].append((ev.offset_ps, ev.offset_ps + dur))
-                if lname == "XLA Ops":
-                    kind_tot[_kind(name)] += dur
-                    kind_n[_kind(name)] += 1
-                    ms = meta_cache.get(ev.metadata_id)
-                    if ms is None:
-                        ms = meta_cache[ev.metadata_id] = _meta_stats(plane, em)
-                    # tf_op is the jax named_scope path: per-stage
-                    # attribution for free (replaces profile_stages.py's
-                    # one-compile-per-cut protocol).
-                    tf_op = str(ms.get("tf_op", ""))
-                    parts = tf_op.split("/")
-                    scope = parts[1] if len(parts) > 2 else (
-                        parts[-1] if parts else "?")
-                    scope_tot[scope] += dur
-                    scope_n[scope] += 1
-                    # Attribute to the first frame in the source stack
-                    # that is not the ops.py shim, so scatter/gather
-                    # helpers report their call sites.
-                    src = str(ms.get("source", "?")).replace(
-                        "/root/repo/jello_tpu/", "")
-                    stack = str(ms.get("source_stack", ""))
-                    if "/ops.py:" in src or src.startswith("pipeline/ops.py"):
-                        for fr in stack.splitlines():
-                            fr = fr.strip()
-                            if not fr or "/ops.py" in fr:
-                                continue
-                            parts = fr.rsplit(":", 2)
-                            if len(parts) >= 2:
-                                src = (parts[0].replace(
-                                    "/root/repo/jello_tpu/", "")
-                                    + ":" + parts[1] + " (shim)")
-                            break
-                    src_tot[src] += dur
-                    src_n[src] += 1
-        print(f"\n== plane {plane.name} (per-frame over {frames} frames)")
+    from jello_tpu.xtrace import attribute
+
+    tabs = attribute(logdir, frames)
+    if not tabs:
+        raise SystemExit(f"no TPU plane in capture under {logdir}")
+    for plane, t in tabs.items():
+        print(f"\n== plane {plane} (per-frame over {frames} frames)")
         print("-- lines (sum / union coverage / events per frame):")
-        for lname, ps in line_tot.most_common():
-            print(f"  {ps/1e9/frames:9.3f} ms  union {_union_ms(spans[lname])/frames:8.3f} ms"
-                  f"  x{line_n[lname]/frames:7.1f}  {lname}")
+        for ln, (ms, un, n) in sorted(t["lines"].items(),
+                                      key=lambda kv: -kv[1][0]):
+            print(f"  {ms:9.3f} ms  union {un:8.3f} ms  x{n:7.1f}  {ln}")
         print("-- XLA Ops by named-scope stage (tf_op[1]), ms/frame:")
-        for scope, ps in scope_tot.most_common(40):
-            print(f"  {ps/1e9/frames:9.3f} ms  x{scope_n[scope]/frames:7.1f}  {scope}")
+        for sc, (ms, n) in sorted(t["stages"].items(),
+                                  key=lambda kv: -kv[1][0])[:40]:
+            print(f"  {ms:9.3f} ms  x{n:7.1f}  {sc}")
         print("-- XLA Ops by source line, ms/frame (top 40):")
-        for src, ps in src_tot.most_common(40):
-            print(f"  {ps/1e9/frames:9.3f} ms  x{src_n[src]/frames:7.1f}  {src}")
+        for src, (ms, n) in sorted(t["sources"].items(),
+                                   key=lambda kv: -kv[1][0])[:40]:
+            print(f"  {ms:9.3f} ms  x{n:7.1f}  {src}")
         print("-- XLA Ops by kind (sync op stream), ms/frame:")
-        for kind, ps in kind_tot.most_common(25):
-            print(f"  {ps/1e9/frames:9.3f} ms  x{kind_n[kind]/frames:7.1f}  {kind}")
+        for k, (ms, n) in sorted(t["kinds"].items(),
+                                 key=lambda kv: -kv[1][0])[:25]:
+            print(f"  {ms:9.3f} ms  x{n:7.1f}  {k}")
         print(f"-- top {top} individual ops, ms/frame:")
-        for (lname, name), ps in per_op.most_common(top):
-            print(f"  {ps/1e9/frames:9.4f} ms  x{n_events[(lname, name)]/frames:6.1f} "
-                  f"[{lname}] {name[:130]}")
+        for ln, name, ms, n in t["ops"][:top]:
+            print(f"  {ms:9.4f} ms  x{n:6.1f} [{ln}] {name[:130]}")
 
 
 def main() -> int:
