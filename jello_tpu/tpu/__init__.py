@@ -1,3 +1,3 @@
 """The device (JAX/XLA/Pallas) renderer."""
 
-from .render import Renderer  # noqa: F401
+from .render import Frame, Renderer  # noqa: F401

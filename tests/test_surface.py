@@ -86,3 +86,34 @@ def test_present_no_srgb_no_premul():
     img = assemble_image(np, fine_out, ld)
     u8_host = to_rgba8(img, premul=False, srgb=False)
     assert np.array_equal(u8_dev, u8_host)
+
+
+def test_render_surface_async_matches_blocking():
+    """Frames-in-flight API (Renderer.render_surface_async /
+    tpu.render.Frame — RenderToSurface's swapchain pipelining analog,
+    lib.go:244-333): two async frames enqueued back-to-back fetch the
+    same pixels as the blocking call, and the settled shape skips the
+    flag fetch."""
+    import jello_tpu as jt
+    from jello_tpu.renderer.params import RenderParams
+
+    scene = jt.Scene()
+    path = (jt.BezPath().move_to(8, 8).line_to(56, 16)
+            .cubic_to(60, 40, 30, 60, 10, 50).close())
+    scene.fill(jt.Fill.NON_ZERO, jt.Affine.identity(),
+               jt.SolidBrush(jt.Color.rgba(0.8, 0.2, 0.1, 1.0)), None, path)
+    params = RenderParams(width=64, height=64,
+                          base_color=jt.Color.rgba(1, 1, 1, 1))
+
+    r = _fake_renderer()
+    blocking = r.render_surface(scene, params)
+    # Two frames in flight before any fetch.
+    f1 = r.render_surface_async(scene, params)
+    f2 = r.render_surface_async(scene, params)
+    out1 = f1.result()
+    out2 = f2.result()
+    assert np.array_equal(out1, blocking)
+    assert np.array_equal(out2, blocking)
+    assert f1.ready() and f2.ready()
+    # The scene shape settled during the blocking render.
+    assert r._est_key in r._settled
