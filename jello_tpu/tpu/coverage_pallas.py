@@ -39,6 +39,15 @@ _SLACK = 16
 
 
 def _chunk_for_mode(aa):
+    import os
+
+    env = os.environ.get("JELLO_COV_CHUNK", "")
+    if env:
+        # A/B knob: the kernel's (C, CS) one-hot segmented-sum matmul
+        # is QUADRATIC in C (CS = C + slack), so smaller chunks cut
+        # MXU work per segment; per-chunk DMA/grid overhead pushes the
+        # other way. Tune on-chip.
+        return int(env)
     if aa == "msaa16":
         return 128
     if aa == "msaa8":

@@ -4,11 +4,13 @@ least once — round 3 shipped a fine_v2 compositing bug exactly because
 its tests were all slow-marked).
 
 One tiny clip+blend+gradient+stroke frame at 96x96 drives the FULL
-production routing (lockstep + compact + raw expand + coverage +
+production routing (lockstep + landing + expand + coverage +
 fine_hybrid's record-stream and batched-interpreter kernels) under
-interpret mode; a second frame covers the clip-free fine_v2 standalone
-routing is already guarded by test_v2_standalone_overlap_fast. Tiny
-capacities keep this under ~30 s.
+interpret mode; the clip-free fine_v2 standalone routing is guarded by
+test_v2_standalone_overlap_fast, and the image-tap kernel by
+test_image_tap.py's fast_guard cases. Tiny capacities keep this under
+~30 s. Kernel-coverage policy (VERDICT r4 item #7): every production
+Pallas kernel executes at least once in the fast suite.
 """
 
 import functools
