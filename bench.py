@@ -134,15 +134,22 @@ def bench_one(scene, params, iters, label=""):
     warm = time.time() - t0
 
     times = []
+    enq_times = []
     for _ in range(3):
         t0 = time.time()
         outs = []
         for _ in range(iters):
             fine_out, _ = r.render_device(scene, params, check_flags=False)
             outs.append(fine_out)
+        t_enq = time.time() - t0
         jax.block_until_ready(outs)
         times.append((time.time() - t0) / iters)
+        enq_times.append(t_enq / iters)
     ms = float(min(times) * 1000.0)
+    # Host-side enqueue cost per frame (dispatch without the block):
+    # if this approaches ms, throughput is host-dispatch-bound, not
+    # device-bound (device busy time from tools/device_trace.py).
+    enqueue_ms = float(min(enq_times) * 1000.0)
 
     t0 = time.time()
     fine_out, _ = r.render_device(scene, params, check_flags=False)
@@ -153,6 +160,7 @@ def bench_one(scene, params, iters, label=""):
     return {
         "ms": round(ms, 3),
         "mpx_per_s": round(mpx / (ms / 1000.0), 1),
+        "enqueue_ms": round(enqueue_ms, 2),
         "blocking_ms": round(blocking_ms, 1),
         "warmup_s": round(warm, 1),
         "host_calib_s": round(getattr(r, "host_calib_s", 0.0), 1),
