@@ -77,7 +77,15 @@ def main():
              jnp.stack([jnp.zeros_like(bump), bump], axis=1)],
             axis=1,
         )  # [N, 2, 2]
-        t = t.at[slot].add(upd, mode="drop")
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2),
+            inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,),
+        )
+        t = jax.lax.scatter_add(
+            t, slot[:, None], upd, dnums,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+        )
         return t.sum()
 
     for name, fn in (("two_scatters", two_scatters),
