@@ -57,27 +57,30 @@ def _kernel(K, P, Pp, n_super, init):
             # running max of (valid ? id : -1) IS the last valid id.
             eff = jnp.where(valid, rid, -1)
             vals = [jnp.where(valid, sub[:, 1 + k], _NEG) for k in range(K)]
+            # Shifts as roll+mask: Mosaic lowers lane rotates but not
+            # 1-D concatenates spanning tiles.
+            pos_i = jax.lax.broadcasted_iota(
+                jnp.int32, (SUB_ROWS,), 0)
+
+            def shift_dn(x, n, fill):
+                return jnp.where(pos_i < n, fill, pltpu.roll(x, n, 0))
+
             n = 1
             while n < SUB_ROWS:
-                eff_sh = jnp.concatenate(
-                    [jnp.full((n,), -1, jnp.int32), eff[:-n]])
-                eff = jnp.maximum(eff, eff_sh)
+                eff = jnp.maximum(eff, shift_dn(eff, n, -1))
                 n *= 2
             # Segmented inclusive max-scan by eff: run ends hold the
             # full within-sub-chunk run max.
             n = 1
             while n < SUB_ROWS:
-                eff_sh = jnp.concatenate(
-                    [jnp.full((n,), -2, jnp.int32), eff[:-n]])
-                same = eff_sh == eff
+                same = shift_dn(eff, n, -2) == eff
                 for k in range(K):
-                    v_sh = jnp.concatenate(
-                        [jnp.full((n,), _NEG, jnp.float32), vals[k][:-n]])
+                    v_sh = shift_dn(vals[k], n, _NEG)
                     vals[k] = jnp.maximum(
                         vals[k], jnp.where(same, v_sh, _NEG))
                 n *= 2
-            eff_nx = jnp.concatenate(
-                [eff[1:], jnp.full((1,), -2, jnp.int32)])
+            eff_nx = jnp.where(pos_i >= SUB_ROWS - 1, -2,
+                               pltpu.roll(eff, SUB_ROWS - 1, 0))
             land = ((eff_nx != eff) & (eff >= 0)).astype(jnp.float32)
 
             drow = eff // 128
