@@ -50,20 +50,23 @@ def _kernel(K, P, Pp, n_super, init):
 
         for j in range(SUB):
             sub = blk[0, pl.ds(j * SUB_ROWS, SUB_ROWS), :]
-            rid = sub[:, 0].astype(jnp.int32)
+            rid = sub[:, 0:1].astype(jnp.int32)        # (512, 1)
             valid = rid < P
             # Fill-forward of valid ids over sentinel rows: ids are
             # nondecreasing on valid rows within the block, so a
             # running max of (valid ? id : -1) IS the last valid id.
             eff = jnp.where(valid, rid, -1)
-            vals = [jnp.where(valid, sub[:, 1 + k], _NEG) for k in range(K)]
-            # Shifts as roll+mask: Mosaic lowers lane rotates but not
-            # 1-D concatenates spanning tiles.
+            vals = [jnp.where(valid, sub[:, 1 + k:2 + k], _NEG)
+                    for k in range(K)]
+            # Shifts as sublane rotate + iota mask on (512, 1) columns
+            # (Mosaic lowers tpu.rotate for any sublane count; 1-D
+            # rolls and offset concats do not legalize).
             pos_i = jax.lax.broadcasted_iota(
-                jnp.int32, (SUB_ROWS,), 0)
+                jnp.int32, (SUB_ROWS, 1), 0)
 
             def shift_dn(x, n, fill):
-                return jnp.where(pos_i < n, fill, pltpu.roll(x, n, 0))
+                rolled = pltpu.roll(x, n, 0)
+                return jnp.where(pos_i < n, jnp.full_like(x, fill), rolled)
 
             n = 1
             while n < SUB_ROWS:
@@ -83,20 +86,22 @@ def _kernel(K, P, Pp, n_super, init):
                                pltpu.roll(eff, SUB_ROWS - 1, 0))
             land = ((eff_nx != eff) & (eff >= 0)).astype(jnp.float32)
 
-            drow = eff // 128
+            drow = eff // 128                          # (512, 1)
             dlane = jax.lax.rem(eff, 128)
-            iw = jax.lax.broadcasted_iota(jnp.int32, (PR, SUB_ROWS), 0)
-            eqrow = (iw == drow[None, :]).astype(jnp.float32)
-            il = jax.lax.broadcasted_iota(jnp.int32, (SUB_ROWS, 128), 1)
-            eqlane = (il == dlane[:, None]).astype(jnp.float32)
+            iw = jax.lax.broadcasted_iota(
+                jnp.int32, (SUB_ROWS, PR), 1)
+            eqrowT = (iw == drow).astype(jnp.float32)  # (512, PR)
+            il = jax.lax.broadcasted_iota(
+                jnp.int32, (SUB_ROWS, 128), 1)
+            eqlane = (il == dlane).astype(jnp.float32)  # (512, 128)
 
-            def contract(weights):
+            def contract(weights):                     # (512, 1) -> (PR, 128)
                 return jax.lax.dot_general(
-                    eqrow * weights[None, :], eqlane,
-                    (((1,), (0,)), ((), ())),
+                    eqrowT * weights, eqlane,
+                    (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                )  # (PR, 128)
+                )
 
             cnt = contract(land)
             hit = cnt > 0.5
