@@ -1158,29 +1158,25 @@ def flatten_stage(xp, scene, layout, caps, shard=None):
     # ride along negated (max(-x) == -min(x)).
     big = xp.float32(1e30)
     pidx = xp.where(line_valid, lpath, n_paths_cap)
-    upd_cols = [
-        -xp.minimum(lx0, lx1),
-        -xp.minimum(ly0, ly1),
-        xp.maximum(lx0, lx1),
-        xp.maximum(ly0, ly1),
-    ]
-    if caps.get("_expand_pallas") and ops.is_jax(xp):
-        # Segmented-max landing kernel (tpu/segmax_pallas.py): the XLA
-        # scatter_max costs ~10 ns per line-soup row (8.5 ms on the
-        # config5 trace); lpath is monotone on valid rows within each
-        # 512-aligned family block, which is exactly the kernel's
-        # contract. Bit-exact vs the scatter (max is order-free).
-        from ..tpu.segmax_pallas import segmax_land
-
-        bb_acc = segmax_land(
-            xp, pidx, upd_cols, n_paths_cap, init=-1e30,
-            interpret=bool(caps.get("_expand_interpret")),
-        )
-    else:
-        bb_acc = ops.scatter_max(
-            xp, xp.full((n_paths_cap, 4), -big, dtype=f32), pidx,
-            xp.stack(upd_cols, axis=1),
-        )
+    # One 4-wide scatter-max instead of four element scatters: the mins
+    # ride along negated (max(-x) == -min(x)). A segmented-max landing
+    # KERNEL (per-sub-chunk run reduction + one-hot landings) was built
+    # and lost its on-chip A/B in round 5 (9.46 ms vs this scatter's
+    # 8.5: the run scans on (512, 1) columns use 1/128 of the VPU
+    # lanes, and widening them needs a transpose pipeline that eats the
+    # margin) — BASELINE.md round-5.
+    bb_acc = ops.scatter_max(
+        xp, xp.full((n_paths_cap, 4), -big, dtype=f32), pidx,
+        xp.stack(
+            [
+                -xp.minimum(lx0, lx1),
+                -xp.minimum(ly0, ly1),
+                xp.maximum(lx0, lx1),
+                xp.maximum(ly0, ly1),
+            ],
+            axis=1,
+        ),
+    )
     path_bbox = finalize_path_bbox(xp, bb_acc)
 
     overflow = overflow_euler
