@@ -464,8 +464,9 @@ def path_count(xp, lines, paths, caps, upto=None):
         if upto == "expand":
             return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot,
                     r_delta)
-        backdrop, binc_pallas = _pc_merged_scatter(
-            xp, T, SC, tile_slot, bump_slot, bump_delta, r_slot, r_delta)
+        backdrop = _pc_merged_scatter(
+            xp, T, tile_slot, bump_slot, bump_delta, r_slot, r_delta)
+        binc_pallas = "sorted_runs"
         if upto == "backdrop":
             return (backdrop, tile_slot, seg_pre)
     else:
@@ -551,27 +552,25 @@ def path_count(xp, lines, paths, caps, upto=None):
 
 
 
-def _pc_merged_scatter(xp, T, SC, tile_slot, bump_slot, bump_delta,
+def _pc_merged_scatter(xp, T, tile_slot_unused, bump_slot, bump_delta,
                        r_slot, r_delta):
-    """One scatter_add serving all three T-indexed accumulations
-    (backdrop row deltas, top-edge bumps, per-tile segment bincount):
-    the bincount lands at offset T+1 in a doubled target — same
-    scattered rows, two fewer top-level scatter launches (ops carry
-    ~1-3 ms apiece on this fabric). Out-of-range slots (overflow
-    frames: estimate class too small, retry discards) clamp to the
-    T drop bin."""
-    slot_clamped = xp.where((tile_slot >= 0) & (tile_slot < T), tile_slot, T)
+    """One scatter_add serving both backdrop accumulations (row deltas
+    + top-edge bumps). The per-tile segment BINCOUNT — an SC-row third
+    through round 4 — now derives from the SORTED stream's run
+    boundaries in _sort_count_tail (a landing-kernel pass + an AR-row
+    scatter instead of SC scattered rows; scatters cost ~10 ns per
+    input row). Out-of-range slots (overflow frames: estimate class
+    too small, retry discards) clamp to the T drop bin."""
 
     def _cl(v):
         return xp.where((v >= 0) & (v <= T), v, T)
 
-    merged = ops.scatter_add(
+    return ops.scatter_add(
         xp,
-        xp.zeros(2 * (T + 1), dtype=xp.int32),
-        xp.concatenate([_cl(r_slot), _cl(bump_slot), slot_clamped + (T + 1)]),
-        xp.concatenate([r_delta, bump_delta, xp.ones(SC, dtype=xp.int32)]),
+        xp.zeros(T + 1, dtype=xp.int32),
+        xp.concatenate([_cl(r_slot), _cl(bump_slot)]),
+        xp.concatenate([r_delta, bump_delta]),
     )
-    return merged[: T + 1], merged[T + 1:]
 
 
 def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,
@@ -605,12 +604,57 @@ def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,
         return (sorted_slot, segs, backdrop)
 
     # Per-tile start/count: the sort is keyed by slot, so tile t's
-    # segments occupy [excl_cumsum(counts)[t], +counts[t]) — one SC-row
-    # bincount scatter_add + a T-row cumsum instead of the two SC-row
-    # run-boundary scatters (random-access rows are the frame's
-    # currency: ~10 ns/row). Intra-tile order is whatever the sort
-    # produced; coverage is a sum over segments and order-independent.
-    if binc_pallas is None:
+    # segments occupy [excl_cumsum(counts)[t], +counts[t]). Intra-tile
+    # order is whatever the sort produced; coverage is a sum over
+    # segments and order-independent.
+    first_cum = None
+    if binc_pallas == "sorted_runs":
+        # Pallas route: per-tile counts from the SORTED stream's run
+        # boundaries — the bincount used to scatter SC rows of ones
+        # (~10 ns/input row = ~8.5 ms at 1M crossings); run starts are
+        # strictly increasing positions, so the monotone-landing kernel
+        # compacts (slot, index) pairs per run and counts come from
+        # position diffs + one AR-row scatter. Bit-exact (integer sort
+        # positions). The first_v cumsum doubles as the coverage
+        # wrapper's per-segment slot-rank (counted["first_cum"] —
+        # rank_records drops its SC-length extra).
+        from ..tpu.land_pallas import monotone_land
+
+        prev = xp.concatenate(
+            [xp.full(1, -1, sorted_slot.dtype), sorted_slot[:-1]])
+        is_new = sorted_slot != prev
+        in_rng = (sorted_slot >= 0) & (sorted_slot < T)
+        first_v = is_new & in_rng
+        # The single >=T (sentinel) run's start also lands, bounding
+        # the last valid rank's count.
+        first_T = is_new & (sorted_slot >= T) & (prev < T)
+        keep = first_v | first_T
+        cum2 = xp.cumsum(
+            xp.stack([keep.astype(xp.int32), first_v.astype(xp.int32)],
+                     axis=1), axis=0)
+        pos_k = cum2[:, 0] - keep.astype(xp.int32)
+        first_cum = cum2[:, 1]
+        n_kept = cum2[SC - 1, 0]
+        n_ranks = cum2[SC - 1, 1]
+        ARL = caps["area_rows_cap"] + 8
+        interp = bool(caps.get("_expand_interpret"))
+        sl_land, pos_land = monotone_land(
+            xp, pos_k, keep,
+            [sorted_slot.astype(xp.float32),
+             xp.arange(SC, dtype=xp.float32)],
+            ARL, interpret=interp,
+        )
+        r_i = xp.arange(ARL, dtype=xp.int32)
+        valid_rank = r_i < n_ranks
+        pos_i = xp.where(r_i < n_kept, pos_land.astype(xp.int32), SC)
+        nxt = xp.concatenate([pos_i[1:], xp.full(1, SC, xp.int32)])
+        cnt = xp.where(valid_rank, nxt - pos_i, 0)
+        slot_r = xp.where(
+            valid_rank, xp.clip(sl_land.astype(xp.int32), 0, T), T)
+        binc_pallas = ops.scatter_add(
+            xp, xp.zeros(T + 1, dtype=xp.int32), slot_r, cnt)
+        compact_overflow = compact_overflow | (n_kept > ARL)
+    elif binc_pallas is None:
         binc_pallas = ops.scatter_add(
             xp,
             xp.zeros(T + 1, dtype=xp.int32),
@@ -652,6 +696,11 @@ def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,
         "r_total": r_total,
         "overflow": overflow,
     }
+    if first_cum is not None:
+        # Inclusive cumsum of valid-run starts over the sorted stream:
+        # the coverage wrapper's per-segment slot-rank (rides this
+        # launch instead of an SC-length extra in rank_records).
+        out["first_cum"] = first_cum
     out.update(stats)
     return out
 

@@ -301,18 +301,25 @@ def compute_area_rows_pallas(xp, cmds, counted, caps):
     # slot-sorted stream (non-decreasing by construction).
     slot = counted["sorted_slot"]
     SC = slot.shape[0]
-    prev = xp.concatenate([xp.full(1, -1, slot.dtype), slot[:-1]])
-    first = (slot != prev) & (slot < T)
     valid_f = (slot < T).astype(xp.float32)
     has = (counted["seg_count"] > 0).astype(xp.int32)
 
-    # Record-rank side (what the fine kernels index by) + BOTH
-    # independent rank cumsums (segment slot-ranks, slot -> slot-rank)
-    # riding the same cumsum launch.
-    area_row_rec, slot2rank, bd_tgt, n_rows, (c_first, c_has) = (
-        rank_records(xp, cmds, caps,
-                     extra=[first.astype(xp.int32), has])
-    )
+    c_first = counted.get("first_cum")
+    if c_first is None:
+        # XLA-bincount route: compute the per-segment slot-rank here
+        # (rides rank_records' cumsum launch as an SC-length extra).
+        prev = xp.concatenate([xp.full(1, -1, slot.dtype), slot[:-1]])
+        first = (slot != prev) & (slot >= 0) & (slot < T)
+        area_row_rec, slot2rank, bd_tgt, n_rows, (c_first, c_has) = (
+            rank_records(xp, cmds, caps,
+                         extra=[first.astype(xp.int32), has])
+        )
+    else:
+        # Pallas route: the sorted-run bincount in tiling.py already
+        # produced the first_v cumsum — reuse it.
+        area_row_rec, slot2rank, bd_tgt, n_rows, (c_has,) = (
+            rank_records(xp, cmds, caps, extra=[has])
+        )
     srank = xp.clip(c_first - 1, 0, AR - 1)
     n_rows_sr = c_first[-1]
     sr_of_slot = c_has - has
