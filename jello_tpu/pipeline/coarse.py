@@ -193,31 +193,53 @@ def build_commands(
         axis=1,
     )
 
-    rec, within, valid, _, pair_total = _expand(xp, n_pairs, PC)
-    drow = ops.gather_guarded(xp, etab, rec)
-    stride = xp.maximum(drow[:, 0], 1)
-    tx = drow[:, 1] + within % stride
-    ty = drow[:, 2] + within // stride
-    tile_global = ty * wit + tx
+    # Dense (clip-free) coarse: without EndClips every draw owns its
+    # own slot rect, so the (draw, tile) pair enumeration IS the slot
+    # space in the same order — the pair expansion collapses to
+    # tile_alloc's per-slot metadata and the per-pair lookups of
+    # seg_count/seg_start/backdrop become the arrays themselves
+    # (identity, no ~300k-row gather). The reference-spirit analog of
+    # resolveSolidPathsOnly (resolve.go:231-283): specialize the
+    # common case, keep the general path for clips. ~12 ms of the
+    # coarse stage on the config5 trace.
+    dense = bool(caps.get("_coarse_dense")) and PC == caps["tiles_cap"]
+    if dense:
+        rec = paths["tile_draw"]
+        valid = paths["tile_valid"]
+        pair_total = paths["n_tiles"]
+        drow = ops.gather_guarded(xp, etab, rec)
+        tx = paths["tile_tx"]
+        ty = paths["tile_ty"]
+        tile_global = ty * wit + tx
+        tile_slot = xp.arange(PC, dtype=xp.int32)
+        seg_count = counted["seg_count"]
+        seg_start = counted["seg_start"]
+        backdrop = counted["backdrop"]
+    else:
+        rec, within, valid, _, pair_total = _expand(xp, n_pairs, PC)
+        drow = ops.gather_guarded(xp, etab, rec)
+        stride = xp.maximum(drow[:, 0], 1)
+        tx = drow[:, 1] + within % stride
+        ty = drow[:, 2] + within // stride
+        tile_global = ty * wit + tx
 
-    # Tile slot within the owning path's rect.
-    cpp = drow[:, 3]
-    p_x0 = drow[:, 4]
-    p_y0 = drow[:, 5]
-    pstride = drow[:, 6]
-    tile_slot = drow[:, 7] + (ty - p_y0) * pstride + (tx - p_x0)
-    ctab = xp.stack(
-        [
-            counted["seg_count"],
-            counted["seg_start"],
-            counted["backdrop"],
-        ],
-        axis=1,
-    )
-    crow = ops.gather_guarded(xp, ctab, tile_slot)
-    seg_count = crow[:, 0]
-    seg_start = crow[:, 1]
-    backdrop = crow[:, 2]
+        # Tile slot within the owning path's rect.
+        p_x0 = drow[:, 4]
+        p_y0 = drow[:, 5]
+        pstride = drow[:, 6]
+        tile_slot = drow[:, 7] + (ty - p_y0) * pstride + (tx - p_x0)
+        ctab = xp.stack(
+            [
+                counted["seg_count"],
+                counted["seg_start"],
+                counted["backdrop"],
+            ],
+            axis=1,
+        )
+        crow = ops.gather_guarded(xp, ctab, tile_slot)
+        seg_count = crow[:, 0]
+        seg_start = crow[:, 1]
+        backdrop = crow[:, 2]
 
     kind = drow[:, 8]
     is_begin = kind == CMD_BEGIN_CLIP

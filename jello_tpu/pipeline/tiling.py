@@ -464,9 +464,28 @@ def path_count(xp, lines, paths, caps, upto=None):
         if upto == "expand":
             return (tile_slot, seg_pre, bump_slot, bump_delta, r_slot,
                     r_delta)
-        backdrop = _pc_merged_scatter(
-            xp, T, tile_slot, bump_slot, bump_delta, r_slot, r_delta)
-        binc_pallas = "sorted_runs"
+        # Backdrop row deltas: RC rows only. The top-edge BUMPS — an
+        # SC-row scatter third through round 5 — ride the slot sort as
+        # one payload and accumulate per sorted run in _sort_count_tail
+        # (run sums from a cumsum column + the landing kernel, AR-row
+        # scatter); the rare residual case (x_bump clamped off
+        # tile_slot+1) falls back to the full scatter under a cond.
+        def _cl(v):
+            return xp.where((v >= 0) & (v <= T), v, T)
+
+        backdrop = ops.scatter_add(
+            xp, xp.zeros(T + 1, dtype=xp.int32), _cl(r_slot), r_delta)
+        bump_inline = xp.where(
+            bump_slot == tile_slot + 1, bump_delta, 0).astype(xp.int32)
+        bump_resid_any = xp.any(
+            (bump_delta != 0) & (bump_slot != tile_slot + 1))
+        if caps.get("_pc_force_resid"):
+            # Test knob: force the residual (full-scatter) cond branch
+            # — with no actual residuals both branches must agree
+            # exactly.
+            bump_resid_any = xp.asarray(True)
+        binc_pallas = ("sorted_runs", bump_inline, bump_slot, bump_delta,
+                       bump_resid_any)
         if upto == "backdrop":
             return (backdrop, tile_slot, seg_pre)
     else:
@@ -552,27 +571,6 @@ def path_count(xp, lines, paths, caps, upto=None):
 
 
 
-def _pc_merged_scatter(xp, T, tile_slot_unused, bump_slot, bump_delta,
-                       r_slot, r_delta):
-    """One scatter_add serving both backdrop accumulations (row deltas
-    + top-edge bumps). The per-tile segment BINCOUNT — an SC-row third
-    through round 4 — now derives from the SORTED stream's run
-    boundaries in _sort_count_tail (a landing-kernel pass + an AR-row
-    scatter instead of SC scattered rows; scatters cost ~10 ns per
-    input row). Out-of-range slots (overflow frames: estimate class
-    too small, retry discards) clamp to the T drop bin."""
-
-    def _cl(v):
-        return xp.where((v >= 0) & (v <= T), v, T)
-
-    return ops.scatter_add(
-        xp,
-        xp.zeros(T + 1, dtype=xp.int32),
-        xp.concatenate([_cl(r_slot), _cl(bump_slot)]),
-        xp.concatenate([r_delta, bump_delta]),
-    )
-
-
 def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,
                      backdrop, binc_pallas, c_total, r_total,
                      compact_overflow, stats, upto):
@@ -581,18 +579,23 @@ def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,
     # Sort crossings by tile slot (stable), replacing atomic slice
     # alloc. The payload rides the compare-exchange network directly
     # (one multi-operand lax.sort) — measured ~2x cheaper than
-    # argsort + a permutation row gather at this scale.
-    sorted_slot, sx0, sy0, sx1, sy1, sye = ops.sort_multi(
-        xp,
-        tile_slot.astype(xp.int32),
-        (
-            seg_pre["seg_x0"],
-            seg_pre["seg_y0"],
-            seg_pre["seg_x1"],
-            seg_pre["seg_y1"],
-            seg_pre["seg_y_edge"],
-        ),
-    )
+    # argsort + a permutation row gather at this scale. On the pallas
+    # route the inline top-edge bump delta rides as a sixth payload so
+    # per-run bump sums come from sorted-run boundaries below.
+    sorted_runs = (isinstance(binc_pallas, tuple)
+                   and binc_pallas[0] == "sorted_runs")
+    payloads = [
+        seg_pre["seg_x0"],
+        seg_pre["seg_y0"],
+        seg_pre["seg_x1"],
+        seg_pre["seg_y1"],
+        seg_pre["seg_y_edge"],
+    ]
+    if sorted_runs:
+        payloads.append(binc_pallas[1].astype(xp.float32))
+    sorted_out = ops.sort_multi(
+        xp, tile_slot.astype(xp.int32), tuple(payloads))
+    sorted_slot, sx0, sy0, sx1, sy1, sye = sorted_out[:6]
     segs = {
         "seg_x0": sx0,
         "seg_y0": sy0,
@@ -608,18 +611,20 @@ def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,
     # order is whatever the sort produced; coverage is a sum over
     # segments and order-independent.
     first_cum = None
-    if binc_pallas == "sorted_runs":
-        # Pallas route: per-tile counts from the SORTED stream's run
-        # boundaries — the bincount used to scatter SC rows of ones
-        # (~10 ns/input row = ~8.5 ms at 1M crossings); run starts are
-        # strictly increasing positions, so the monotone-landing kernel
-        # compacts (slot, index) pairs per run and counts come from
-        # position diffs + one AR-row scatter. Bit-exact (integer sort
-        # positions). The first_v cumsum doubles as the coverage
-        # wrapper's per-segment slot-rank (counted["first_cum"] —
-        # rank_records drops its SC-length extra).
+    if sorted_runs:
+        # Pallas route: per-tile counts AND top-edge bump sums from the
+        # SORTED stream's run boundaries — each used to scatter SC rows
+        # (~10 ns/input row = ~8.5 ms apiece at 1M crossings). Run
+        # starts are strictly increasing positions, so the monotone-
+        # landing kernel compacts (slot, index, bump-prefix) per run;
+        # counts are position diffs, bump sums are prefix diffs, and
+        # both land with ONE AR-row scatter into a doubled target.
+        # Bit-exact: integer sort positions and integer delta prefixes
+        # (|prefix| < 2^24). The first_v cumsum doubles as the coverage
+        # wrapper's per-segment slot-rank (counted["first_cum"]).
         from ..tpu.land_pallas import monotone_land
 
+        sbump = sorted_out[6].astype(xp.int32)
         prev = xp.concatenate(
             [xp.full(1, -1, sorted_slot.dtype), sorted_slot[:-1]])
         is_new = sorted_slot != prev
@@ -629,30 +634,64 @@ def _sort_count_tail(xp, T, SC, RC, caps, paths, tile_slot, seg_pre,
         # the last valid rank's count.
         first_T = is_new & (sorted_slot >= T) & (prev < T)
         keep = first_v | first_T
-        cum2 = xp.cumsum(
-            xp.stack([keep.astype(xp.int32), first_v.astype(xp.int32)],
-                     axis=1), axis=0)
-        pos_k = cum2[:, 0] - keep.astype(xp.int32)
-        first_cum = cum2[:, 1]
-        n_kept = cum2[SC - 1, 0]
-        n_ranks = cum2[SC - 1, 1]
+        cum3 = xp.cumsum(
+            xp.stack([keep.astype(xp.int32), first_v.astype(xp.int32),
+                      sbump], axis=1), axis=0)
+        pos_k = cum3[:, 0] - keep.astype(xp.int32)
+        first_cum = cum3[:, 1]
+        bd_excl = cum3[:, 2] - sbump
+        n_kept = cum3[SC - 1, 0]
+        n_ranks = cum3[SC - 1, 1]
+        bd_total = cum3[SC - 1, 2]
         ARL = caps["area_rows_cap"] + 8
         interp = bool(caps.get("_expand_interpret"))
-        sl_land, pos_land = monotone_land(
+        sl_land, pos_land, bd_land = monotone_land(
             xp, pos_k, keep,
             [sorted_slot.astype(xp.float32),
-             xp.arange(SC, dtype=xp.float32)],
+             xp.arange(SC, dtype=xp.float32),
+             bd_excl.astype(xp.float32)],
             ARL, interpret=interp,
         )
         r_i = xp.arange(ARL, dtype=xp.int32)
         valid_rank = r_i < n_ranks
-        pos_i = xp.where(r_i < n_kept, pos_land.astype(xp.int32), SC)
+        in_kept = r_i < n_kept
+        pos_i = xp.where(in_kept, pos_land.astype(xp.int32), SC)
+        bd_i = xp.where(in_kept, bd_land.astype(xp.int32), bd_total)
         nxt = xp.concatenate([pos_i[1:], xp.full(1, SC, xp.int32)])
+        bd_nxt = xp.concatenate([bd_i[1:], bd_total[None]])
         cnt = xp.where(valid_rank, nxt - pos_i, 0)
+        bsum = xp.where(valid_rank, bd_nxt - bd_i, 0)
         slot_r = xp.where(
             valid_rank, xp.clip(sl_land.astype(xp.int32), 0, T), T)
-        binc_pallas = ops.scatter_add(
-            xp, xp.zeros(T + 1, dtype=xp.int32), slot_r, cnt)
+        # Run r's bumps land at slot_r + 1 (bump_ok guarantees the bump
+        # stays inside the tile row, so slot+1 is its exact target).
+        bump_tgt = xp.where(valid_rank, xp.minimum(slot_r + 1, T), T)
+        _, bump_inline, bump_slot_f, bump_delta_f, resid_any = binc_pallas
+
+        def _runsum(_):
+            merged = ops.scatter_add(
+                xp, xp.zeros(2 * (T + 1), dtype=xp.int32),
+                xp.concatenate([slot_r, bump_tgt + (T + 1)]),
+                xp.concatenate([cnt, bsum]),
+            )
+            return merged[: T + 1], merged[T + 1:]
+
+        def _full_bump(_):
+            # Residual frame (x_bump clamped off tile_slot+1 somewhere,
+            # reference robustness case): exact SC-row bump scatter.
+            binc = ops.scatter_add(
+                xp, xp.zeros(T + 1, dtype=xp.int32), slot_r, cnt)
+            bs = xp.where(
+                (bump_slot_f >= 0) & (bump_slot_f <= T), bump_slot_f, T)
+            bump = ops.scatter_add(
+                xp, xp.zeros(T + 1, dtype=xp.int32), bs, bump_delta_f)
+            return binc, bump
+
+        import jax
+
+        binc_pallas, bump_bd = jax.lax.cond(
+            resid_any, _full_bump, _runsum, 0)
+        backdrop = backdrop + bump_bd
         compact_overflow = compact_overflow | (n_kept > ARL)
     elif binc_pallas is None:
         binc_pallas = ops.scatter_add(

@@ -339,6 +339,11 @@ class Renderer:
         #  - per-tile interpreter kernel otherwise;
         #  - XLA reference fine when the atlas exceeds VMEM scratch.
         routing = {}
+        if layout.n_clips == 0:
+            # Dense coarse: the (draw, tile) pair space is the slot
+            # space when no EndClip shares a rect — skip the pair
+            # expansion + per-pair count gathers (coarse.py).
+            routing["_coarse_dense"] = True
         if layout.n_clips == 0 and (atlas is None or self.use_image_tap):
             # Clip-free frames skip the hybrid entirely: no clip groups
             # means no legacy tiles (blends require push_layer), and

@@ -94,15 +94,25 @@ def test_path_count_pallas_matches_xla():
     draw_bbox = comod.binning_bboxes(xp, dm2, fl["path_bbox"], cb, ldj)
     paths = tiling.tile_alloc(xp, draw_bbox, tag, ldj, dict(caps))
 
-    def run(use_pallas):
+    def run(use_pallas, force_resid=False):
         c = dict(caps)
         if use_pallas:
             c["_expand_pallas"] = True
             c["_expand_interpret"] = True
+            if force_resid:
+                # Exercise the bump residual cond branch (full SC-row
+                # scatter): with no actual residuals it must agree
+                # exactly with the sorted-run sums.
+                c["_pc_force_resid"] = True
         return tiling.path_count(xp, fl, paths, c)
 
     c1 = run(False)
     c2 = run(True)
+    c3 = run(True, force_resid=True)
+    assert np.array_equal(np.asarray(c2["backdrop"]),
+                          np.asarray(c3["backdrop"]))
+    assert np.array_equal(np.asarray(c2["seg_count"]),
+                          np.asarray(c3["seg_count"]))
     T = caps["tiles_cap"]
     s1 = np.asarray(c1["sorted_slot"])
     s2 = np.asarray(c2["sorted_slot"])

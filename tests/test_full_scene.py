@@ -136,3 +136,66 @@ def test_cmd_cap_live_prefix_slice():
         None if atlas is None else jnp.asarray(atlas), caps3,
         with_stats=True)
     assert bool(np.asarray(fl3["pairs_overflow"]))
+
+
+def test_coarse_dense_matches_general_clip_free():
+    """Clip-free frames take the dense coarse branch (pair space ==
+    slot space; coarse.build_commands `_coarse_dense`): the command
+    stream must be IDENTICAL to the general pair-expansion branch."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import jello_tpu as jt
+    from jello_tpu.cpu.pipeline import build_layout_dict
+    from jello_tpu.pipeline import render as render_mod
+    from jello_tpu.renderer.estimate import estimate_caps_from_scene
+    from jello_tpu.renderer.resolve import Resolver
+
+    scene = jt.Scene()
+    stops = (jt.ColorStop(0.0, jt.Color.rgba(1, 0, 0, 1)),
+             jt.ColorStop(1.0, jt.Color.rgba(0, 0, 1, 1)))
+    scene.fill(jt.Fill.NON_ZERO, jt.Affine.identity(),
+               jt.GradientBrush(jt.LinearGradient((0, 0), (200, 0), stops)),
+               None,
+               jt.BezPath().move_to(10, 10).cubic_to(90, 0, 150, 200, 240, 200)
+               .line_to(10, 200).close())
+    scene.fill(jt.Fill.EVEN_ODD, jt.Affine.identity(),
+               jt.SolidBrush(jt.Color.rgba(0, 0.6, 0.2, 0.8)), None,
+               jt.BezPath().move_to(60, 40).line_to(220, 60).line_to(120, 230)
+               .close())
+    scene.stroke(jt.Stroke(width=5), jt.Affine.identity(),
+                 jt.SolidBrush(jt.Color.rgba(0, 0, 0, 1)), None,
+                 jt.BezPath().move_to(20, 240).cubic_to(90, 150, 180, 150, 240, 230))
+    layout, ramps, images, scene_u32 = Resolver().resolve(scene.encoding)
+    assert layout.n_clips == 0
+    ld = build_layout_dict(layout, PARAMS)
+    n = 1024
+    while n < len(scene_u32):
+        n <<= 1
+    sp = np.zeros(n, np.uint32)
+    sp[: len(scene_u32)] = scene_u32
+    caps = estimate_caps_from_scene(scene_u32, layout, 256, 256)
+    caps["aa_mode"] = "area"
+    # Equalize the pair/tile classes the way calibrated clip-free
+    # frames have them (the dense guard requires it).
+    caps["pair_cap"] = caps["tiles_cap"] = max(
+        caps["pair_cap"], caps["tiles_cap"])
+    from jello_tpu.pipeline.gradient import stops_table_or_empty
+
+    ramps_arr = stops_table_or_empty(ramps)
+
+    def run(dense):
+        c = dict(caps)
+        if dense:
+            c["_coarse_dense"] = True
+        out, fl, _ = render_mod.render_frame(
+            jnp, jnp.asarray(sp), ld, jnp.asarray(ramps_arr), None, c,
+            with_stats=True)
+        assert not any(bool(np.asarray(v)) for v in fl.values()), fl
+        return np.asarray(out)
+
+    a = run(False)
+    b = run(True)
+    assert np.array_equal(a, b)
