@@ -322,17 +322,13 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
             ramp_id = iu(15)
             iota_n = jax.lax.broadcasted_iota(jnp.int32, (C, n_ramp_rows), 1)
             ohr = ((iota_n == ramp_id) & is_grad).astype(jnp.float32)
-            # Precision HIGH (bf16_3x): the one-hot operand is exact in
-            # bf16 and each output is a single stop-table element, so
-            # the only error is the 3-pass split of the f32 stop values
-            # (~1e-5 relative on colors/positions — invisible at u8,
-            # well under the 1e-4 parity gate). The (C, NR) contraction
-            # is the kernel's widest matmul at large ramp counts
-            # (NR=1024 on config5); HIGHEST costs 2x the passes.
+            # (Precision stays HIGHEST: Mosaic rejects HIGH, and at
+            # ~1.4 ms/frame the 3-pass bf16-split alternative is not
+            # worth the exactness risk — probed round 5.)
             rows = jax.lax.dot_general(
                 ohr, stops_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGH,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (C, 128) stop-table rows
 
             def stop_p(k):
