@@ -43,7 +43,8 @@ from .fine_v2 import fine_v2
 
 def fine_hybrid(scene, cmds, segs, counted, info, ramps, images, layout,
                 caps, interpret=False):
-    """Returns ((compact [GRID+C,4,256] un-premultiplied, tile2rank),
+    """Returns ((compact [PCpad,4,256] un-premultiplied, record-indexed;
+    tile2rank maps tile -> its last record's row),
     flags)."""
     xp = jnp
     interpret = interpret or bool(caps.get("_expand_interpret", False))

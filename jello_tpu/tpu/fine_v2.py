@@ -14,19 +14,19 @@ associatively. The tile-sorted command stream therefore admits a
 segmented scan (segments = tiles): chunks of C consecutive records are
 processed entirely with dense [C, 256] vector/MXU ops —
 
-  - coverage rows stream in with one aligned window DMA per chunk
-    (ranks are non-decreasing along the stream; see pipeline/coverage)
-    and are aligned to records by a one-hot matmul;
+  - coverage rows arrive pre-gathered into record order (one [PC]-row
+    gather in the wrapper; see pipeline/coverage) and stream in as
+    plain pipelined (C, 256) blocks — no alignment matmul;
   - paints (solid colors and all three gradient kinds) evaluate
     vectorized across the chunk, with per-record parameters broadcast
     from record columns and gradient stops fetched by a one-hot matmul
     against the VMEM-resident stop table;
   - the per-tile composite is a log2(C)-step segmented scan of
     (A = 1 - fa, B = fg*cov) affine pairs;
-  - completed tiles' values scatter into a staging block via a one-hot
-    matmul on the MXU and leave with one contiguous window write per
-    chunk, into a *compact* output indexed by nonempty-tile rank
-    (windows stay C-bounded even when the tile grid is sparse).
+  - every record's inclusive composite leaves with one contiguous
+    C-row window write per chunk into a RECORD-indexed output; a
+    tile's finished value is its last record's row (tile2rank maps
+    tile -> last-record index for assembly).
 
 There is no per-record scalar dispatch, branch, or DMA anywhere.
 
@@ -34,8 +34,9 @@ Tiles containing clip/blend groups or image paints are excluded here
 (their records are masked to the identity map) and rendered by the
 per-tile interpreter kernel (fine_pallas) into the same compact buffer.
 
-Output: (compact [NT_cap, 4, 256] un-premultiplied, tile2rank [GRID]);
-assemble with `assemble_compact`.
+Output: (compact [PCpad, 4, 256] un-premultiplied, tile2rank [GRID]
+mapping tile -> its last record's row, -1 when empty); assemble with
+`assemble_compact`.
 """
 
 from __future__ import annotations
@@ -64,10 +65,8 @@ from ..pipeline.drawobjs import (
     RAD_GRAD_SWAPPED,
 )
 
-# Records per chunk. The cov window pads to CW (8-aligned slack for the
-# aligned DMA start).
+# Records per chunk.
 V2_CHUNK = 128
-COV_SLACK = 16
 
 
 def _shift_down(arr, k, fill):
@@ -92,12 +91,6 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
                         with_images=False):
     GRID = caps["tile_grid_cap"]
     C = caps.get("v2_chunk", V2_CHUNK)
-    MC = caps.get("cmds_per_tile", 64)
-    # The coverage window must reach back MC rows: an EndClip record's
-    # row is its BeginClip's (up to one tile's worth of records
-    # earlier); plain ranks advance <= 1 per record, so a chunk spans
-    # at most C + MC rows.
-    CW = C + MC + COV_SLACK
     # Image-fg window: image ranks are strictly increasing, so a chunk
     # spans at most C fg rows (+8 alignment slack).
     CWI = C + 8
@@ -106,34 +99,29 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
 
     def kernel(*args):
         if with_images:
-            (rank_lo_s, trank_lo_s, next_first_s, run1_s, run2_s,
+            (run1_s, run2_s,
              irank_lo_s, misc_s,
-             base_s, rec_ref, rows_hbm, stops_ref, fg_hbm, out_hbm,
-             cov_win2, fg_win2, stag2, carry, carry_tile, carry1,
-             carry1_seg, sem, sem_fg, sem_out) = args
+             base_s, rec_ref, cov_ref, stops_ref, fg_hbm, out_hbm,
+             fg_win2, stag2, carry, carry_tile, carry1,
+             carry1_seg, sem_fg, sem_out) = args
         else:
-            (rank_lo_s, trank_lo_s, next_first_s, run1_s, run2_s,
+            (run1_s, run2_s,
              misc_s, base_s,
-             rec_ref, rows_hbm, stops_ref, out_hbm,
-             cov_win2, stag2, carry, carry_tile, carry1, carry1_seg,
-             sem, sem_out) = args
+             rec_ref, cov_ref, stops_ref, out_hbm,
+             stag2, carry, carry_tile, carry1, carry1_seg,
+             sem_out) = args
         c = pl.program_id(0)
         wit = misc_s[0]
 
-        # Two-buffer DMA pipeline (cov window, fg window, out staging):
-        # chunk c+1's input windows stream in while chunk c computes,
-        # and chunk c's output flush overlaps chunk c+1's compute (grid
-        # steps are sequential on TPU, so the alternation is race-free).
+        # Two-buffer DMA pipeline (fg window, out staging): chunk c+1's
+        # fg window streams in while chunk c computes, and chunk c's
+        # output flush overlaps chunk c+1's compute (grid steps are
+        # sequential on TPU, so the alternation is race-free). The
+        # coverage rows arrive per-record through a plain pipelined
+        # BlockSpec (the wrapper gathers the rank-indexed table into
+        # record order), so no manual cov DMA or rank-window math
+        # exists here.
         parity = jax.lax.rem(c, 2)
-
-        def cov_copy(j, slot):
-            jc = jnp.minimum(j, n_chunks - 1)
-            r_lo = rank_lo_s[jc]
-            start8 = pl.multiple_of((r_lo // 8) * 8, 8)
-            return pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(start8, CW), :],
-                cov_win2.at[slot], sem.at[slot],
-            )
 
         @pl.when(c == 0)
         def _():
@@ -143,13 +131,8 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
             # the v0 select, so zero it.
             carry[...] = jnp.zeros((4, 256), jnp.float32)
             carry1[...] = jnp.zeros((5, 256), jnp.float32)
-            cov_copy(0, 0).start()
 
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            cov_copy(c + 1, 1 - parity).start()
-
-        ru = rec_ref[...][0]  # (C, 16) u32
+        ru = rec_ref[...]  # (C, 16) u32
         rf = pltpu.bitcast(ru, jnp.float32)
 
         def iu(k):  # (C, 1) i32 column
@@ -187,19 +170,15 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
         live_f = live.astype(jnp.float32)
 
         # ---- coverage -------------------------------------------------
-        r_lo = rank_lo_s[c]
-        start8 = pl.multiple_of((r_lo // 8) * 8, 8)
-        cov_copy(c, parity).wait()
-        cov_win = cov_win2.at[parity]
-        local = rank - start8  # (C,1); negative when rank == -1
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (C, CW), 1)
+        # Rows arrive already in record order (one [PC]-row gather in
+        # the wrapper): row i of the chunk block IS record i's coverage
+        # row (EndClips carry a duplicate of their Begin's row; rowless
+        # records carry a masked don't-care row). This replaces the
+        # (C, CW) one-hot alignment matmul + manual rank-window DMA of
+        # the previous design (~4 ms/frame of HIGHEST-precision MXU
+        # passthrough on the config5 trace).
         has_row = rank >= 0
-        ohc = ((iota_r == local) & has_row).astype(jnp.float32)
-        a = jax.lax.dot_general(
-            ohc, cov_win[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-        )  # (C, 256) raw winding (area) / resolved coverage (MSAA)
+        a = cov_ref[...]  # (C, 256) raw winding (area) / resolved (MSAA)
         if caps.get("aa_mode", "area") != "area":
             cov = jnp.clip(a, 0.0, 1.0)
         else:
@@ -512,55 +491,26 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
             v0 = use_carry * carry[ch : ch + 1, :] + (1.0 - use_carry) * base_ch
             v.append(B[ch] + A * v0)
 
-        # ---- flush completed tiles -------------------------------------
-        nf = next_first_s[c]
-        idx0 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-        tile_nx = jnp.where(idx0 == C - 1, nf, pltpu.roll(tile, C - 1, 0))
-        is_last = (tile != tile_nx) & (tile < GRID)
-
-        # local tile rank within chunk (record 0's tile is rank t_lo by
-        # construction, whether it continues the carry tile or not)
-        t_lo = trank_lo_s[c]
-        changed = (tile != _shift_down(tile, 1, -2)).astype(jnp.int32)
-        idxp = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-        new_tile = jnp.where(idxp == 0, 0, changed)
-        # prefix sum over (C,1) via log shifts
-        ps = new_tile
-        k = 1
-        while k < C:
-            ps = ps + _shift_down(ps, k, 0)
-            k *= 2
-        pos = ps  # (C,1): trank_rec - t_lo
-
-        # Un-premultiply (the interpreter kernel and assembly both use
-        # un-premultiplied rows, fine.wgsl:1092-1102).
+        # ---- write every record's composite ----------------------------
+        # Each record's inclusive composite lands at its own record
+        # index (the SAME C rows of DMA per chunk as the old
+        # rank-compacted flush — only the output buffer grows to PCpad
+        # rows); assembly gathers each tile's LAST record row via
+        # tile2rank. This deletes the (C, C) one-hot flush matmuls and
+        # the in-chunk tile-rank prefix sum. Un-premultiply matches the
+        # interpreter kernel and assembly (fine.wgsl:1092-1102).
         inv_a = 1.0 / jnp.maximum(v[3], 1e-6)
         vout = [v[0] * inv_a, v[1] * inv_a, v[2] * inv_a, v[3]]
-        base_a = jnp.maximum(base_s[3], 1e-6)
-        base_un = [base_s[0] / base_a, base_s[1] / base_a,
-                   base_s[2] / base_a, base_s[3]]
-
-        iota_p = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-        ohl = ((iota_p == pos) & is_last).astype(jnp.float32)  # (rec, slot)
         stag = stag2.at[parity]
         for ch in range(4):
-            sc = jax.lax.dot_general(
-                ohl, vout[ch] - base_un[ch], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (slot, 256)
-            stag[:, ch, :] = sc + base_un[ch]
+            stag[:, ch, :] = vout[ch]
 
-        # Consecutive chunks' output windows OVERLAP (later write wins
-        # on shared tiles), so at most one out-DMA may be in flight:
-        # wait for chunk c-1's flush only now, after chunk c's compute
-        # — the flush overlaps the next chunk's compute but ordering of
-        # overlapping writes is preserved.
+        # Output windows are disjoint (chunk c owns rows [cC, cC+C)),
+        # but keep the single-in-flight discipline: chunk c's flush
+        # overlaps chunk c+1's compute.
         def out_copy(j, slot):
-            jc = jnp.minimum(j, n_chunks - 1)
-            tl = jnp.minimum(trank_lo_s[jc], GRID)
             return pltpu.make_async_copy(
-                stag2.at[slot], out_hbm.at[pl.ds(tl, C)], sem_out.at[slot]
+                stag2.at[slot], out_hbm.at[pl.ds(j * C, C)], sem_out.at[slot]
             )
 
         @pl.when(c >= 1)
@@ -579,26 +529,30 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
         carry_tile[0] = tile[C - 1, 0]
 
     in_specs = [
-        pl.BlockSpec((1, C, 16), lambda c, *s: (c, 0, 0)),  # records
-        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # cov rows
+        # Records ride as the 2-D packed table with a (C, 16) block per
+        # chunk: the 16-column stack then fuses into one XLA kernel
+        # (the [n_chunks, C, 16] reshape forced 16 per-column relayout
+        # copies + a multi-ms concatenate on the device trace).
+        pl.BlockSpec((C, 16), lambda c, *s: (c, 0)),  # records
+        # Per-record coverage rows: plain pipelined blocks (Pallas
+        # double-buffers these automatically).
+        pl.BlockSpec((C, 256), lambda c, *s: (c, 0)),  # cov rows
         pl.BlockSpec((n_ramp_rows, 128), lambda c, *s: (0, 0)),  # stops
     ]
     scratch = [
-        pltpu.VMEM((2, CW, 256), jnp.float32),          # cov windows (2-buf)
         pltpu.VMEM((2, C, 4, 256), jnp.float32),        # staging (2-buf)
         pltpu.VMEM((4, 256), jnp.float32),              # carry value
         pltpu.SMEM((1,), jnp.int32),                    # carry tile
         pltpu.VMEM((5, 256), jnp.float32),              # pass-1 carry (A,B)
         pltpu.SMEM((1,), jnp.int32),                    # pass-1 carry seg
-        pltpu.SemaphoreType.DMA((2,)),                  # cov sems
         pltpu.SemaphoreType.DMA((2,)),                  # out sems
     ]
-    n_prefetch = 7  # rank_lo, trank_lo, next_first, run1, run2, misc, base
+    n_prefetch = 4  # run1, run2, misc, base
     if with_images:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
-        scratch.insert(1, pltpu.VMEM((2, CWI, 1024), jnp.float32))  # fg 2-buf
+        scratch.insert(0, pltpu.VMEM((2, CWI, 1024), jnp.float32))  # fg 2-buf
         scratch.insert(-1, pltpu.SemaphoreType.DMA((2,)))           # sem_fg
-        n_prefetch = 8  # + irank_lo (interleaved [start, has_img] pairs)
+        n_prefetch = 5  # + irank_lo (interleaved [start, has_img] pairs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(n_chunks,),
@@ -610,7 +564,7 @@ def make_fine_v2_kernel(caps, n_ramp_rows, n_chunks, interpret=False,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((GRID + C, 4, 256), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * C, 4, 256), jnp.float32),
         interpret=interpret,
     )
 
@@ -631,8 +585,8 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     when given, image records paint here instead of forcing the tile
     onto the interpreter.
 
-    Returns ((compact [GRID+C,4,256] un-premultiplied, tile2rank [GRID]),
-    flags)."""
+    Returns ((compact [PCpad,4,256] un-premultiplied, record-indexed;
+    tile2rank [GRID] maps tile -> its last record's row), flags)."""
     from .fine_pallas import build_records
 
     caps = dict(caps)
@@ -688,85 +642,55 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
     n_chunks = (PC + C - 1) // C
     PCpad = n_chunks * C
     if PCpad != PC:
-        rec = xp.concatenate(
-            [rec, xp.zeros((PCpad - PC, 16), dtype=xp.uint32)]
+        # Padding records: tile = GRID (invalid), all else zero. Built
+        # as a broadcast row so the pad rides the concatenate (an
+        # .at[slice].set on the packed table launches a separate
+        # dynamic-update-slice).
+        pad_row = xp.zeros((1, 16), dtype=xp.uint32).at[0, 3].set(
+            xp.uint32(GRID)
         )
-    # Padding records: tile = GRID (invalid), all else zero.
-    if PCpad != PC:
-        pad_tile = xp.full((PCpad - PC,), GRID, dtype=xp.uint32)
-        rec = rec.at[PC:, 3].set(pad_tile)
-    rec3 = rec.reshape(n_chunks, C, 16)
+        rec = xp.concatenate(
+            [rec, xp.broadcast_to(pad_row, (PCpad - PC, 16))]
+        )
 
     tile = cmds["tile"].astype(xp.int32)
     tile_p = xp.concatenate(
         [tile, xp.full((PCpad - PC,), GRID, dtype=xp.int32)]
     ) if PCpad != PC else tile
 
-    # Per-chunk coverage-row window starts: the minimum row any record
-    # in the chunk references (EndClips reference their Begin's row, up
-    # to MC records back; plain ranks are non-decreasing, so the chunk
-    # span is <= C + MC and fits the kernel's CW window). Chunks with
-    # no row references fall back to the running max so far.
-    AR_cap = caps["area_rows_cap"]
-    rows_p = (
-        xp.concatenate([area_row_rec, xp.full((PCpad - PC,), -1, xp.int32)])
-        if PCpad != PC else area_row_rec
-    ).reshape(n_chunks, C)
-    # Only chunk-BOUNDARY values of the running row max are consumed,
-    # so the cummax runs over per-chunk maxes ([n_chunks] rows), not
-    # the full record stream.
-    chunk_max = xp.max(rows_p, axis=1)
-    cmax_run = ops.cummax(xp, chunk_max)
-    fallback = xp.maximum(
-        xp.concatenate([xp.full(1, -1, xp.int32), cmax_run[:-1]]), 0
+    # Coverage rows in RECORD order: one [PC]-row gather of the
+    # rank-indexed table (EndClips duplicate their Begin's row at their
+    # own index; rowless records read row 0, a real finite row the
+    # kernel masks with has_row — never NaN). The kernel then reads
+    # coverage through a statically-aligned (C, 256) BlockSpec: no
+    # rank-window DMA, no per-chunk window-start math, and no (C, CW)
+    # one-hot alignment matmul.
+    area_rec = ops.gather_guarded(
+        xp, area_blk, xp.where(area_row_rec >= 0, area_row_rec, 0)
     )
-    vmask = rows_p >= 0
-    BIGR = xp.int32(1 << 30)
-    cmin = xp.min(xp.where(vmask, rows_p, BIGR), axis=1)
-    has_v = xp.any(vmask, axis=1)
-    rank_lo = xp.clip(xp.where(has_v, cmin, fallback), 0, AR_cap - 1)
-
-    # The kernel DMAs CW = C + MC + slack rows from rank_lo&~7; make
-    # sure the rows table is long enough (the MSAA coverage kernels pad
-    # less than the area one).
-    MCw = caps.get("cmds_per_tile", 64)
-    need_rows = AR_cap + C + MCw + COV_SLACK + 8
-    if area_blk.shape[0] < need_rows:
-        area_blk = xp.concatenate(
-            [area_blk,
-             xp.zeros((need_rows - area_blk.shape[0],) + area_blk.shape[1:],
-                      dtype=area_blk.dtype)]
+    if PCpad != PC:
+        area_rec = xp.concatenate(
+            [area_rec,
+             xp.zeros((PCpad - PC,) + area_rec.shape[1:], area_rec.dtype)]
         )
 
-    # Nonempty-tile ranks (+ the image-record ranks when the tap table
-    # is present: both ride ONE column cumsum).
-    prev_t = xp.concatenate([xp.full(1, -1, xp.int32), tile_p[:-1]])
-    first = (tile_p != prev_t) & (tile_p < GRID)
+    # Tile -> output-row map: the output is indexed by RECORD (each
+    # record's inclusive composite lands at its own index), so a tile's
+    # finished value lives at its LAST record's row.
+    nxt_t = xp.concatenate([tile_p[1:], xp.full(1, GRID, xp.int32)])
+    last = (tile_p != nxt_t) & (tile_p < GRID)
+    tile2rank = xp.full((GRID,), -1, dtype=xp.int32)
+    tile2rank = ops.scatter_set(
+        xp, tile2rank, xp.where(last, tile_p, GRID),
+        xp.arange(PCpad, dtype=xp.int32),
+    )
     if fg_tab is not None:
         P_img = (cmds["kind"] == CMD_IMAGE) & (tile < GRID) & (tile >= 0)
         P_img_p = (
             xp.concatenate([P_img, xp.zeros(PCpad - PC, dtype=P_img.dtype)])
             if PCpad != PC else P_img
         )
-        cs2 = xp.cumsum(
-            xp.stack([first.astype(xp.int32), P_img_p.astype(xp.int32)],
-                     axis=1),
-            axis=0,
-        )
-        csum = cs2[:, 0]
-        icum = cs2[:, 1]
-    else:
-        csum = xp.cumsum(first.astype(xp.int32))
-    n_tiles = csum[-1]
-    trank = xp.where(tile_p < GRID, csum - 1, n_tiles)
-    trank_lo = trank[0::C]
-    tile2rank = xp.full((GRID,), -1, dtype=xp.int32)
-    tile2rank = ops.scatter_set(
-        xp, tile2rank, xp.where(first, tile_p, GRID), csum - 1
-    )
-    next_first = xp.concatenate(
-        [tile_p[C::C], xp.full(1, GRID, xp.int32)]
-    )
+        icum = xp.cumsum(P_img_p.astype(xp.int32))
 
     misc = xp.asarray(layout["width_in_tiles"], dtype=xp.int32).reshape(1)
     base = xp.asarray(layout["base_color"], dtype=xp.float32)
@@ -790,7 +714,17 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
         return [runs[k * n_chunks : (k + 1) * n_chunks]
                 for k in range(len(vals_list))]
 
-    run1, run2 = _max_runs([(rec[:, 4] >> 8).astype(xp.int32),
+    # Pass-1 segment ids live in cmds["flags"] bits 8+ (identical to
+    # rec[:, 4]: build_records copies the flags word verbatim, and
+    # fine_hybrid packs cmds["flags"] before building rec). Reading the
+    # pre-stack 1-D column avoids a strided [PC] slice of the packed
+    # [PC, 16] table (a multi-ms T(1,128) relayout copy on the trace).
+    flags_p = cmds["flags"]
+    if PCpad != PC:
+        flags_p = xp.concatenate(
+            [flags_p, xp.zeros(PCpad - PC, dtype=flags_p.dtype)]
+        )
+    run1, run2 = _max_runs([(flags_p >> 8).astype(xp.int32),
                             tile_p.astype(xp.int32)])
 
     call = make_fine_v2_kernel(caps, NR, n_chunks, interpret=interpret,
@@ -813,30 +747,24 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
         ).astype(xp.int32)
         irank_lo = xp.stack([irank_lo, has_img_c], axis=1).reshape(-1)
         out = call(
-            rank_lo.astype(xp.int32),
-            trank_lo.astype(xp.int32),
-            next_first.astype(xp.int32),
             run1,
             run2,
             irank_lo.astype(xp.int32),
             misc,
             base,
-            rec3,
-            area_blk,
+            rec,
+            area_rec,
             stops_pad,
             fg_tab,
         )
     else:
         out = call(
-            rank_lo.astype(xp.int32),
-            trank_lo.astype(xp.int32),
-            next_first.astype(xp.int32),
             run1,
             run2,
             misc,
             base,
-            rec3,
-            area_blk,
+            rec,
+            area_rec,
             stops_pad,
         )
     flags = {"area_rows_overflow": rows_overflow}
