@@ -231,6 +231,25 @@ def compute_area_rows(xp, cmds, counted, caps):
     bd = cmds["backdrop"].astype(f32)[:, None] * xp.ones((1, 256), f32)
     area = ops.scatter_add(xp, area, bd_tgt, bd)
 
+    # Per-RECORD table (matching the Pallas route): record i's row at
+    # index i, EndClips duplicating their Begin's row, rowless records
+    # zeroed. Consumers (fine_v2 blocks, the interpreter's per-rank
+    # row DMAs) index rows by the returned area_row ids.
+    needs = area_row_rec >= 0
+    area = ops.gather_guarded(xp, area, xp.where(needs, area_row_rec, 0))
+    area = xp.where(needs[:, None], area, f32(0.0))
+    PCn = area_row_rec.shape[0]
+    area_row_rec = xp.where(
+        needs, xp.arange(PCn, dtype=area_row_rec.dtype), -1
+    ).astype(xp.int32)
+    # The interpreter kernel DMAs 8-row aligned windows; keep the table
+    # a multiple of 8 rows.
+    PC8 = -(-PCn // 8) * 8
+    if PC8 != PCn:
+        area = xp.concatenate(
+            [area, xp.zeros((PC8 - PCn, 256), dtype=area.dtype)]
+        )
+
     overflow = n_rows > AR
     return area, area_row_rec, overflow
 

@@ -372,20 +372,32 @@ def compute_area_rows_pallas(xp, cmds, counted, caps):
     area_sr = call(row0s, stream.reshape(SCpad, 8), bd_tab)
     area_sr = area_sr.reshape(area_sr.shape[0], 256)
 
-    # Permute slot-rank rows into record-rank order (rows, not
-    # segments: [AR] gather).
+    # Gather slot-rank rows into RECORD order directly: record i's row
+    # is its slot's (rec_sr); EndClips share their BeginClip's slot so
+    # they get a duplicate of its row at their own index. This replaces
+    # the previous two-step permute (a [NROWS] src_of scatter + an [AR]
+    # rank-space gather + a second record-space gather in fine_v2).
+    # Rowless records read row 0 (always written — unwritten pallas-out
+    # rows are uninitialized and a NaN row poisons masked math) and are
+    # zeroed below.
     needs = area_row_rec >= 0
     NROWS = area_sr.shape[0]
-    # Default to row 0 (always written): unwritten pallas-out rows are
-    # uninitialized, and a NaN row poisons the fine kernels' one-hot
-    # matmuls even when masked (NaN * 0 = NaN).
-    src_of = xp.zeros(NROWS, dtype=xp.int32)
-    # EndClip records share their BeginClip's rank AND slot, so
-    # duplicate scatters write identical values.
-    src_of = ops.scatter_set(
-        xp, src_of, xp.where(needs, area_row_rec, NROWS), rec_sr
+    area = ops.gather_guarded(
+        xp, area_sr,
+        xp.where(needs, xp.minimum(rec_sr, NROWS - 1), 0),
     )
-    area = ops.gather_guarded(xp, area_sr, src_of)
+    area = xp.where(needs[:, None], area, xp.float32(0.0))
+    PCn = area_row_rec.shape[0]
+    area_row_rec = xp.where(
+        needs, xp.arange(PCn, dtype=xp.int32), -1
+    )
+    # The interpreter kernel DMAs 8-row aligned windows; keep the table
+    # a multiple of 8 rows.
+    PC8 = -(-PCn // 8) * 8
+    if PC8 != PCn:
+        area = xp.concatenate(
+            [area, xp.zeros((PC8 - PCn, 256), dtype=area.dtype)]
+        )
 
     overflow = (n_rows > AR) | (n_rows_sr > AR)
     return area, area_row_rec, overflow

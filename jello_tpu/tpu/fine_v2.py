@@ -658,20 +658,18 @@ def fine_v2(scene, cmds, segs, counted, info, ramps, images, layout, caps,
         [tile, xp.full((PCpad - PC,), GRID, dtype=xp.int32)]
     ) if PCpad != PC else tile
 
-    # Coverage rows in RECORD order: one [PC]-row gather of the
-    # rank-indexed table (EndClips duplicate their Begin's row at their
-    # own index; rowless records read row 0, a real finite row the
-    # kernel masks with has_row — never NaN). The kernel then reads
-    # coverage through a statically-aligned (C, 256) BlockSpec: no
+    # Coverage rows arrive from compute_area_rows in RECORD order
+    # (EndClips carry a duplicate of their Begin's row at their own
+    # index; rowless records are zeroed — never NaN). The kernel reads
+    # them through a statically-aligned (C, 256) BlockSpec: no
     # rank-window DMA, no per-chunk window-start math, and no (C, CW)
     # one-hot alignment matmul.
-    area_rec = ops.gather_guarded(
-        xp, area_blk, xp.where(area_row_rec >= 0, area_row_rec, 0)
-    )
-    if PCpad != PC:
+    area_rec = area_blk
+    if area_rec.shape[0] < PCpad:
         area_rec = xp.concatenate(
             [area_rec,
-             xp.zeros((PCpad - PC,) + area_rec.shape[1:], area_rec.dtype)]
+             xp.zeros((PCpad - area_rec.shape[0],) + area_rec.shape[1:],
+                      area_rec.dtype)]
         )
 
     # Tile -> output-row map: the output is indexed by RECORD (each
